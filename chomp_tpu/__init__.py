@@ -1,0 +1,50 @@
+"""chomp_tpu: a TPU-native JAX halo-model cosmology framework.
+
+A ground-up rebuild of the capabilities of the reference CHOMP library
+(morriscb/chomp — see SURVEY.md for the full structural analysis): linear
+matter power (Eisenstein-Hu), Sheth-Tormen mass functions and bias,
+1-halo/2-halo nonlinear P(k) with NFW profiles and HODs, Limber-projected
+angular spectra, and w(theta)/gamma_t correlation functions — all as pure
+jit/vmap/grad-able functions over immutable parameter pytrees, with
+fixed-order Gauss-Legendre tensor quadrature and FFTLog Hankel transforms
+in place of the reference's adaptive Romberg + Bessel integrals.
+
+Layer map (mirrors SURVEY.md §1, reimagined TPU-first):
+    params/grids  ->  chomp defaults.py + scipy substrate
+    background    ->  cosmology.SingleEpoch/MultiEpoch (background half)
+    linear        ->  cosmology.SingleEpoch (P(k), sigma, nu half)
+    mass          ->  mass_function.MassFunction
+    hod           ->  hod.HOD*
+    profiles      ->  halo.py's NFW y(k, M) internals
+    halo          ->  halo.Halo power spectra
+    projection    ->  kernel.py (dNdz, WindowFunction, Limber)
+    fftlog        ->  (new) Hankel engine replacing kernel.py's
+                      Bessel-zero-chunked Romberg integrals
+    correlation   ->  correlation.Correlation
+    trispectrum   ->  halo_trispectrum.py
+    covariance    ->  covariance.py
+    compat        ->  object API mirroring the reference's classes
+"""
+
+from chomp_tpu.params import (
+    C_OVER_H0,
+    DEFAULT_GRID,
+    CosmoParams,
+    GridSpec,
+    HaloParams,
+    default_cosmo,
+    default_halo,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "C_OVER_H0",
+    "DEFAULT_GRID",
+    "CosmoParams",
+    "GridSpec",
+    "HaloParams",
+    "default_cosmo",
+    "default_halo",
+    "__version__",
+]

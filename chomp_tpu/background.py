@@ -1,0 +1,127 @@
+"""Background cosmology: E(z), distances, growth, characteristic densities.
+
+TPU-native replacement for the background half of the reference's
+``cosmology.SingleEpoch`` / ``MultiEpoch`` (upstream:cosmology.py;
+SURVEY.md §2 rows 2-3, §3.2, Appendix B.1): chomp's per-quantity adaptive
+Romberg quadratures become fixed-order Gauss-Legendre contractions with
+array-valued limits, so chi(z)/D(z) evaluate for whole z *arrays* (and,
+via vmap, whole cosmology batches) in one fused XLA computation.
+
+Conventions (SURVEY.md Appendix B/C, oracle Appendix A.1):
+  - distances in Mpc/h, c/H0 = 2997.92458 Mpc/h;
+  - growth D(a) = (5 om/2) E(a) ∫_0^a da'/(a' E(a'))^3, D(z=0) = 1;
+  - delta_c = 0.15 (12 pi)^(2/3) Omega_m(z)^0.0055  (NFW97 fit);
+  - delta_v = Bryan-Norman 1998 fit w.r.t. MEAN density (App. A.6/C.4);
+  - dark energy via CPL (w0, wa) in E(z); the growth integral keeps the
+    standard LCDM-form integrand with the generalized E(a), matching the
+    reference's approach (SURVEY.md §2 "w0/wa support in E(z) [M]").
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from chomp_tpu.grids import gl_integrate
+from chomp_tpu.params import C_OVER_H0, CosmoParams
+
+
+def e2z(cosmo: CosmoParams, z):
+    """E^2(z) = H^2(z)/H0^2."""
+    zp1 = 1.0 + jnp.asarray(z)
+    de = cosmo.omega_l0 * zp1 ** (3.0 * (1.0 + cosmo.w0 + cosmo.wa)) * jnp.exp(
+        -3.0 * cosmo.wa * (1.0 - 1.0 / zp1)
+    )
+    return cosmo.omega_m0 * zp1**3 + cosmo.omega_k0 * zp1**2 + de
+
+
+def ez(cosmo: CosmoParams, z):
+    return jnp.sqrt(e2z(cosmo, z))
+
+
+def omega_m_z(cosmo: CosmoParams, z):
+    """Omega_m(z)."""
+    zp1 = 1.0 + jnp.asarray(z)
+    return cosmo.omega_m0 * zp1**3 / e2z(cosmo, z)
+
+
+def omega_l_z(cosmo: CosmoParams, z):
+    zp1 = 1.0 + jnp.asarray(z)
+    de = cosmo.omega_l0 * zp1 ** (3.0 * (1.0 + cosmo.w0 + cosmo.wa)) * jnp.exp(
+        -3.0 * cosmo.wa * (1.0 - 1.0 / zp1)
+    )
+    return de / e2z(cosmo, z)
+
+
+def comoving_distance(cosmo: CosmoParams, z, n: int = 64):
+    """Line-of-sight comoving distance chi(z) in Mpc/h.
+
+    chomp: ``SingleEpoch.comoving_distance`` via Romberg of 1/E
+    (SURVEY.md §3.2 quadrature 1); here GL over [0, z] with per-element
+    node placement (z may be any array).
+    """
+    return C_OVER_H0 * gl_integrate(lambda zp: 1.0 / ez(cosmo, zp), 0.0, z, n)
+
+
+def transverse_comoving_distance(cosmo: CosmoParams, z, n: int = 64):
+    """Comoving transverse distance f_K(chi): handles open/closed via a
+    series-safe sinn (flat fiducial reduces to chi exactly)."""
+    chi = comoving_distance(cosmo, z, n)
+    ok = cosmo.omega_k0
+    x = chi / C_OVER_H0
+    # sinn(sqrt(|ok|) x)/sqrt(|ok|), Taylor-blended near ok=0.
+    s = jnp.sqrt(jnp.abs(ok) + 1e-30)
+    open_ = jnp.sinh(s * x) / s
+    closed = jnp.sin(s * x) / s
+    curved = jnp.where(ok > 0.0, open_, closed)
+    return C_OVER_H0 * jnp.where(jnp.abs(ok) < 1e-8, x, curved)
+
+
+def angular_diameter_distance(cosmo: CosmoParams, z, n: int = 64):
+    return transverse_comoving_distance(cosmo, z, n) / (1.0 + jnp.asarray(z))
+
+
+def luminosity_distance(cosmo: CosmoParams, z, n: int = 64):
+    return transverse_comoving_distance(cosmo, z, n) * (1.0 + jnp.asarray(z))
+
+
+def _growth_unnorm(cosmo: CosmoParams, a, n: int):
+    """Un-normalized D(a) = 2.5 om E(a) ∫_0^a da'/(a' E(a'))^3.
+
+    The integrand ~ a'^{3/2} near 0; substituting a' = a u^2 renders it
+    ~ u^4 (smooth), restoring spectral GL convergence.
+    """
+    a = jnp.asarray(a)
+
+    def integrand(u):
+        ap = a[..., None] * u * u if a.ndim else a * u * u
+        z = 1.0 / ap - 1.0
+        e3 = e2z(cosmo, z) * ez(cosmo, z)
+        # da' = 2 a u du ; 1/(a'^3 E^3) * da' = 2/(a^2 u^5 E^3) du
+        aa = a[..., None] if a.ndim else a
+        return 2.0 / (aa * aa * u**5 * e3)
+
+    integral = gl_integrate(integrand, 0.0, jnp.ones_like(a), n)
+    z_of_a = 1.0 / a - 1.0
+    return 2.5 * cosmo.omega_m0 * ez(cosmo, z_of_a) * integral
+
+
+def growth_factor(cosmo: CosmoParams, z, n: int = 64):
+    """Linear growth D(z), normalized so D(z=0)=1 (chomp
+    ``SingleEpoch.growth_factor``; oracle A.1: D(1)=0.61975078)."""
+    a = 1.0 / (1.0 + jnp.asarray(z))
+    return _growth_unnorm(cosmo, a, n) / _growth_unnorm(cosmo, jnp.asarray(1.0), n)
+
+
+def delta_c(cosmo: CosmoParams, z=0.0):
+    """Spherical-collapse threshold, NFW97 fit (chomp form, SURVEY.md
+    App. B.3): 0.15 (12 pi)^(2/3) Omega_m(z)^0.0055."""
+    return 0.15 * (12.0 * jnp.pi) ** (2.0 / 3.0) * omega_m_z(cosmo, z) ** 0.0055
+
+
+def delta_v(cosmo: CosmoParams, z=0.0):
+    """Virial overdensity w.r.t. the MEAN matter density: Bryan-Norman
+    1998 fit (SURVEY.md App. A.6 convention; chomp ``delta_v=-1`` selects
+    the cosmology's own value)."""
+    om = omega_m_z(cosmo, z)
+    x = om - 1.0
+    return (18.0 * jnp.pi**2 + 82.0 * x - 39.0 * x * x) / om

@@ -1,0 +1,184 @@
+"""Parameter pytrees and static grid configuration.
+
+Mirrors the reference's ``defaults.py`` config layer (upstream:defaults.py;
+SURVEY.md §2 row 1, Appendix B.0): ``default_params`` -> :class:`CosmoParams`,
+``default_halo_params`` -> :class:`HaloParams`, ``default_limits`` +
+``default_precision`` -> :class:`GridSpec`.
+
+Design (SURVEY.md §7): the chomp dicts are mutable and propagated through
+``set_cosmology``-style mutators; here they are immutable pytrees.
+:class:`CosmoParams` is the **vmap axis** — an MCMC sweep is a
+``CosmoParams`` with a leading batch dimension.  :class:`GridSpec` is the
+**jit-static axis** — it fixes every array shape (quadrature orders, grid
+sizes) so the whole pipeline compiles to one XLA program; chomp's adaptive
+Romberg tolerances (``default_precision``) become fixed quadrature orders
+whose convergence the test suite certifies by order-doubling.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from chomp_tpu.utils.tree import pytree_dataclass
+
+# Speed of light / (100 km/s): c/H0 in Mpc/h units.
+C_OVER_H0 = 2997.92458
+
+# rho_crit in (M_sun/h) / (Mpc/h)^3; chomp derives the same constant from
+# 1e-29 g/cm^3 scalings (SURVEY.md Appendix B.3): rho_bar = RHO_CRIT*omega_m.
+RHO_CRIT = 2.7754e11
+
+
+@pytree_dataclass
+class CosmoParams:
+    """Background + linear-power parameters.
+
+    Mirrors chomp ``defaults.default_params`` (upstream:defaults.py):
+    omega_m0=0.278, omega_b0=0.046, omega_l0=0.722, h=0.7, sigma_8=0.811,
+    n_s=0.960, t_cmb=2.726, w0=-1, wa=0 (flat LCDM fiducial; SURVEY.md
+    Appendix A preamble).  Radiation is NOT subtracted from omega_m
+    (Appendix C.8: the oracle goldens use plain omega_m0).
+    """
+
+    omega_m0: jnp.ndarray
+    omega_b0: jnp.ndarray
+    omega_l0: jnp.ndarray
+    h: jnp.ndarray
+    sigma_8: jnp.ndarray
+    n_s: jnp.ndarray
+    t_cmb: jnp.ndarray
+    w0: jnp.ndarray
+    wa: jnp.ndarray
+
+    @property
+    def omega_k0(self):
+        return 1.0 - self.omega_m0 - self.omega_l0
+
+    @property
+    def omega_c0(self):
+        return self.omega_m0 - self.omega_b0
+
+    @property
+    def rho_bar(self):
+        """Mean comoving matter density, (M_sun/h)/(Mpc/h)^3."""
+        return RHO_CRIT * self.omega_m0
+
+    @property
+    def rho_crit(self):
+        return jnp.asarray(RHO_CRIT) * jnp.ones_like(jnp.asarray(self.omega_m0))
+
+
+def default_cosmo(**overrides) -> CosmoParams:
+    """Fiducial flat LCDM (chomp defaults.py values; SURVEY.md App. A)."""
+    vals = dict(
+        omega_m0=0.278,
+        omega_b0=0.046,
+        omega_l0=0.722,
+        h=0.7,
+        sigma_8=0.811,
+        n_s=0.960,
+        t_cmb=2.726,
+        w0=-1.0,
+        wa=0.0,
+    )
+    vals.update(overrides)
+    return CosmoParams(**{k: jnp.asarray(float(v)) for k, v in vals.items()})
+
+
+@pytree_dataclass
+class HaloParams:
+    """Halo-model parameters.
+
+    Mirrors chomp ``defaults.default_halo_params`` (upstream:defaults.py,
+    SURVEY.md Appendix B.0): stq=0.3, st_little_a=0.707 (Sheth-Tormen),
+    c0=9.0, beta=-0.13 (concentration c = c0/(1+z) * (M/M*)^beta),
+    alpha=-1 (NFW inner slope; only -1 is supported, as in chomp's
+    analytic y(k,M)), delta_v=-1 meaning "use the cosmology's virial
+    overdensity fit" (Bryan-Norman 1998 wrt mean density — SURVEY.md
+    Appendix C.4 / A.6 convention).
+    """
+
+    stq: jnp.ndarray
+    st_little_a: jnp.ndarray
+    c0: jnp.ndarray
+    beta: jnp.ndarray
+    alpha: jnp.ndarray
+    delta_v: jnp.ndarray
+
+
+def default_halo(**overrides) -> HaloParams:
+    vals = dict(stq=0.3, st_little_a=0.707, c0=9.0, beta=-0.13, alpha=-1.0,
+                delta_v=-1.0)
+    vals.update(overrides)
+    return HaloParams(**{k: jnp.asarray(float(v)) for k, v in vals.items()})
+
+
+@dataclasses.dataclass(frozen=True)
+class GridSpec:
+    """Static (hashable) grid/quadrature configuration.
+
+    Replaces chomp ``defaults.default_limits`` + ``default_precision``
+    (upstream:defaults.py): adaptive-Romberg tolerances become fixed
+    Gauss-Legendre orders; spline ``npoints`` become dense grid sizes.
+    All shapes downstream are functions of this object only, so it is the
+    jit-static argument everywhere.
+    """
+
+    # Output k grid (chomp default_limits: k in [1e-3, 100] h/Mpc).
+    k_min: float = 1.0e-3
+    k_max: float = 1.0e2
+    n_k: int = 1024
+
+    # Wide internal k table for projections (P(k) interp source).
+    k_table_min: float = 1.0e-5
+    k_table_max: float = 1.0e4
+    n_k_table: int = 4096
+
+    # sigma(R) / normalization quadrature over ln k (oracle domain
+    # [1e-5, 1e3]; composite GL resolves the top-hat W(kR) oscillations).
+    sigma_k_min: float = 1.0e-5
+    sigma_k_max: float = 1.0e3
+    sigma_panels: int = 16
+    sigma_n_per_panel: int = 64
+
+    # Distance / growth quadrature orders.
+    n_growth: int = 64
+    n_dist: int = 64
+
+    # Mass grid (chomp mass range; SURVEY.md A.4 uses [1e9, 1e16]).
+    m_min: float = 1.0e9
+    m_max: float = 1.0e16
+    n_mass: int = 512
+
+    # Projection (Limber) quadrature over z, and lensing-efficiency inner
+    # quadrature.
+    n_z_proj: int = 128
+    n_z_lens: int = 128
+
+    # FFTLog (Hankel) grid for w(theta)/gamma_t and the compat K(k*theta).
+    n_ell: int = 1024
+    ell_min: float = 1.0e-1
+    ell_max: float = 1.0e6
+    # Fraction of the log-range cosine-tapered at each end before the
+    # transform (suppresses periodic-wraparound ringing).
+    fftlog_taper_lo: float = 0.08
+    fftlog_taper_hi: float = 0.08
+
+    # theta output range, degrees (BASELINE north star: [1e-3, 1] deg).
+    theta_min_deg: float = 1.0e-3
+    theta_max_deg: float = 1.0
+    n_theta: int = 64
+
+    # Redshift-distribution normalization quadrature.
+    n_z_dndz: int = 256
+
+    # Trispectrum angle-average quadrature order.
+    n_mu: int = 32
+
+    def replace(self, **kw) -> "GridSpec":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_GRID = GridSpec()

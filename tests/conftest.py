@@ -1,0 +1,34 @@
+"""Test configuration.
+
+Tests run on CPU in float64 (the accuracy bar is 1e-4 vs an adaptive-quad
+float64 oracle — SURVEY.md §4): a virtual 8-device CPU mesh exercises the
+multi-chip sharding paths without TPU hardware, per the build-plan's test
+strategy.  The float32 TPU path gets its own tolerance-budget tests.
+"""
+
+import os
+
+# The image's sitecustomize registers the axon TPU backend and forces the
+# platform to "axon" for every interpreter; jax.config.update below wins
+# over both the env var and that registration.  (JAX_PLATFORMS alone is
+# NOT enough here.)
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def fiducial():
+    from chomp_tpu import default_cosmo
+
+    return default_cosmo()

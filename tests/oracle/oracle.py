@@ -1,0 +1,285 @@
+"""Independent scipy oracle: trusted-slow float64 adaptive quadrature.
+
+Regenerated from SURVEY.md Appendix D (the survey session's measurement
+artifact).  Conventions exactly match SURVEY.md Appendix B — chomp's
+documented behavior (nu = squared peak height, NFW97 delta_c fit,
+EH98 no-wiggle default, h-units).  Every JAX grid quadrature in
+``chomp_tpu`` is validated against this module per SURVEY.md §4's test
+strategy ("tests/oracle/ scipy implementation, adaptive quad, float64").
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+from scipy import integrate
+from scipy.optimize import brentq
+from scipy.special import j0, jn, sici
+
+OM, OB, H, SIG8, NS, TCMB = 0.278, 0.046, 0.7, 0.811, 0.960, 2.726
+OL = 1.0 - OM
+CH = 299792.458 / 100.0  # c/H0 in Mpc/h
+RHO_CRIT = 2.7754e11
+
+
+def ez(z):
+    return np.sqrt(OM * (1 + z) ** 3 + OL)
+
+
+def chi(z):
+    v, _ = integrate.quad(lambda zp: 1.0 / ez(zp), 0, z, epsrel=1e-10)
+    return CH * v
+
+
+def growth_unnorm(z):
+    a = 1.0 / (1 + z)
+    integ, _ = integrate.quad(
+        lambda ap: ap**-3 * (OM / ap**3 + OL) ** -1.5, 1e-8, a, epsrel=1e-10
+    )
+    return 2.5 * OM * np.sqrt(OM / a**3 + OL) * integ
+
+
+@lru_cache(maxsize=None)
+def _d0():
+    return growth_unnorm(0.0)
+
+
+def growth(z):
+    return growth_unnorm(z) / _d0()
+
+
+# EH98 no-wiggle transfer (k in h/Mpc)
+OMH2, OBH2 = OM * H * H, OB * H * H
+THETA = TCMB / 2.7
+S_NW = 44.5 * np.log(9.83 / OMH2) / np.sqrt(1.0 + 10.0 * OBH2**0.75)  # Mpc
+FB = OB / OM
+ALPHA_G = 1.0 - 0.328 * np.log(431.0 * OMH2) * FB + 0.38 * np.log(22.3 * OMH2) * FB * FB
+
+
+def transfer(k):
+    ks = k * H * S_NW
+    gamma_eff = OM * H * (ALPHA_G + (1.0 - ALPHA_G) / (1.0 + (0.43 * ks) ** 4))
+    q = k * THETA * THETA / gamma_eff
+    l0 = np.log(2.0 * np.e + 1.8 * q)
+    c0 = 14.2 + 731.0 / (1.0 + 62.5 * q)
+    return l0 / (l0 + c0 * q * q)
+
+
+def p_unnorm(k):
+    return k**NS * transfer(k) ** 2
+
+
+def w_th(x):
+    return 3.0 * (np.sin(x) - x * np.cos(x)) / x**3
+
+
+def sigma2_r(r, pk=p_unnorm):
+    """sigma^2_un(R) over ln k in [ln 1e-5, ln 1e3].
+
+    NOTE (Appendix A errata, verified round 1 with mpmath at 30 digits):
+    ``scipy.integrate.quad`` silently under-converges on the oscillatory
+    W^2(kR) tail (even chunked, even at epsrel=1e-12), biasing the
+    survey-session normalization by ~+7.5e-5 relative.  A dense composite
+    Simpson rule (2^20+1 points; converged to <1e-12, agreeing with
+    mpmath) is the trusted oracle here.
+    """
+    lnk = np.linspace(np.log(1e-5), np.log(1e3), 2**20 + 1)
+    k = np.exp(lnk)
+    f = k**3 * pk(k) * w_th(k * r) ** 2 / (2 * np.pi**2)
+    return integrate.simpson(f, x=lnk)
+
+
+@lru_cache(maxsize=None)
+def norm():
+    return SIG8**2 / sigma2_r(8.0)
+
+
+def pk_lin(k, z=0.0):
+    return norm() * p_unnorm(k) * growth(z) ** 2
+
+
+def sigma_m(m, z=0.0):
+    rho_bar = RHO_CRIT * OM
+    r = (3.0 * m / (4.0 * np.pi * rho_bar)) ** (1.0 / 3.0)
+    return np.sqrt(norm() * sigma2_r(r)) * growth(z)
+
+
+def delta_c(z=0.0):
+    omz = OM * (1 + z) ** 3 / ez(z) ** 2
+    return 0.15 * (12.0 * np.pi) ** (2.0 / 3.0) * omz**0.0055
+
+
+def nu(m, z=0.0):
+    return (delta_c(z) / sigma_m(m, z)) ** 2
+
+
+@lru_cache(maxsize=None)
+def mstar():
+    """log10 M* where nu(M*, z=0) = 1."""
+    return brentq(lambda lm: nu(10**lm) - 1.0, 10.0, 15.0, xtol=1e-10)
+
+
+# Sheth-Tormen, chomp nu-squared convention (SURVEY.md App. B.4).
+ST_A, ST_Q = 0.707, 0.3
+
+
+def f_nu_raw(v):
+    return (
+        (1.0 + (ST_A * v) ** (-ST_Q))
+        * np.sqrt(ST_A * v)
+        * np.exp(-ST_A * v / 2.0)
+        / v
+    )
+
+
+@lru_cache(maxsize=None)
+def f_norm(m_min=1e9, m_max=1e16):
+    numin, numax = nu(m_min), nu(m_max)
+    fn_int, _ = integrate.quad(f_nu_raw, numin, numax, epsrel=1e-10, limit=400)
+    return 1.0 / fn_int
+
+
+def bias_st_raw(v, z=0.0):
+    dc = delta_c(z)
+    return 1.0 + (ST_A * v - 1.0) / dc + 2.0 * ST_Q / (dc * (1.0 + (ST_A * v) ** ST_Q))
+
+
+@lru_cache(maxsize=None)
+def bias_norm(m_min=1e9, m_max=1e16):
+    numin, numax = nu(m_min), nu(m_max)
+    fn = f_norm(m_min, m_max)
+    v, _ = integrate.quad(
+        lambda x: fn * f_nu_raw(x) * bias_st_raw(x), numin, numax,
+        epsrel=1e-10, limit=400,
+    )
+    return 1.0 / v
+
+
+def dndlnm(m, m_min=1e9, m_max=1e16):
+    """dn/dlnM in (h/Mpc)^3.
+
+    dn/dM = f_n(nu) (rho_bar/M^2) (dnu/dlnM), so
+    dn/dlnM = M dn/dM = f_n(nu) (rho_bar/M) (dnu/dlnM)
+    (SURVEY.md Appendix B.4; dnu/dlnM here by central difference).
+    """
+    fn = f_norm(m_min, m_max)
+    eps = 1e-4
+    lnm = np.log(m)
+    nu_hi = nu(np.exp(lnm + eps))
+    nu_lo = nu(np.exp(lnm - eps))
+    dnu_dlnm = (nu_hi - nu_lo) / (2 * eps)
+    rho_bar = RHO_CRIT * OM
+    return fn * f_nu_raw(nu(m)) * (rho_bar / m) * dnu_dlnm
+
+
+# ---------------------------------------------------------------------------
+# Projections: Limber C_ell and w(theta) for linear clustering.
+# ---------------------------------------------------------------------------
+Z0, SZ = 1.0, 0.2
+ZMIN, ZMAX = 0.0, 2.0
+
+
+def dndz_raw(z):
+    return np.exp(-0.5 * ((z - Z0) / SZ) ** 2)
+
+
+@lru_cache(maxsize=None)
+def _dndz_norm():
+    v, _ = integrate.quad(dndz_raw, ZMIN, ZMAX, epsrel=1e-10)
+    return v
+
+
+def fz(z):
+    return dndz_raw(z) / _dndz_norm()
+
+
+@lru_cache(maxsize=None)
+def _chi_growth_splines():
+    """Dense cubic splines of chi(z), D(z) (1e-10-level, for speed in the
+    projection integrals; the underlying quads are smooth/converged)."""
+    from scipy.interpolate import CubicSpline
+
+    zg = np.linspace(1e-6, 3.5, 1200)
+    chis = np.array([chi(z) for z in zg])
+    ds = np.array([growth(z) for z in zg])
+    return CubicSpline(zg, chis), CubicSpline(zg, ds)
+
+
+def pk_lin_z0(k):
+    return norm() * p_unnorm(k)
+
+
+def cl_limber(ell, pk_z0=pk_lin_z0):
+    """Limber C_l for the clustering dN/dz above, with separable growth:
+    P(k, z) = pk_z0(k) * D(z)^2 (chomp's factorization — SURVEY.md §2
+    kernel.Kernel note).  ``pk_z0`` may be the halo-model P(k) at z=0."""
+    chi_s, d_s = _chi_growth_splines()
+
+    def integ(z):
+        x = chi_s(z)
+        k = (ell + 0.5) / x
+        return fz(z) ** 2 * ez(z) / CH / x**2 * pk_z0(k) * d_s(z) ** 2
+
+    v, _ = integrate.quad(integ, 0.02, ZMAX, epsrel=1e-9, limit=300)
+    return v
+
+
+def w_theta(theta_deg, cl=cl_limber, lmin=1.0, lmax=3e5):
+    """w(theta) = ∫ l dl/(2 pi) C_l J0(l theta).
+
+    Oscillatory-integral hygiene (same quad failure mode as sigma2_r):
+    integrate piecewise between consecutive J0 zeros so each chunk is
+    non-oscillatory, then sum.  C_l is evaluated on a log-l spline to
+    keep cost sane (its own quadrature is smooth/converged).
+    """
+    from scipy.interpolate import CubicSpline
+    from scipy.special import jn_zeros
+
+    th = np.radians(theta_deg)
+    lnl_grid = np.linspace(np.log(lmin), np.log(lmax), 400)
+    cl_grid = np.array([cl(np.exp(x)) for x in lnl_grid])
+    cl_spl = CubicSpline(lnl_grid, np.log(cl_grid))
+
+    def integ(ell):
+        return ell / (2 * np.pi) * np.exp(cl_spl(np.log(ell))) * j0(ell * th)
+
+    n_zeros = min(int(lmax * th / np.pi) + 2, 100000)
+    zeros = jn_zeros(0, n_zeros) / th
+    edges = np.concatenate([[lmin], zeros[(zeros > lmin) & (zeros < lmax)], [lmax]])
+    total = 0.0
+    for lo, hi in zip(edges[:-1], edges[1:]):
+        v, _ = integrate.quad(integ, lo, hi, epsrel=1e-10, limit=200)
+        total += v
+    return total
+
+
+# ---------------------------------------------------------------------------
+# NFW profile Fourier transform.
+# ---------------------------------------------------------------------------
+
+
+def delta_v_fn(z=0.0):
+    omz = OM * (1 + z) ** 3 / ez(z) ** 2
+    x = omz - 1.0
+    return (18 * np.pi**2 + 82.0 * x - 39.0 * x * x) / omz  # BN98, wrt mean
+
+
+def concentration(m, z=0.0):
+    return 9.0 / (1.0 + z) * (m / 10 ** mstar()) ** (-0.13)
+
+
+def y_nfw(k, m, z=0.0):
+    rho_bar = RHO_CRIT * OM
+    rv = (3.0 * m / (4.0 * np.pi * rho_bar * delta_v_fn(z))) ** (1.0 / 3.0)
+    c = concentration(m, z)
+    rs = rv / c
+    krs = k * rs
+    si1, ci1 = sici((1 + c) * krs)
+    si0, ci0 = sici(krs)
+    mc = np.log(1.0 + c) - c / (1.0 + c)
+    return (
+        np.sin(krs) * (si1 - si0)
+        - np.sin(c * krs) / ((1 + c) * krs)
+        + np.cos(krs) * (ci1 - ci0)
+    ) / mc
