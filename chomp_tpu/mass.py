@@ -1,0 +1,198 @@
+"""Sheth-Tormen halo mass function and bias.
+
+TPU-native replacement for the reference's ``mass_function.MassFunction``
+(upstream:mass_function.py; SURVEY.md §2 row 4, Appendix B.4, C.1-C.3):
+
+  - chomp builds an lnM spline grid, runs one adaptive sigma(M) Romberg
+    per grid point (HOT LOOP 3, SURVEY.md §3.4), then integrates f(nu)
+    with more Romberg.  Here ONE set of Gauss-Legendre nodes in lnM
+    serves simultaneously as the evaluation grid, the interpolation
+    table, and the quadrature rule for every mass integral downstream
+    (n_g, halo-model 1h/2h integrals) — all sigma(M) values come from a
+    single (n_mass x n_sigma) tensor contraction.
+  - Conventions preserved exactly: nu = (delta_c/sigma)^2 (SQUARED peak
+    height, Appendix C.1); f(nu) and b(nu) renormalized NUMERICALLY over
+    the finite default mass range so that ∫ f dnu = 1 and ∫ f b dnu = 1
+    (Appendix C.2 — values depend on [m_min, m_max]!).
+
+Oracle targets: Appendix A.4 / tests/goldens.py.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from chomp_tpu import background, linear
+from chomp_tpu.grids import gl_fixed
+from chomp_tpu.params import DEFAULT_GRID, CosmoParams, GridSpec, HaloParams
+from chomp_tpu.utils.tree import pytree_dataclass
+
+
+@pytree_dataclass
+class MassTables:
+    """Precomputed mass-function state at one redshift (pure pytree —
+    the functional analog of chomp's lazily-splined MassFunction object).
+
+    ``ln_m``/``w_lnm`` are the GL nodes/weights in ln M: any mass
+    integral is ``sum(w_lnm * integrand(nodes))``.
+    """
+
+    ln_m: jnp.ndarray        # (nM,) GL nodes
+    w_lnm: jnp.ndarray       # (nM,) GL weights
+    m: jnp.ndarray           # (nM,) masses
+    sigma: jnp.ndarray       # (nM,) sigma(M, z)
+    nu: jnp.ndarray          # (nM,) squared peak height
+    dnu_dlnm: jnp.ndarray    # (nM,)
+    f_nu: jnp.ndarray        # (nM,) NORMALIZED multiplicity f(nu)
+    bias: jnp.ndarray        # (nM,) NORMALIZED ST bias b(nu)
+    dndlnm: jnp.ndarray      # (nM,) dn/dlnM, (h/Mpc)^3
+    f_norm: jnp.ndarray      # scalar
+    bias_norm: jnp.ndarray   # scalar
+    ln_m_star: jnp.ndarray   # scalar: ln M* where nu = 1
+    delta_c: jnp.ndarray     # scalar: delta_c(z)
+    growth: jnp.ndarray      # scalar: D(z)
+    z: jnp.ndarray           # scalar
+
+
+def f_nu_raw(halo: HaloParams, nu):
+    """Un-normalized ST multiplicity in the nu-squared convention
+    (Appendix B.4): f ∝ (1 + (a nu)^-q) sqrt(a nu) exp(-a nu/2)/nu."""
+    a, q = halo.st_little_a, halo.stq
+    anu = a * nu
+    return (1.0 + anu**-q) * jnp.sqrt(anu) * jnp.exp(-0.5 * anu) / nu
+
+
+def bias_raw(halo: HaloParams, nu, delta_c):
+    """Un-normalized ST bias (Appendix B.4):
+    b = 1 + (a nu - 1)/delta_c + 2 q/(delta_c (1 + (a nu)^q))."""
+    a, q = halo.st_little_a, halo.stq
+    anu = a * nu
+    return 1.0 + (anu - 1.0) / delta_c + 2.0 * q / (delta_c * (1.0 + anu**q))
+
+
+def build_mass_tables(
+    cosmo: CosmoParams,
+    halo: HaloParams,
+    z=0.0,
+    with_bao: bool = False,
+    grid: GridSpec = DEFAULT_GRID,
+) -> MassTables:
+    """Build all mass-function state in one fused computation (the
+    replacement for chomp ``MassFunction.__init__`` +
+    ``_initialize_splines`` + ``_norm``/``_bias_norm``)."""
+    ln_m_np, w_np = gl_fixed(float(np.log(grid.m_min)), float(np.log(grid.m_max)),
+                             grid.n_mass)
+    ln_m = jnp.asarray(ln_m_np)
+    w_lnm = jnp.asarray(w_np)
+    m = jnp.exp(ln_m)
+
+    r = linear.radius_of_mass(cosmo, m)
+    s2_un, ds2_dlnr = linear.sigma2_unnorm_r_and_dlnr(cosmo, r, with_bao, grid)
+    norm = linear.power_norm(cosmo, with_bao, grid)
+    d = background.growth_factor(cosmo, z, grid.n_growth)
+    sigma = jnp.sqrt(norm * s2_un) * d
+    dc = background.delta_c(cosmo, z)
+    nu = (dc / sigma) ** 2
+    # d ln sigma^2 / d lnM = (1/3) (d sigma^2_un/d lnR)/sigma^2_un;
+    # nu ∝ 1/sigma^2  =>  dnu/dlnM = -nu * d ln sigma^2 / d lnM.
+    dnu_dlnm = -nu * ds2_dlnr / (3.0 * s2_un)
+
+    f_raw = f_nu_raw(halo, nu)
+    # ∫ f dnu over [nu_min, nu_max] by the lnM-space rule (Appendix C.2:
+    # renormalization over the FINITE mass range).
+    f_integral = jnp.sum(w_lnm * f_raw * dnu_dlnm)
+    f_norm = 1.0 / f_integral
+    f_n = f_norm * f_raw
+
+    b_raw = bias_raw(halo, nu, dc)
+    b_integral = jnp.sum(w_lnm * f_n * b_raw * dnu_dlnm)
+    bias_norm = 1.0 / b_integral
+    b_n = bias_norm * b_raw
+
+    dndlnm = f_n * (cosmo.rho_bar / m) * dnu_dlnm
+
+    # M*: nu(M*) = 1, via interpolation of the monotone ln nu(ln M) table.
+    ln_m_star = jnp.interp(0.0, jnp.log(nu), ln_m)
+
+    return MassTables(
+        ln_m=ln_m, w_lnm=w_lnm, m=m, sigma=sigma, nu=nu, dnu_dlnm=dnu_dlnm,
+        f_nu=f_n, bias=b_n, dndlnm=dndlnm,
+        f_norm=f_norm, bias_norm=bias_norm, ln_m_star=ln_m_star,
+        delta_c=dc, growth=d, z=jnp.asarray(z),
+    )
+
+
+# ---------------------------------------------------------------------------
+# chomp MassFunction method equivalents.
+#
+# Evaluations at arbitrary mass are EXACT (a fresh sigma(M) contraction,
+# which is just one more tensor op) rather than interpolated off the GL
+# table — linear interpolation between nodes costs ~1e-4 in the steep
+# exponential cutoff, the exact path costs nothing at TPU throughput.
+# Only genuinely inverse lookups (m_of_nu) go through the table.
+# ---------------------------------------------------------------------------
+
+def f_nu(tables: MassTables, halo: HaloParams, nu):
+    """Normalized f(nu) (chomp ``MassFunction.f_nu``)."""
+    return tables.f_norm * f_nu_raw(halo, nu)
+
+
+def bias_nu(tables: MassTables, halo: HaloParams, nu):
+    """Normalized ST bias b(nu) (chomp ``MassFunction.bias_nu``)."""
+    return tables.bias_norm * bias_raw(halo, nu, tables.delta_c)
+
+
+def nu_of_m(cosmo: CosmoParams, tables: MassTables, m,
+            with_bao: bool = False, grid: GridSpec = DEFAULT_GRID):
+    """nu(M) at the tables' redshift, exact (chomp ``MassFunction.nu``)."""
+    return linear.nu_m(cosmo, m, tables.z, with_bao, grid)
+
+
+def m_of_nu(tables: MassTables, nu):
+    """M(nu) inverse lookup via the monotone table (chomp
+    ``MassFunction.mass``; ~1e-6 relative from interpolation)."""
+    return jnp.exp(jnp.interp(jnp.log(nu), jnp.log(tables.nu), tables.ln_m))
+
+
+def f_m(cosmo: CosmoParams, tables: MassTables, halo: HaloParams, m,
+        with_bao: bool = False, grid: GridSpec = DEFAULT_GRID):
+    """f(nu(M)) (chomp ``MassFunction.f_m``)."""
+    return f_nu(tables, halo, nu_of_m(cosmo, tables, m, with_bao, grid))
+
+
+def bias_m(cosmo: CosmoParams, tables: MassTables, halo: HaloParams, m,
+           with_bao: bool = False, grid: GridSpec = DEFAULT_GRID):
+    """b(nu(M)) (chomp ``MassFunction.bias_m``)."""
+    return bias_nu(tables, halo, nu_of_m(cosmo, tables, m, with_bao, grid))
+
+
+def dnu_dlnm_exact(cosmo: CosmoParams, tables: MassTables, m,
+                   with_bao: bool = False, grid: GridSpec = DEFAULT_GRID):
+    """Exact dnu/dlnM at the tables' redshift."""
+    r = linear.radius_of_mass(cosmo, m)
+    s2_un, ds2_dlnr = linear.sigma2_unnorm_r_and_dlnr(cosmo, r, with_bao, grid)
+    nu = tables.delta_c**2 / (s2_un * (tables.growth**2)
+                              * linear.power_norm(cosmo, with_bao, grid))
+    return -nu * ds2_dlnr / (3.0 * s2_un)
+
+
+def dndm(cosmo: CosmoParams, tables: MassTables, halo: HaloParams, m,
+         with_bao: bool = False, grid: GridSpec = DEFAULT_GRID):
+    """dn/dM in (h/Mpc)^3 / (M_sun/h), exact (chomp
+    ``MassFunction.dndm``): f_n(nu) (rho_bar/M^2) dnu/dlnM."""
+    m = jnp.asarray(m)
+    nu = nu_of_m(cosmo, tables, m, with_bao, grid)
+    dnu = dnu_dlnm_exact(cosmo, tables, m, with_bao, grid)
+    return f_nu(tables, halo, nu) * (cosmo.rho_bar / m**2) * dnu
+
+
+def m_star(tables: MassTables):
+    """M* with nu(M*) = 1 (chomp's M* used by the concentration)."""
+    return jnp.exp(tables.ln_m_star)
+
+
+def integrate_lnm(tables: MassTables, values):
+    """∫ values dlnM over the default mass range with the table's GL rule
+    (the workhorse behind n_g and every halo-model mass integral)."""
+    return jnp.sum(tables.w_lnm * values, axis=-1)

@@ -1,0 +1,75 @@
+"""NFW halo profiles: concentration, virial radius, Fourier transform.
+
+TPU-native replacement for the NFW internals of the reference's
+``halo.py`` (upstream:halo.py ``Halo.y``, ``Halo.concentration``,
+``Halo.virial_radius``; SURVEY.md §2 row 6, Appendix B.6):
+
+  y(k, M) = [sin x (Si((1+c)x) - Si(x)) - sin(c x)/((1+c) x)
+             + cos x (Ci((1+c)x) - Ci(x))] / mu(c),
+  x = k r_s,  mu(c) = ln(1+c) - c/(1+c),
+
+with c(M) = c0/(1+z) (M/M*)^beta and r_v = (3M/(4 pi rho_bar Delta_v))^(1/3)
+(Delta_v w.r.t. MEAN density — Appendix A.6/C.4 convention;
+``halo.delta_v = -1`` selects the cosmology's Bryan-Norman fit).
+
+Everything is elementwise over broadcastable (k, M) — callers build the
+(n_k, n_M) mesh once and the whole y-matrix is a single fused VPU
+computation through the JAX-native Si/Ci (chomp_tpu.special).
+
+Oracle targets: Appendix A.6 / tests/goldens.py.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from chomp_tpu import background
+from chomp_tpu.params import CosmoParams, HaloParams
+from chomp_tpu.special import si_ci
+
+
+def concentration(halo: HaloParams, m, m_star, z=0.0):
+    """c(M) = c0/(1+z) (M/M*)^beta (chomp ``Halo.concentration``)."""
+    return halo.c0 / (1.0 + jnp.asarray(z)) * (jnp.asarray(m) / m_star) ** halo.beta
+
+
+def halo_delta_v(cosmo: CosmoParams, halo: HaloParams, z=0.0):
+    """Virial overdensity: halo_dict value if > 0, else the cosmology's
+    Bryan-Norman fit (chomp ``delta_v = -1`` convention)."""
+    return jnp.where(halo.delta_v > 0.0, halo.delta_v,
+                     background.delta_v(cosmo, z))
+
+
+def virial_radius(cosmo: CosmoParams, halo: HaloParams, m, z=0.0):
+    """r_v = (3M/(4 pi rho_bar Delta_v))^(1/3), Mpc/h (chomp
+    ``Halo.virial_radius``)."""
+    dv = halo_delta_v(cosmo, halo, z)
+    return (3.0 * jnp.asarray(m) / (4.0 * jnp.pi * cosmo.rho_bar * dv)) ** (1.0 / 3.0)
+
+
+def virial_mass(cosmo: CosmoParams, halo: HaloParams, r, z=0.0):
+    """Inverse of :func:`virial_radius` (chomp ``Halo.virial_mass``)."""
+    dv = halo_delta_v(cosmo, halo, z)
+    return 4.0 * jnp.pi / 3.0 * cosmo.rho_bar * dv * jnp.asarray(r) ** 3
+
+
+def y_nfw(cosmo: CosmoParams, halo: HaloParams, k, m, m_star, z=0.0):
+    """Normalized NFW Fourier transform y(k, M), truncated at r_vir
+    (Appendix B.6 closed form; y -> 1 as k -> 0).
+
+    ``k`` and ``m`` broadcast elementwise — pass ``k[:, None]`` and
+    ``m[None, :]`` for the (n_k, n_M) matrix."""
+    k = jnp.asarray(k)
+    m = jnp.asarray(m)
+    c = concentration(halo, m, m_star, z)
+    rv = virial_radius(cosmo, halo, m, z)
+    rs = rv / c
+    x = k * rs
+    si1, ci1 = si_ci((1.0 + c) * x)
+    si0, ci0 = si_ci(x)
+    mu = jnp.log(1.0 + c) - c / (1.0 + c)
+    return (
+        jnp.sin(x) * (si1 - si0)
+        - jnp.sin(c * x) / ((1.0 + c) * x)
+        + jnp.cos(x) * (ci1 - ci0)
+    ) / mu
