@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from chomp_tpu import background, linear
-from chomp_tpu.grids import gl_fixed
+from chomp_tpu.grids import gauss_legendre, gl_fixed
 from chomp_tpu.params import DEFAULT_GRID, CosmoParams, GridSpec, HaloParams
 from chomp_tpu.utils.tree import pytree_dataclass
 
@@ -196,3 +196,47 @@ def integrate_lnm(tables: MassTables, values):
     """∫ values dlnM over the default mass range with the table's GL rule
     (the workhorse behind n_g and every halo-model mass integral)."""
     return jnp.sum(tables.w_lnm * values, axis=-1)
+
+
+@pytree_dataclass
+class NodePack:
+    """Mass-function quantities evaluated exactly at an arbitrary
+    (possibly traced) set of lnM quadrature nodes — used for split-domain
+    integrals whose panel boundaries depend on traced parameters (the
+    Scranton y-exponent switch in the 1-halo terms)."""
+
+    ln_m: jnp.ndarray
+    w_lnm: jnp.ndarray
+    m: jnp.ndarray
+    nu: jnp.ndarray
+    dnu_dlnm: jnp.ndarray
+    f_nu: jnp.ndarray
+    bias: jnp.ndarray
+    dndlnm: jnp.ndarray
+
+
+def node_pack(cosmo: CosmoParams, halo: HaloParams, tables: MassTables,
+              ln_lo, ln_hi, n: int,
+              with_bao: bool = False, grid: GridSpec = DEFAULT_GRID) -> NodePack:
+    """GL rule of order ``n`` on [ln_lo, ln_hi] (traced endpoints OK) with
+    all mass-function quantities computed exactly at the nodes.  The
+    normalizations (f_norm/bias_norm/delta_c/growth) come from ``tables``
+    so the pack is consistent with the full-range renormalization."""
+    x, w = gauss_legendre(n)
+    x = jnp.asarray(x)
+    w = jnp.asarray(w)
+    half = 0.5 * (ln_hi - ln_lo)
+    ln_m = 0.5 * (ln_hi + ln_lo) + half * x
+    w_lnm = half * w
+    m = jnp.exp(ln_m)
+    r = linear.radius_of_mass(cosmo, m)
+    s2_un, ds2_dlnr = linear.sigma2_unnorm_r_and_dlnr(cosmo, r, with_bao, grid)
+    norm = linear.power_norm(cosmo, with_bao, grid)
+    sigma = jnp.sqrt(norm * s2_un) * tables.growth
+    nu = (tables.delta_c / sigma) ** 2
+    dnu_dlnm = -nu * ds2_dlnr / (3.0 * s2_un)
+    f_n = tables.f_norm * f_nu_raw(halo, nu)
+    b_n = tables.bias_norm * bias_raw(halo, nu, tables.delta_c)
+    dndlnm = f_n * (cosmo.rho_bar / m) * dnu_dlnm
+    return NodePack(ln_m=ln_m, w_lnm=w_lnm, m=m, nu=nu, dnu_dlnm=dnu_dlnm,
+                    f_nu=f_n, bias=b_n, dndlnm=dndlnm)

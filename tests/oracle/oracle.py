@@ -283,3 +283,139 @@ def y_nfw(k, m, z=0.0):
         - np.sin(c * krs) / ((1 + c) * krs)
         + np.cos(krs) * (ci1 - ci0)
     ) / mc
+
+
+# ---------------------------------------------------------------------------
+# Halo-model power spectra (independent quadrature path for validating
+# chomp_tpu.halo — same Appendix B.7 formulas, scipy adaptive quad over
+# lnM against spline-accelerated sigma(M)).
+# ---------------------------------------------------------------------------
+
+HOD_DEFAULT = dict(log10_m_min=12.14, sigma=0.15, log10_m_0=12.14,
+                   log10_m_1p=13.43, alpha=1.0)
+
+LN_M_MIN, LN_M_MAX = np.log(1e9), np.log(1e16)
+
+
+@lru_cache(maxsize=None)
+def _sigma2_spline():
+    """Cubic spline of ln sigma^2_un(ln M) (Simpson-backed, ~1e-10)."""
+    from scipy.interpolate import CubicSpline
+
+    lnm = np.linspace(np.log(1e8), np.log(1e17), 400)
+    rho_bar = RHO_CRIT * OM
+    r = (3.0 * np.exp(lnm) / (4.0 * np.pi * rho_bar)) ** (1.0 / 3.0)
+    s2 = np.array([sigma2_r(ri) for ri in r])
+    return CubicSpline(lnm, np.log(s2))
+
+
+def _nu_spl(lnm, z=0.0):
+    s2 = np.exp(_sigma2_spline()(lnm)) * norm() * growth(z) ** 2
+    return delta_c(z) ** 2 / s2
+
+
+def _dnu_dlnm_spl(lnm, z=0.0):
+    return -_nu_spl(lnm, z) * _sigma2_spline()(lnm, 1)
+
+
+def _f_n_spl(lnm, z=0.0):
+    return f_norm() * f_nu_raw(_nu_spl(lnm, z))
+
+
+def _bias_n_spl(lnm, z=0.0):
+    return bias_norm() * bias_st_raw(_nu_spl(lnm, z), z)
+
+
+def _dndlnm_spl(lnm, z=0.0):
+    rho_bar = RHO_CRIT * OM
+    return _f_n_spl(lnm, z) * (rho_bar / np.exp(lnm)) * _dnu_dlnm_spl(lnm, z)
+
+
+def hod_zheng_first(m, p=HOD_DEFAULT):
+    from scipy.special import erf as _erf
+
+    ncen = 0.5 * (1 + _erf((np.log10(m) - p["log10_m_min"]) / p["sigma"]))
+    m0, m1p = 10 ** p["log10_m_0"], 10 ** p["log10_m_1p"]
+    nsat = ncen * np.where(m > m0, (np.maximum(m - m0, 0) / m1p) ** p["alpha"], 0.0)
+    return ncen, nsat
+
+
+def hod_first_moment(m, p=HOD_DEFAULT):
+    nc, ns = hod_zheng_first(m, p)
+    return nc + ns
+
+
+def hod_second_moment(m, p=HOD_DEFAULT):
+    nc, ns = hod_zheng_first(m, p)
+    return 2 * nc * ns + ns * ns
+
+
+@lru_cache(maxsize=None)
+def n_g(z=0.0):
+    v, _ = integrate.quad(
+        lambda lnm: _dndlnm_spl(lnm, z) * hod_first_moment(np.exp(lnm)),
+        LN_M_MIN, LN_M_MAX, epsrel=1e-10, limit=400)
+    return v
+
+
+def y_nfw_mstar(k, m, m_star_val, z=0.0):
+    """y_NFW with an explicit M* (to share the tested code's M*)."""
+    rho_bar = RHO_CRIT * OM
+    rv = (3.0 * m / (4.0 * np.pi * rho_bar * delta_v_fn(z))) ** (1.0 / 3.0)
+    c = 9.0 / (1.0 + z) * (m / m_star_val) ** (-0.13)
+    rs = rv / c
+    krs = k * rs
+    si1, ci1 = sici((1 + c) * krs)
+    si0, ci0 = sici(krs)
+    mc = np.log(1.0 + c) - c / (1.0 + c)
+    return (np.sin(krs) * (si1 - si0) - np.sin(c * krs) / ((1 + c) * krs)
+            + np.cos(krs) * (ci1 - ci0)) / mc
+
+
+def halo_powers(k, z=0.0, m_star_val=None):
+    """(p_lin, p_mm, p_gm, p_gg) at one k, Appendix B.7 conventions with
+    the Scranton p-exponent heuristic (gg: <N(N-1)> < 1 -> y^1;
+    gm: <N> < 1 -> y^1)."""
+    if m_star_val is None:
+        m_star_val = 10 ** mstar()
+    rho_bar = RHO_CRIT * OM
+    ngal = n_g(z)
+
+    def quad_lnm(fn):
+        v, _ = integrate.quad(fn, LN_M_MIN, LN_M_MAX, epsrel=1e-9, limit=400)
+        return v
+
+    def y(lnm):
+        return y_nfw_mstar(k, np.exp(lnm), m_star_val, z)
+
+    h_m = quad_lnm(lambda lnm: _f_n_spl(lnm, z) * _dnu_dlnm_spl(lnm, z)
+                   * _bias_n_spl(lnm, z) * y(lnm))
+    h_g = quad_lnm(lambda lnm: _dndlnm_spl(lnm, z)
+                   * hod_first_moment(np.exp(lnm)) * _bias_n_spl(lnm, z)
+                   * y(lnm)) / ngal
+    pp_mm = quad_lnm(lambda lnm: _f_n_spl(lnm, z) * _dnu_dlnm_spl(lnm, z)
+                     * np.exp(lnm) / rho_bar * y(lnm) ** 2)
+
+    def gg_integrand(lnm):
+        m = np.exp(lnm)
+        n2 = hod_second_moment(m)
+        p = np.where(n2 < 1.0, 1.0, 2.0)
+        return _dndlnm_spl(lnm, z) * n2 * y(lnm) ** p
+
+    pp_gg = quad_lnm(gg_integrand) / ngal**2
+
+    def gm_integrand(lnm):
+        m = np.exp(lnm)
+        n1 = hod_first_moment(m)
+        p = np.where(n1 < 1.0, 1.0, 2.0)
+        return _dndlnm_spl(lnm, z) * m * n1 * y(lnm) ** p
+
+    pp_gm = quad_lnm(gm_integrand) / (ngal * rho_bar)
+
+    p_lin = pk_lin(k, z)
+    return dict(
+        linear_power=p_lin,
+        power_mm=pp_mm + p_lin * h_m * h_m,
+        power_gm=pp_gm + p_lin * h_m * h_g,
+        power_gg=pp_gg + p_lin * h_g * h_g,
+    )
