@@ -35,6 +35,26 @@ from chomp_tpu.utils.tree import pytree_dataclass
 
 
 @pytree_dataclass
+class GalaxyPack:
+    """Panel-refined GL quadrature for all HOD-weighted mass integrals.
+
+    HOD moments are only piecewise-smooth (satellite onsets, central
+    steps) and the Scranton 1-halo y-exponent switches at the masses
+    where <N> / <N(N-1)> cross 1.  Fixed full-range GL nodes lose ~1e-6
+    against these kinks; this pack places panel EDGES at every such mark
+    (traced, sorted at trace time), restoring spectral convergence while
+    staying one static-shape fused computation."""
+
+    ln_m: jnp.ndarray       # (nG,) nodes, sorted, panel-concatenated
+    w_lnm: jnp.ndarray      # (nG,)
+    m: jnp.ndarray
+    dndlnm: jnp.ndarray
+    bias: jnp.ndarray
+    n_first: jnp.ndarray
+    n_second: jnp.ndarray
+
+
+@pytree_dataclass
 class HaloModel:
     """Bound state for halo-model spectra at one redshift (functional
     analog of a constructed chomp ``Halo`` object).  The HOD pytree rides
@@ -42,9 +62,10 @@ class HaloModel:
 
     mass: MassTables
     hod: object
+    gal: GalaxyPack
     n_g: jnp.ndarray        # mean galaxy density, (h/Mpc)^3
     m_star: jnp.ndarray
-    n_first: jnp.ndarray    # <N>(M_j) at the mass-table nodes
+    n_first: jnp.ndarray    # <N>(M_j) at the mass-table nodes (API use)
     n_second: jnp.ndarray   # <N(N-1)>(M_j)
     ln_m_sw1: jnp.ndarray   # lnM where <N> crosses 1 (gm y-exponent switch)
     ln_m_sw2: jnp.ndarray   # lnM where <N(N-1)> crosses 1 (gg switch)
@@ -81,21 +102,49 @@ def build_halo_model(
 ) -> HaloModel:
     """Assemble mass tables + HOD moments + n_g (chomp ``Halo.__init__``
     + ``_initialize_splines`` head; n_g as in Appendix B.7)."""
+    from chomp_tpu.mass import node_pack
+
     t = mass_tables if mass_tables is not None else build_mass_tables(
         cosmo, halo, z, with_bao, grid)
     n_first = hod.first_moment(t.m)
     n_second = hod.second_moment(t.m)
-    n_g = integrate_lnm(t, t.dndlnm * n_first)
-    return HaloModel(mass=t, hod=hod, n_g=n_g, m_star=m_star(t),
+    sw1 = _switch_lnm(hod.first_moment, t)
+    sw2 = _switch_lnm(hod.second_moment, t)
+
+    # Panel-refined galaxy quadrature: edges at every non-smooth mark.
+    bps = tuple(hod.breakpoints()) if hasattr(hod, "breakpoints") else ()
+    marks = jnp.sort(jnp.stack(
+        [jnp.clip(b, t.ln_m[0], t.ln_m[-1]) for b in (*bps, sw1, sw2)]))
+    n_panels = marks.shape[0] + 1
+    n_per = max(grid.n_mass // n_panels, 64)
+    edges = [t.ln_m[0]] + [marks[i] for i in range(n_panels - 1)] + [t.ln_m[-1]]
+    packs = [node_pack(cosmo, halo, t, lo, hi, n_per, with_bao, grid)
+             for lo, hi in zip(edges[:-1], edges[1:])]
+    cat = lambda attr: jnp.concatenate([getattr(p, attr) for p in packs])
+    ln_g = cat("ln_m")
+    m_g = jnp.exp(ln_g)
+    gal = GalaxyPack(ln_m=ln_g, w_lnm=cat("w_lnm"), m=m_g,
+                     dndlnm=cat("dndlnm"), bias=cat("bias"),
+                     n_first=hod.first_moment(m_g),
+                     n_second=hod.second_moment(m_g))
+
+    n_g = jnp.sum(gal.w_lnm * gal.dndlnm * gal.n_first)
+    return HaloModel(mass=t, hod=hod, gal=gal, n_g=n_g, m_star=m_star(t),
                      n_first=n_first, n_second=n_second,
-                     ln_m_sw1=_switch_lnm(hod.first_moment, t),
-                     ln_m_sw2=_switch_lnm(hod.second_moment, t))
+                     ln_m_sw1=sw1, ln_m_sw2=sw2)
 
 
 def _y_matrix(cosmo: CosmoParams, halo: HaloParams, model: HaloModel, k):
     """y(k_i, M_j) for a k vector: one fused VPU computation."""
     k = jnp.atleast_1d(jnp.asarray(k))
     return profiles.y_nfw(cosmo, halo, k[:, None], model.mass.m[None, :],
+                          model.m_star, model.mass.z)
+
+
+def _y_gal(cosmo, halo, model: HaloModel, k):
+    """y(k_i, M_j) at the galaxy-pack nodes."""
+    k = jnp.atleast_1d(jnp.asarray(k))
+    return profiles.y_nfw(cosmo, halo, k[:, None], model.gal.m[None, :],
                           model.m_star, model.mass.z)
 
 
@@ -106,14 +155,10 @@ def two_halo_integrals(cosmo: CosmoParams, halo: HaloParams, model: HaloModel, k
     y = _y_matrix(cosmo, halo, model, k)
     f_dnu = t.f_nu * t.dnu_dlnm
     h_m = y @ (t.w_lnm * f_dnu * t.bias)
-    h_g = y @ (t.w_lnm * t.dndlnm * model.n_first * t.bias) / model.n_g
+    g = model.gal
+    y_g = _y_gal(cosmo, halo, model, k)
+    h_g = y_g @ (g.w_lnm * g.dndlnm * g.n_first * g.bias) / model.n_g
     return h_m, h_g
-
-
-def _y_at(cosmo, halo, model, k, m):
-    k = jnp.atleast_1d(jnp.asarray(k))
-    return profiles.y_nfw(cosmo, halo, k[:, None], m[None, :],
-                          model.m_star, model.mass.z)
 
 
 def one_halo_integrals(cosmo: CosmoParams, halo: HaloParams, model: HaloModel, k,
@@ -122,35 +167,21 @@ def one_halo_integrals(cosmo: CosmoParams, halo: HaloParams, model: HaloModel, k
     ``_pp_gg`` / ``_pp_gm``).
 
     The Scranton y-exponent heuristic (Appendix C.5) makes the gg/gm
-    integrands DISCONTINUOUS at the mass where the relevant moment
-    crosses 1; a fixed GL rule converges erratically there (~1e-3 level
-    at high k).  So those two integrals run on split-domain GL panels
-    with the (traced, Newton-solved) switch mass as the panel boundary:
-    exact placement, spectral convergence, still one fused computation.
-    """
-    from chomp_tpu.mass import node_pack
-
+    integrands DISCONTINUOUS where <N(N-1)> (resp. <N>) crosses 1; the
+    galaxy pack has panel edges exactly at those Newton-solved masses, so
+    the per-node exponent select below never straddles a kink and the
+    quadrature stays spectral."""
     t = model.mass
     y = _y_matrix(cosmo, halo, model, k)
     f_dnu = t.f_nu * t.dnu_dlnm
     pp_mm = (y * y) @ (t.w_lnm * f_dnu * t.m / cosmo.rho_bar)
 
-    n_half = max(t.ln_m.shape[-1] // 2, 64)
-
-    def split_integral(ln_sw, weight_fn):
-        lo = node_pack(cosmo, halo, t, t.ln_m[0], ln_sw, n_half, with_bao, grid)
-        hi = node_pack(cosmo, halo, t, ln_sw, t.ln_m[-1], n_half, with_bao, grid)
-        y_lo = _y_at(cosmo, halo, model, k, lo.m)       # exponent 1 region
-        y_hi = _y_at(cosmo, halo, model, k, hi.m)       # exponent 2 region
-        return (y_lo @ (lo.w_lnm * weight_fn(lo))
-                + (y_hi * y_hi) @ (hi.w_lnm * weight_fn(hi)))
-
-    pp_gg = split_integral(
-        model.ln_m_sw2,
-        lambda p: p.dndlnm * model.hod.second_moment(p.m)) / model.n_g**2
-    pp_gm = split_integral(
-        model.ln_m_sw1,
-        lambda p: p.dndlnm * p.m * model.hod.first_moment(p.m)) / (
+    g = model.gal
+    y_g = _y_gal(cosmo, halo, model, k)
+    y_gg = jnp.where(g.ln_m[None, :] < model.ln_m_sw2, y_g, y_g * y_g)
+    pp_gg = y_gg @ (g.w_lnm * g.dndlnm * g.n_second) / model.n_g**2
+    y_gm = jnp.where(g.ln_m[None, :] < model.ln_m_sw1, y_g, y_g * y_g)
+    pp_gm = y_gm @ (g.w_lnm * g.dndlnm * g.m * g.n_first) / (
         model.n_g * cosmo.rho_bar)
     return pp_mm, pp_gg, pp_gm
 
@@ -203,8 +234,8 @@ power_mg = power_gm
 def galaxy_bias_avg(model: HaloModel):
     """Mean galaxy bias <b_g> = (1/n_g) ∫ dn/dlnM <N> b dlnM — the k->0
     limit of h_g (chomp's bias-average diagnostic)."""
-    t = model.mass
-    return integrate_lnm(t, t.dndlnm * model.n_first * t.bias) / model.n_g
+    g = model.gal
+    return jnp.sum(g.w_lnm * g.dndlnm * g.n_first * g.bias) / model.n_g
 
 
 # ---------------------------------------------------------------------------
@@ -237,7 +268,12 @@ def powers_with_exclusion(cosmo: CosmoParams, halo: HaloParams,
     mask = 1.0 / (1.0 + jnp.exp(sharpness * lnarg))
     f_dnu = t.f_nu * t.dnu_dlnm
     h_m = (y * mask) @ (t.w_lnm * f_dnu * t.bias)
-    h_g = (y * mask) @ (t.w_lnm * t.dndlnm * model.n_first * t.bias) / model.n_g
+    g = model.gal
+    y_g = _y_gal(cosmo, halo, model, k)
+    r_v_g = profiles.virial_radius(cosmo, halo, g.m, t.z)
+    mask_g = 1.0 / (1.0 + jnp.exp(
+        sharpness * jnp.log(r_v_g[None, :] * k[:, None] / jnp.pi)))
+    h_g = (y_g * mask_g) @ (g.w_lnm * g.dndlnm * g.n_first * g.bias) / model.n_g
     pp_mm, pp_gg, pp_gm = one_halo_integrals(cosmo, halo, model, k,
                                              with_bao, grid)
     return {

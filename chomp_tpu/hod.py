@@ -13,6 +13,11 @@ Moment conventions (Appendix B.5): satellites are Poisson around
   <N>        = <N_cen> + <N_sat>
   <N(N-1)>   = 2 <N_cen> <N_sat> + <N_sat>^2
   <(N)_n>    = n <N_cen> <N_sat>^(n-1) + <N_sat>^n   (factorial moment)
+
+Each model also exposes ``breakpoints()``: the (traced) lnM locations
+where its moments are non-smooth (satellite onsets, central steps).  The
+halo layer refines its quadrature panels at these points so the 1-halo
+integrals keep spectral convergence despite the kinks.
 """
 
 from __future__ import annotations
@@ -65,6 +70,12 @@ class HODZheng:
         ns = self.satellite_moment(m)
         return n * nc * ns ** (n - 1) + ns**n
 
+    def breakpoints(self):
+        # Satellite onset at M_0: moments are C^0 there ((M-M_0)^alpha).
+        import math
+
+        return (self.log10_m_0 * math.log(10.0),)
+
 
 def default_hod(**overrides) -> HODZheng:
     """Fiducial Zheng05 HOD (SDSS-like; our documented defaults — the
@@ -101,6 +112,11 @@ class HODPoisson:
     def nth_moment(self, m, n: int):
         return self.first_moment(m) ** n
 
+    def breakpoints(self):
+        import math
+
+        return (self.log10_m_min * math.log(10.0),)
+
 
 @pytree_dataclass
 class HODMandelbaum:
@@ -136,6 +152,10 @@ class HODMandelbaum:
         ns = self.satellite_moment(m)
         return n * nc * ns ** (n - 1) + ns**n
 
+    def breakpoints(self):
+        # Central step at M0; satellite quadratic->linear break at 3 M0.
+        return (jnp.log(self.m0), jnp.log(3.0 * self.m0))
+
 
 @pytree_dataclass
 class HODKravtsov:
@@ -164,3 +184,8 @@ class HODKravtsov:
         nc = self.central_moment(m)
         ns = self.satellite_moment(m)
         return n * nc * ns ** (n - 1) + ns**n
+
+    def breakpoints(self):
+        import math
+
+        return (self.log10_m_min * math.log(10.0),)
