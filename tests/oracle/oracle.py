@@ -419,3 +419,37 @@ def halo_powers(k, z=0.0, m_star_val=None):
         power_gm=pp_gm + p_lin * h_m * h_g,
         power_gg=pp_gg + p_lin * h_g * h_g,
     )
+
+
+# ---------------------------------------------------------------------------
+# Lensing-efficiency window and general Limber (validates the projection
+# layer's WindowConvergence path — BASELINE configs[3]).
+# ---------------------------------------------------------------------------
+
+
+def window_galaxy_z(z):
+    return fz(z) * ez(z) / CH
+
+
+def window_kappa_z(z):
+    chi_s, _ = _chi_growth_splines()
+    x = chi_s(z)
+
+    def integ(zp):
+        return fz(zp) * (chi_s(zp) - x) / chi_s(zp)
+
+    v, _ = integrate.quad(integ, z, ZMAX, epsrel=1e-9, limit=200)
+    return 1.5 * OM / CH**2 * (1 + z) * x * v
+
+
+def cl_limber_general(ell, wa, wb, pk_z0=pk_lin_z0, zlo=1e-4, zhi=ZMAX):
+    chi_s, d_s = _chi_growth_splines()
+
+    def integ(z):
+        x = chi_s(z)
+        k = (ell + 0.5) / x
+        dchi_dz = CH / ez(z)
+        return wa(z) * wb(z) * dchi_dz / x**2 * pk_z0(k) * d_s(z) ** 2
+
+    v, _ = integrate.quad(integ, zlo, zhi, epsrel=1e-9, limit=300)
+    return v
