@@ -158,13 +158,16 @@ class GridSpec:
     n_z_lens: int = 128
 
     # FFTLog (Hankel) grid for w(theta)/gamma_t and the compat K(k*theta).
+    # ell_max=3e7 covers the slowly-decaying 1-halo C_ell tail down to
+    # theta = 0.001 deg at <3e-5 truncation (measured; linear spectra
+    # converge far earlier).
     n_ell: int = 1024
     ell_min: float = 1.0e-1
-    ell_max: float = 1.0e6
+    ell_max: float = 3.0e7
     # Fraction of the log-range cosine-tapered at each end before the
     # transform (suppresses periodic-wraparound ringing).
     fftlog_taper_lo: float = 0.08
-    fftlog_taper_hi: float = 0.08
+    fftlog_taper_hi: float = 0.05
 
     # theta output range, degrees (BASELINE north star: [1e-3, 1] deg).
     theta_min_deg: float = 1.0e-3

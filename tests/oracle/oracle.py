@@ -453,3 +453,28 @@ def cl_limber_general(ell, wa, wb, pk_z0=pk_lin_z0, zlo=1e-4, zhi=ZMAX):
 
     v, _ = integrate.quad(integ, zlo, zhi, epsrel=1e-9, limit=300)
     return v
+
+
+def gamma_t_oracle(theta_deg, lmin=1.0, lmax=3e5):
+    """gamma_t(theta) = ∫ l dl/(2 pi) C^{kappa g}_l J2(l theta), with the
+    same Bessel-zero-chunked quadrature hygiene as w_theta."""
+    from scipy.interpolate import CubicSpline
+    from scipy.special import jn_zeros
+
+    th = np.radians(theta_deg)
+    lnl_grid = np.linspace(np.log(lmin), np.log(lmax), 400)
+    cl_grid = np.array([cl_limber_general(np.exp(x), window_kappa_z,
+                                          window_galaxy_z) for x in lnl_grid])
+    cl_spl = CubicSpline(lnl_grid, np.log(cl_grid))
+
+    def integ(ell):
+        return ell / (2 * np.pi) * np.exp(cl_spl(np.log(ell))) * jn(2, ell * th)
+
+    n_zeros = min(int(lmax * th / np.pi) + 4, 100000)
+    zeros = jn_zeros(2, n_zeros) / th
+    edges = np.concatenate([[lmin], zeros[(zeros > lmin) & (zeros < lmax)], [lmax]])
+    total = 0.0
+    for lo, hi in zip(edges[:-1], edges[1:]):
+        v, _ = integrate.quad(integ, lo, hi, epsrel=1e-10, limit=200)
+        total += v
+    return total

@@ -1,0 +1,164 @@
+"""w(theta) / gamma_t end-to-end vs Appendix A.5 goldens + oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chomp_tpu import correlation, projection
+from chomp_tpu.params import DEFAULT_GRID
+from tests import goldens
+from tests.oracle import oracle
+
+
+def gauss_dist():
+    return projection.DNdzGaussian(
+        z_min=jnp.asarray(0.0), z_max=jnp.asarray(2.0),
+        z0=jnp.asarray(1.0), sigma_z=jnp.asarray(0.2))
+
+
+@pytest.fixture(scope="module")
+def win():
+    return projection.WindowGalaxy(dist=gauss_dist())
+
+
+def test_wtheta_goldens(fiducial, win):
+    """BASELINE accuracy bar: 1e-4 relative over theta in [0.001, 1] deg
+    (A.5 goldens at 0.01/0.1/1 deg, errata-corrected)."""
+    pt = projection.power_table_linear(fiducial)
+    w = correlation.wtheta(fiducial, win, win, pt,
+                           theta_deg=jnp.asarray(goldens.w_theta_deg))
+    np.testing.assert_allclose(w, np.array(goldens.w_theta), rtol=1e-4)
+
+
+def test_wtheta_small_theta_vs_oracle(fiducial, win):
+    """Down to 0.001 deg (full BASELINE theta range)."""
+    pt = projection.power_table_linear(fiducial)
+    thetas = np.array([0.001, 0.003, 0.03, 0.3])
+    w = correlation.wtheta(fiducial, win, win, pt, theta_deg=jnp.asarray(thetas))
+    ref = np.array([oracle.w_theta(t, lmax=1e6) for t in thetas])
+    np.testing.assert_allclose(w, ref, rtol=2e-4)
+
+
+def test_gamma_t_vs_oracle(fiducial, win):
+    wk = projection.WindowConvergence(dist=gauss_dist())
+    pt = projection.power_table_linear(fiducial)
+    thetas = np.array([0.01, 0.1, 1.0])
+    gt = correlation.gamma_t(fiducial, wk, win, pt, theta_deg=jnp.asarray(thetas))
+    # lmax=1e6 matches the FFTLog grid coverage (at 3e5 the oracle's own
+    # truncation error is ~4e-4 at 0.01 deg).
+    ref = np.array([oracle.gamma_t_oracle(t, lmax=1e6) for t in thetas])
+    np.testing.assert_allclose(gt, ref, rtol=2e-4)
+
+
+def test_default_theta_bins(fiducial, win):
+    pt = projection.power_table_linear(fiducial)
+    w = correlation.wtheta(fiducial, win, win, pt)
+    assert w.shape == (DEFAULT_GRID.n_theta,)
+    assert np.all(np.isfinite(np.asarray(w)))
+    # Clustering w(theta) decreasing over the default range.
+    assert float(w[0]) > float(w[-1]) > 0.0
+
+
+def test_halo_power_spec_selector(fiducial, win):
+    """The power_spec string selector drives the projected spectrum
+    (chomp Correlation(power_spec=...) parity)."""
+    from chomp_tpu import default_halo, halo
+    from chomp_tpu.hod import default_hod
+
+    h = default_halo()
+    model = halo.build_halo_model(fiducial, h, default_hod())
+    th = jnp.asarray([1.0])
+    outs = {}
+    for kind in ("linear_power", "power_mm", "power_gg"):
+        pt = projection.power_table_halo(fiducial, h, model, kind)
+        outs[kind] = float(correlation.wtheta(fiducial, win, win, pt, th)[0])
+    # At 1 deg (2-halo regime) w_gg/w_lin ~ <b_g>^2 (the default HOD has
+    # <b_g> slightly below 1 at z=0, so do NOT assert w_gg > w_mm).
+    b_g = float(halo.galaxy_bias_avg(model))
+    ratio = outs["power_gg"] / outs["linear_power"]
+    assert abs(ratio - b_g**2) / b_g**2 < 0.2
+    assert outs["power_mm"] > 0 and outs["power_gg"] > 0
+    assert outs["power_mm"] != outs["linear_power"]
+
+
+def test_wtheta_halo_gg_vs_oracle(fiducial, win):
+    """Full nonlinear pipeline (halo P_gg -> C_l -> w) vs oracle."""
+    from chomp_tpu import default_halo, halo
+    from chomp_tpu.hod import default_hod
+
+    h = default_halo()
+    model = halo.build_halo_model(fiducial, h, default_hod())
+    pt = projection.power_table_halo(fiducial, h, model, "power_gg")
+    thetas = np.array([0.01, 0.1, 1.0])
+    w = correlation.wtheta(fiducial, win, win, pt, jnp.asarray(thetas))
+
+    # Referee: dense Simpson Hankel (2^22 points resolves the J0
+    # oscillation up to ell*theta ~ 5e5) over the SAME C_ell (the Limber
+    # stage is separately validated against adaptive quad to ~1e-7) —
+    # isolates the FFTLog stage.  An lmax=1e6-truncated oracle would
+    # itself be 3e-3 low at 0.01 deg: the halo 1-halo C_ell tail is real.
+    from scipy.integrate import simpson
+    from scipy.interpolate import CubicSpline
+    from scipy.special import j0 as sp_j0
+
+    lnl_c = np.linspace(np.log(0.1), np.log(3e7), 4000)
+    cl_c = np.asarray(projection.limber_cl(fiducial, win, win,
+                                           jnp.asarray(np.exp(lnl_c)), pt))
+    cl_spl = CubicSpline(lnl_c, np.log(cl_c))
+    lnl = np.linspace(np.log(0.1), np.log(3e7), 2**22 + 1)
+    ells = np.exp(lnl)
+    cl = np.exp(cl_spl(lnl))
+    ref = np.array([
+        simpson(ells**2 * cl / (2 * np.pi) * sp_j0(ells * np.radians(t)),
+                x=lnl) for t in thetas])
+    np.testing.assert_allclose(w, ref, rtol=2e-4)
+
+
+def test_batched_cl_matmul(fiducial, win):
+    """wtheta_from_cl broadcasts over a batch of C_l rows (the sweep
+    path: (B, n_ell) @ operator)."""
+    ells, _, _ = correlation.ell_grid(DEFAULT_GRID)
+    pt = projection.power_table_linear(fiducial)
+    cl = projection.limber_cl(fiducial, win, win, jnp.asarray(ells), pt)
+    batch = jnp.stack([cl, 2.0 * cl])
+    th = jnp.asarray([0.1])
+    w = correlation.wtheta_from_cl(batch, th)
+    assert w.shape == (2, 1)
+    np.testing.assert_allclose(w[1], 2.0 * w[0], rtol=1e-10)
+
+
+def test_magnification(fiducial, win):
+    wk = projection.WindowConvergence(dist=gauss_dist())
+    pt = projection.power_table_linear(fiducial)
+    th = jnp.asarray([0.1])
+    wm = correlation.magnification_correlation(fiducial, win, wk, pt, th,
+                                               alpha_slope=2.0)
+    # 2(alpha-1) = 2 times the g-kappa cross correlation.
+    ells, _, _ = correlation.ell_grid(DEFAULT_GRID)
+    cl = projection.limber_cl(fiducial, win, wk, jnp.asarray(ells), pt)
+    wgk = correlation.wtheta_from_cl(cl, th)
+    np.testing.assert_allclose(wm, 2.0 * wgk, rtol=1e-12)
+
+
+def test_write_ascii(tmp_path, fiducial, win):
+    pt = projection.power_table_linear(fiducial)
+    th = correlation.theta_bins_deg(DEFAULT_GRID)
+    w = correlation.wtheta(fiducial, win, win, pt)
+    path = tmp_path / "wtheta.txt"
+    correlation.write_ascii(path, th, w)
+    loaded = np.loadtxt(path)
+    np.testing.assert_allclose(loaded[:, 1], np.asarray(w), rtol=1e-10)
+
+
+def test_jit_grad_wtheta(fiducial, win):
+    import dataclasses
+
+    @jax.jit
+    def w01(om):
+        c = dataclasses.replace(fiducial, omega_m0=om, omega_l0=1.0 - om)
+        pt = projection.power_table_linear(c)
+        return correlation.wtheta(c, win, win, pt, jnp.asarray([0.1]))[0]
+
+    g = jax.grad(w01)(jnp.asarray(0.278))
+    assert np.isfinite(float(g)) and float(g) != 0.0
