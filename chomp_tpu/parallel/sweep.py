@@ -1,0 +1,143 @@
+"""Batched cosmology sweeps: vmap + mesh sharding + inference steps.
+
+This is the layer the reference never had (SURVEY.md §2: "no parallelism
+of any kind — everything is scalar-in-scalar-out through
+scipy.integrate"; §5.7-5.8): chomp re-runs every spline init per
+cosmology, serially, on one CPU core.  Here an MCMC-style sweep is:
+
+  - a :class:`~chomp_tpu.params.CosmoParams` with a leading batch axis
+    (``broadcast_cosmo``),
+  - pushed through ONE jitted, vmapped program (``make_pipeline``),
+  - sharded over a ``jax.sharding.Mesh`` data axis so each chip computes
+    its slice of cosmologies and the only collective is the output
+    gather riding ICI (SURVEY.md §5.8: "no per-step allreduce is ever
+    required — the design preserves that").
+
+``make_inference_step`` adds the capability upgrade the functional core
+buys for free: gradient-based cosmology fitting (value_and_grad of a
+chi^2 through the ENTIRE pipeline — transfer function, mass function,
+halo model, Limber, FFTLog).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chomp_tpu import correlation, projection
+from chomp_tpu.params import DEFAULT_GRID, CosmoParams, GridSpec
+
+
+def broadcast_cosmo(base: CosmoParams, **param_arrays) -> CosmoParams:
+    """Batch of cosmologies: named 1-D arrays override base fields, all
+    other fields are broadcast.  The result's leading axis is the vmap /
+    mesh-shard axis."""
+    arrays = {k: jnp.asarray(v) for k, v in param_arrays.items()}
+    if not arrays:
+        raise ValueError("need at least one varying parameter")
+    n = next(iter(arrays.values())).shape[0]
+    full = {}
+    for f in dataclasses.fields(base):
+        if f.name in arrays:
+            full[f.name] = arrays[f.name]
+        else:
+            full[f.name] = jnp.broadcast_to(getattr(base, f.name), (n,))
+    return CosmoParams(**full)
+
+
+def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
+                  theta_deg=None, z_pivot: float = 0.0,
+                  with_bao: bool = False, grid: GridSpec = DEFAULT_GRID,
+                  include_lensing: bool = True):
+    """Build the flagship single-cosmology program: halo model ->
+    clustering w(theta) (+ lensing gamma_t) — the BASELINE.json configs[4]
+    "batched w(theta) lensing+clustering pipeline".
+
+    Returns ``fn(cosmo) -> dict`` (pure; jit/vmap/grad-able).
+    ``halo_params``/``hod``/``dist`` are closed over but traced, so they
+    can also carry batch axes via vmap in_axes if desired.
+    """
+    from chomp_tpu import halo as halo_mod
+
+    if theta_deg is None:
+        theta_deg = correlation.theta_bins_deg(grid)
+    theta_deg = jnp.asarray(theta_deg)
+    win_g = projection.WindowGalaxy(dist=dist)
+    win_k = projection.WindowConvergence(dist=dist)
+    ells = jnp.asarray(correlation.ell_grid(grid)[0])
+
+    def fn(cosmo: CosmoParams):
+        model = halo_mod.build_halo_model(cosmo, halo_params, hod, z_pivot,
+                                          with_bao, grid)
+        pt = projection.power_table_halo(cosmo, halo_params, model,
+                                         power_spec, with_bao, grid)
+        cl_gg = projection.limber_cl(cosmo, win_g, win_g, ells, pt, grid)
+        out = {
+            "theta_deg": theta_deg,
+            "w_theta": correlation.wtheta_from_cl(cl_gg, theta_deg, grid, 0.0),
+            "n_g": model.n_g,
+        }
+        if include_lensing:
+            pt_gm = projection.power_table_halo(cosmo, halo_params, model,
+                                                "power_gm", with_bao, grid)
+            cl_kg = projection.limber_cl(cosmo, win_k, win_g, ells, pt_gm,
+                                         grid)
+            out["gamma_t"] = correlation.wtheta_from_cl(cl_kg, theta_deg,
+                                                        grid, 2.0)
+        return out
+
+    return fn
+
+
+def sweep(fn, cosmo_batch: CosmoParams, mesh: jax.sharding.Mesh | None = None,
+          axis: str = "data"):
+    """Run ``fn`` over a batch of cosmologies.
+
+    Without a mesh: one jitted vmap on the local device.  With a mesh:
+    the batch axis is sharded over ``axis`` via NamedSharding and XLA
+    GSPMD partitions the whole program — each chip computes its slice,
+    outputs stay sharded (gather happens lazily on host read, over ICI).
+    """
+    batched = jax.jit(jax.vmap(fn))
+    if mesh is None:
+        return batched(cosmo_batch)
+    spec = jax.sharding.PartitionSpec(axis)
+    sharding = jax.sharding.NamedSharding(mesh, spec)
+    cosmo_batch = jax.device_put(cosmo_batch, sharding)
+    out_sharding = jax.sharding.NamedSharding(mesh, spec)
+    return jax.jit(jax.vmap(fn), out_shardings=out_sharding)(cosmo_batch)
+
+
+def write_chunk(path, result: dict):
+    """npz dump of a sweep chunk (SURVEY.md §5.4: the checkpoint/resume
+    analog — sweeps are stateless, recovery = re-run the failed chunk)."""
+    np.savez(path, **{k: np.asarray(v) for k, v in result.items()})
+
+
+def make_inference_step(fn_observable, data, invcov, learning_rate=1e-3):
+    """Gradient-based cosmology fitting (the 'training step' of this
+    library): chi^2(params) = r^T C^-1 r with r = fn_observable(params) -
+    data, one optax adam step.  Returns (init_fn, step_fn)."""
+    import optax
+
+    opt = optax.adam(learning_rate)
+
+    def loss(params):
+        r = fn_observable(params) - data
+        return r @ (invcov @ r)
+
+    def init_fn(params):
+        return opt.init(params)
+
+    @jax.jit
+    def step_fn(params, opt_state):
+        val, grads = jax.value_and_grad(loss)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, val
+
+    return init_fn, step_fn
