@@ -217,11 +217,17 @@ def power_table_halo(cosmo: CosmoParams, halo_params, model, kind: str,
 
 
 def limber_cl(cosmo: CosmoParams, win_a, win_b, ells, p_table: PowerTable,
-              grid: GridSpec = DEFAULT_GRID):
-    """Limber C_ell = ∫ dchi W_a W_b / chi^2 P((ell+1/2)/chi, z)
-    (rebuild-form of SURVEY.md Appendix B.8; equals chomp's K(k*theta)
-    route to 1e-4).  Plain GL over z — the integrand is smooth because
-    the Bessel oscillation lives downstream in the FFTLog."""
+              grid: GridSpec = DEFAULT_GRID, ell_offset: float = 0.5):
+    """Limber C_ell = ∫ dchi W_a W_b / chi^2 P((ell+offset)/chi, z)
+    (rebuild-form of SURVEY.md Appendix B.8).  Plain GL over z — the
+    Bessel oscillation lives downstream in the FFTLog.
+
+    ``ell_offset=0.5`` is the standard Limber correction (the oracle/
+    golden convention).  chomp's K(k theta) formulation corresponds
+    EXACTLY to ``ell_offset=0.0`` (its kernel route substitutes
+    k = ell/chi with no offset) — the two conventions differ by a few
+    x1e-3 in w(theta) at 0.1-0.5 deg; pass 0.0 for bit-level parity with
+    the chomp-form route."""
     ells = jnp.atleast_1d(jnp.asarray(ells))
     lo_a, hi_a = win_a.support()
     lo_b, hi_b = win_b.support()
@@ -240,6 +246,6 @@ def limber_cl(cosmo: CosmoParams, win_a, win_b, ells, p_table: PowerTable,
     dchi_dz = C_OVER_H0 / background.ez(cosmo, z)
     kern = wa * wb * dchi_dz / chi**2 * d * d * wz   # (nz,)
 
-    k = (ells[:, None] + 0.5) / chi[None, :]         # (nl, nz)
+    k = (ells[:, None] + ell_offset) / chi[None, :]  # (nl, nz)
     p = p_table(k)
     return jnp.sum(p * kern[None, :], axis=-1)
