@@ -1,0 +1,114 @@
+"""w(theta) covariance: Gaussian vs direct quad, NG structure, totals."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chomp_tpu import covariance, default_halo, halo, projection
+from chomp_tpu.hod import default_hod
+from chomp_tpu.params import DEFAULT_GRID
+
+OMEGA_S = 0.1    # sr (~330 deg^2)
+N2D = 3.0e7      # galaxies per sr (~2.5 / arcmin^2)
+
+
+def gauss_dist():
+    return projection.DNdzGaussian(
+        z_min=jnp.asarray(0.0), z_max=jnp.asarray(2.0),
+        z0=jnp.asarray(1.0), sigma_z=jnp.asarray(0.2))
+
+
+@pytest.fixture(scope="module")
+def setup(fiducial):
+    h = default_halo()
+    model = halo.build_halo_model(fiducial, h, default_hod())
+    dist = gauss_dist()
+    win = projection.WindowGalaxy(dist=dist)
+    pt = projection.power_table_halo(fiducial, h, model, "power_gg")
+
+    def cl_fn(ells):
+        return projection.limber_cl(fiducial, win, win, ells, pt)
+
+    return h, model, dist, cl_fn
+
+
+def test_bin_averaged_j0_limits():
+    """Jbar -> 1 as l -> 0; matches numerical bin average of J0."""
+    from scipy.integrate import quad
+    from scipy.special import j0 as sp_j0
+
+    edges = np.radians(np.array([0.05, 0.1]))
+    ells = jnp.asarray([1e-3, 50.0, 500.0, 5000.0])
+    jb = np.asarray(covariance.bin_averaged_j0(ells, edges))[0]
+    np.testing.assert_allclose(jb[0], 1.0, rtol=1e-6)
+    for i, ell in enumerate([1e-3, 50.0, 500.0, 5000.0]):
+        num, _ = quad(lambda th: sp_j0(ell * th) * th, edges[0], edges[1],
+                      epsrel=1e-12, limit=500)
+        ref = 2 * num / (edges[1] ** 2 - edges[0] ** 2)
+        np.testing.assert_allclose(jb[i], ref, rtol=1e-8, atol=1e-12)
+
+
+def test_gaussian_covariance_vs_direct(setup):
+    """Gaussian block vs direct dense-Simpson double check on a pair."""
+    h, model, dist, cl_fn = setup
+    edges = covariance.theta_bin_edges_deg(DEFAULT_GRID, n_bins=6)
+    cov = np.asarray(covariance.gaussian_covariance(
+        cl_fn, edges, N2D, OMEGA_S))
+    assert cov.shape == (6, 6)
+    # Symmetric positive diagonal.
+    np.testing.assert_allclose(cov, cov.T, rtol=1e-12)
+    assert np.all(np.diag(cov) > 0)
+    # Direct referee for element (2, 3).
+    from scipy.integrate import simpson
+    lnl = np.linspace(np.log(1.0), np.log(1e6), 2**18 + 1)
+    ells = np.exp(lnl)
+    cl = np.asarray(cl_fn(jnp.asarray(ells)))
+    jb = np.asarray(covariance.bin_averaged_j0(
+        jnp.asarray(ells), np.radians(edges)))
+    integrand = (2.0 / OMEGA_S) * ells**2 / (2 * np.pi) * (
+        cl**2 + 2 * cl / N2D) * jb[2] * jb[3]
+    ref = simpson(integrand, x=lnl)
+    np.testing.assert_allclose(cov[2, 3], ref, rtol=1e-3)
+
+
+def test_shot_noise_diagonal(setup):
+    """Pure shot-noise term scales as 1/(n2d^2 bin area)."""
+    h, model, dist, cl_fn = setup
+    edges = covariance.theta_bin_edges_deg(DEFAULT_GRID, n_bins=4)
+    zero_cl = lambda ells: jnp.zeros_like(ells)
+    cov = np.asarray(covariance.gaussian_covariance(
+        zero_cl, edges, N2D, OMEGA_S))
+    lo = np.radians(edges[:-1])
+    hi = np.radians(edges[1:])
+    expected = (2.0 / OMEGA_S) / (np.pi * N2D**2 * (hi**2 - lo**2))
+    np.testing.assert_allclose(np.diag(cov), expected, rtol=1e-12)
+    off = cov - np.diag(np.diag(cov))
+    assert np.max(np.abs(off)) < 1e-3 * np.min(np.diag(cov))
+
+
+def test_nongaussian_covariance_structure(fiducial, setup):
+    h, model, dist, cl_fn = setup
+    edges = covariance.theta_bin_edges_deg(DEFAULT_GRID, n_bins=5)
+    cov_ng = np.asarray(covariance.nongaussian_covariance(
+        fiducial, h, model, dist, edges, OMEGA_S, galaxy=True,
+        grid=DEFAULT_GRID))
+    assert cov_ng.shape == (5, 5)
+    np.testing.assert_allclose(cov_ng, cov_ng.T, rtol=1e-8)
+    assert np.all(np.diag(cov_ng) > 0)
+    # NG covariance is broadly correlated across bins (unlike Gaussian):
+    corr = cov_ng / np.sqrt(np.outer(np.diag(cov_ng), np.diag(cov_ng)))
+    assert np.min(corr) > 0.1
+    # Scales as 1/Omega_s.
+    cov_ng2 = np.asarray(covariance.nongaussian_covariance(
+        fiducial, h, model, dist, edges, 2 * OMEGA_S, galaxy=True,
+        grid=DEFAULT_GRID))
+    np.testing.assert_allclose(cov_ng2, 0.5 * cov_ng, rtol=1e-10)
+
+
+def test_total_covariance_psd(fiducial, setup):
+    h, model, dist, cl_fn = setup
+    edges = covariance.theta_bin_edges_deg(DEFAULT_GRID, n_bins=5)
+    cov = np.asarray(covariance.wtheta_covariance(
+        fiducial, h, model, dist, cl_fn, edges, OMEGA_S, N2D))
+    eig = np.linalg.eigvalsh(0.5 * (cov + cov.T))
+    assert np.all(eig > 0), f"covariance not PSD: {eig}"

@@ -1,0 +1,166 @@
+"""Trispectrum: PT kernels vs direct recursion, halo terms vs oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chomp_tpu import default_halo, halo, trispectrum
+from chomp_tpu.hod import default_hod
+from tests.oracle import oracle
+
+
+# --- direct PT recursion in numpy (independent of the jax closed forms) ---
+
+def _alpha(k1, k2):
+    k12 = k1 + k2
+    return np.dot(k12, k1) / np.dot(k1, k1)
+
+
+def _beta(k1, k2):
+    k12 = k1 + k2
+    return (np.dot(k12, k12) * np.dot(k1, k2)
+            / (2.0 * np.dot(k1, k1) * np.dot(k2, k2)))
+
+
+def _f2_vec(q1, q2):
+    a = _alpha(q1, q2) + _alpha(q2, q1)
+    b = _beta(q1, q2)
+    return 5.0 / 14.0 * a + 2.0 / 7.0 * b
+
+
+def _g2_vec(q1, q2):
+    a = _alpha(q1, q2) + _alpha(q2, q1)
+    b = _beta(q1, q2)
+    return 3.0 / 14.0 * a + 4.0 / 7.0 * b
+
+
+def _f3_unsym(q1, q2, q3):
+    # Bernardeau et al. 2002 recursion, n=3: prefactor 1/((2n+3)(n-1))=1/18.
+    term_m1 = 1.0 * (7.0 * _alpha(q1, q2 + q3) * _f2_vec(q2, q3)
+                     + 2.0 * _beta(q1, q2 + q3) * _g2_vec(q2, q3))
+    term_m2 = _g2_vec(q1, q2) * (7.0 * _alpha(q1 + q2, q3)
+                                 + 2.0 * _beta(q1 + q2, q3))
+    return (term_m1 + term_m2) / 18.0
+
+
+def _f3_sym(q1, q2, q3):
+    import itertools
+
+    return np.mean([_f3_unsym(*p) for p in itertools.permutations([q1, q2, q3])])
+
+
+def test_f2_scalar_matches_vector_form():
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        q1 = rng.normal(size=3)
+        q2 = rng.normal(size=3)
+        ref = _f2_vec(q1, q2)
+        ours = trispectrum.f2_scalar(np.dot(q1, q1), np.dot(q2, q2),
+                                     np.dot(q1, q2))
+        np.testing.assert_allclose(float(ours), ref, rtol=1e-12)
+
+
+def test_k13_kernel_vs_direct_f3_integration():
+    """6 <F3(q,-q,k)>_mu from the closed form vs direct recursion
+    (eps-regularized q2 = -(1+1e-5) q; G2(q,-q)=0 kills the pole)."""
+    from scipy.integrate import quad
+
+    k = np.array([0.0, 0.0, 1.0])
+    for r in (0.3, 0.9, 1.5, 4.0):
+        def integrand(mu):
+            s = np.sqrt(1.0 - mu * mu)
+            q = r * np.array([s, 0.0, mu])
+            return 6.0 * _f3_sym(q, -(1.0 + 1e-5) * q, k)
+
+        ref, _ = quad(integrand, -1.0, 1.0, epsrel=1e-9, limit=200)
+        ref *= 0.5
+        ours = float(trispectrum.k13_kernel(jnp.asarray(r)))
+        np.testing.assert_allclose(ours, ref, rtol=2e-4, err_msg=f"r={r}")
+
+
+def test_k13_r1_continuity():
+    vals = trispectrum.k13_kernel(jnp.asarray([0.999, 0.99995, 1.0, 1.00005, 1.001]))
+    assert np.all(np.isfinite(np.asarray(vals)))
+    # 6<F3> at r=1: B(1)/(504) = (12-158+100-42)/504 = -88/504.
+    np.testing.assert_allclose(vals[2], -88.0 / 504.0, rtol=1e-3)
+    assert abs(float(vals[0]) - float(vals[4])) < 0.01
+
+
+@pytest.fixture(scope="module")
+def model(fiducial):
+    return halo.build_halo_model(fiducial, default_halo(), default_hod())
+
+
+def test_t1h_vs_oracle_quad(fiducial, model):
+    """1-halo term against direct scipy quadrature."""
+    from scipy import integrate
+
+    h = default_halo()
+    m_star_val = float(jnp.exp(model.mass.ln_m_star))
+    rho_bar = oracle.RHO_CRIT * oracle.OM
+
+    def t1h_ref(k1, k2):
+        def integrand(lnm):
+            m = np.exp(lnm)
+            y1 = oracle.y_nfw_mstar(k1, m, m_star_val)
+            y2 = oracle.y_nfw_mstar(k2, m, m_star_val)
+            return (oracle._dndlnm_spl(lnm) * (m / rho_bar) ** 4
+                    * y1**2 * y2**2)
+
+        v, _ = integrate.quad(integrand, oracle.LN_M_MIN, oracle.LN_M_MAX,
+                              epsrel=1e-9, limit=400)
+        return v
+
+    for k1, k2 in ((0.1, 0.1), (1.0, 0.3), (5.0, 5.0)):
+        ours = float(trispectrum.trispectrum_parallelogram(
+            fiducial, h, model, jnp.asarray(k1), jnp.asarray(k2),
+            terms=("1h",)))
+        np.testing.assert_allclose(ours, t1h_ref(k1, k2), rtol=2e-5,
+                                   err_msg=f"k=({k1},{k2})")
+
+
+def test_4h_fraction_declines_with_k(fiducial, model):
+    """The tree-PT (4h) share of T̄ is largest at low k and dies off at
+    high k (1h/2h super-shot-noise terms take over); at low k the 4h
+    piece equals T̄_PT times I_1^1 factors ~ 1."""
+    h = default_halo()
+
+    def frac_4h(k):
+        k = jnp.asarray(k)
+        t_all = float(trispectrum.trispectrum_parallelogram(
+            fiducial, h, model, k, k))
+        t_4h = float(trispectrum.trispectrum_parallelogram(
+            fiducial, h, model, k, k, terms=("4h",)))
+        return t_4h / t_all
+
+    f_low, f_mid, f_high = frac_4h(0.02), frac_4h(0.3), frac_4h(5.0)
+    assert f_low > f_mid > f_high
+    assert f_low > 0.3
+    # I_1^1 -> 1 at low k, so the 4h term ~ T_PT itself.
+    k = jnp.asarray(0.02)
+    t_4h = float(trispectrum.trispectrum_parallelogram(
+        fiducial, h, model, k, k, terms=("4h",)))
+    t_pt = float(trispectrum.t_pt_parallelogram(fiducial, k, k))
+    np.testing.assert_allclose(t_4h, t_pt, rtol=5e-3)
+
+
+def test_high_k_1h_dominance(fiducial, model):
+    h = default_halo()
+    k = jnp.asarray(20.0)
+    t1h = float(trispectrum.trispectrum_parallelogram(
+        fiducial, h, model, k, k, terms=("1h",)))
+    t_all = float(trispectrum.trispectrum_parallelogram(
+        fiducial, h, model, k, k))
+    assert t1h / t_all > 0.8
+
+
+def test_equal_k_positive_and_symmetric(fiducial, model):
+    h = default_halo()
+    k1 = jnp.asarray([0.1, 1.0])
+    k2 = jnp.asarray([0.5, 0.2])
+    t12 = trispectrum.trispectrum_parallelogram(fiducial, h, model, k1, k2)
+    t21 = trispectrum.trispectrum_parallelogram(fiducial, h, model, k2, k1)
+    np.testing.assert_allclose(np.asarray(t12), np.asarray(t21), rtol=1e-10)
+    t_eq = trispectrum.trispectrum_parallelogram(
+        fiducial, h, model, jnp.asarray([1.0]), jnp.asarray([1.0]))
+    assert float(t_eq[0]) > 0.0
