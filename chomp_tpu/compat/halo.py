@@ -1,0 +1,129 @@
+"""chomp ``halo.py`` equivalent: Halo / HaloExclusion objects.
+
+upstream:halo.py (SURVEY.md §2 rows 6-7, §3.4).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from chomp_tpu import halo as halo_mod
+from chomp_tpu import profiles
+from chomp_tpu.compat.cosmology import SingleEpoch
+from chomp_tpu.compat.defaults import halo_from_dict
+from chomp_tpu.params import DEFAULT_GRID
+
+
+class Halo:
+    """1-halo + 2-halo power spectra (chomp ``Halo(redshift, input_hod,
+    cosmo_single_epoch, mass_func, halo_dict)``; the mass function is
+    built internally — pass ``halo_dict`` to override its parameters)."""
+
+    def __init__(self, redshift=0.0, input_hod=None, cosmo_single_epoch=None,
+                 mass_func=None, halo_dict=None, grid=DEFAULT_GRID):
+        from chomp_tpu.compat.hod import HODZheng
+
+        self._epoch = cosmo_single_epoch or SingleEpoch(redshift)
+        self._z = float(redshift)
+        self._halo_dict = dict(halo_dict or {})
+        self._hod = input_hod if input_hod is not None else HODZheng(
+            10.0**12.14, 0.15, 10.0**12.14, 10.0**13.43, 1.0)
+        self.grid = grid
+        self._mass_tables = mass_func.tables if mass_func is not None else None
+        self._rebuild()
+
+    def _rebuild(self):
+        self.halo_params = halo_from_dict(self._halo_dict)
+        self.model = halo_mod.build_halo_model(
+            self._epoch.cosmo, self.halo_params, self._hod, self._z,
+            self._epoch.with_bao, self.grid, mass_tables=self._mass_tables)
+
+    # -- mutators ----------------------------------------------------------
+    def set_cosmology(self, cosmo_dict):
+        self._epoch.set_cosmology(cosmo_dict)
+        self._mass_tables = None
+        self._rebuild()
+
+    def set_redshift(self, redshift):
+        self._z = float(redshift)
+        self._mass_tables = None
+        self._rebuild()
+
+    def set_hod(self, input_hod):
+        self._hod = input_hod
+        self._rebuild()
+
+    def set_halo(self, halo_dict):
+        self._halo_dict = dict(halo_dict)
+        self._mass_tables = None
+        self._rebuild()
+
+    # -- spectra (chomp method names; the power_spec string selector in
+    # Correlation resolves against these via getattr, exactly as chomp) --
+    def linear_power(self, k):
+        return halo_mod.linear_power(self._epoch.cosmo, self.model, k,
+                                     self._epoch.with_bao, self.grid)
+
+    def power_mm(self, k):
+        return halo_mod.power_mm(self._epoch.cosmo, self.halo_params,
+                                 self.model, k, self._epoch.with_bao,
+                                 self.grid)
+
+    def power_gm(self, k):
+        return halo_mod.power_gm(self._epoch.cosmo, self.halo_params,
+                                 self.model, k, self._epoch.with_bao,
+                                 self.grid)
+
+    power_mg = power_gm
+
+    def power_gg(self, k):
+        return halo_mod.power_gg(self._epoch.cosmo, self.halo_params,
+                                 self.model, k, self._epoch.with_bao,
+                                 self.grid)
+
+    # -- internals exposed by chomp ----------------------------------------
+    def y(self, ln_k, mass):
+        """NFW y(k, M) (chomp ``Halo.y(ln_k, mass)``)."""
+        k = jnp.exp(jnp.asarray(ln_k))
+        return profiles.y_nfw(self._epoch.cosmo, self.halo_params, k,
+                              jnp.asarray(mass), self.model.m_star, self._z)
+
+    def concentration(self, mass):
+        return profiles.concentration(self.halo_params, mass,
+                                      self.model.m_star, self._z)
+
+    def virial_radius(self, mass):
+        return profiles.virial_radius(self._epoch.cosmo, self.halo_params,
+                                      mass, self._z)
+
+    def virial_mass(self, r):
+        return profiles.virial_mass(self._epoch.cosmo, self.halo_params,
+                                    r, self._z)
+
+    def n_g(self):
+        return float(self.model.n_g)
+
+    def bias_avg(self):
+        return float(halo_mod.galaxy_bias_avg(self.model))
+
+
+class HaloExclusion(Halo):
+    """2-halo term with halo-exclusion correction (chomp
+    ``HaloExclusion(Halo)``; see chomp_tpu.halo.powers_with_exclusion for
+    the documented model)."""
+
+    def _powers(self, k):
+        return halo_mod.powers_with_exclusion(
+            self._epoch.cosmo, self.halo_params, self.model, k,
+            self._epoch.with_bao, self.grid)
+
+    def power_mm(self, k):
+        return self._powers(k)["power_mm"]
+
+    def power_gm(self, k):
+        return self._powers(k)["power_gm"]
+
+    power_mg = power_gm
+
+    def power_gg(self, k):
+        return self._powers(k)["power_gg"]
