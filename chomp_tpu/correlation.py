@@ -19,6 +19,8 @@ selects which halo-model spectrum feeds the Limber power table.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -81,11 +83,76 @@ def _interp_to_theta(theta_grid_rad, w_grid, theta_query_rad):
 def wtheta_from_cl(cl_grid, theta_deg, grid: GridSpec = DEFAULT_GRID,
                    mu: float = 0.0):
     """w(theta) (or gamma_t with mu=2) from C_l sampled on the static
-    ell grid.  ``cl_grid``: (..., n_ell); returns (..., n_theta_query)."""
+    ell grid.  ``cl_grid``: (..., n_ell); returns (..., n_theta_query).
+
+    The Hankel matmul runs at HIGHEST precision: the oscillatory J0/J2
+    cancellations lose ~1e-2 under the TPU's default bf16 matmul pass.
+    """
+    import jax
+
     theta_grid, w_op = wtheta_operator(grid, mu)
-    w = cl_grid @ jnp.asarray(w_op).T
+    w = jnp.matmul(cl_grid, jnp.asarray(w_op).T,
+                   precision=jax.lax.Precision.HIGHEST)
     th = jnp.radians(jnp.atleast_1d(jnp.asarray(theta_deg)))
     return _interp_to_theta(jnp.asarray(theta_grid), w, th)
+
+
+@lru_cache(maxsize=None)
+def wtheta_bins_operator(theta_key, grid: GridSpec = DEFAULT_GRID,
+                         mu: float = 0.0):
+    """Fully-fused static operator: w(theta_bins) = Op @ C_l.
+
+    Composes the FFTLog Hankel operator with value-space Catmull-Rom
+    interpolation weights at the (static) theta bins — offline, in
+    float64 numpy — so the whole Bessel transform + binning is ONE
+    (B, n_ell) @ (n_ell, n_bins) matmul at runtime (the MXU shape the
+    Pallas kernel in chomp_tpu.ops.fftlog_pallas consumes)."""
+    theta_deg = np.asarray(theta_key)
+    theta_grid, w_op = wtheta_operator(grid, mu)
+    ln_t = np.log(theta_grid)
+    d = ln_t[1] - ln_t[0]
+    q = np.log(np.radians(theta_deg))
+    t = (q - ln_t[0]) / d
+    i = np.clip(np.floor(t).astype(int), 1, len(ln_t) - 3)
+    f = t - i
+    w2 = np.zeros((len(theta_deg), len(ln_t)))
+    rows = np.arange(len(theta_deg))
+    w2[rows, i - 1] = 0.5 * (-f + 2 * f**2 - f**3)
+    w2[rows, i] = 0.5 * (2 - 5 * f**2 + 3 * f**3)
+    w2[rows, i + 1] = 0.5 * (f + 4 * f**2 - 3 * f**3)
+    w2[rows, i + 2] = 0.5 * (-(f**2) + f**3)
+    return np.ascontiguousarray(w2 @ w_op)
+
+
+def wtheta_from_cl_fused(cl_grid, theta_deg, grid: GridSpec = DEFAULT_GRID,
+                         mu: float = 0.0, engine: str = "xla"):
+    """w at STATIC theta bins from C_l rows via the fused operator.
+
+    ``engine``: "xla" (jnp.matmul at HIGHEST precision — measured
+    fastest) or "pallas" (the explicit Pallas MXU kernel; same accuracy,
+    ~20% slower on v5e at these shapes but kept as the self-contained
+    kernel path)."""
+    import jax
+
+    op = wtheta_bins_operator(tuple(np.asarray(theta_deg).tolist()), grid, mu)
+    op_t = jnp.asarray(op).T
+    if engine == "pallas":
+        from chomp_tpu.ops.fftlog_pallas import hankel_matmul_pallas
+
+        cl2 = jnp.atleast_2d(cl_grid)
+        out = hankel_matmul_pallas(cl2, op_t,
+                                   interpret=not _pallas_native())
+        return out if cl_grid.ndim > 1 else out[0]
+    return jnp.matmul(cl_grid, op_t, precision=jax.lax.Precision.HIGHEST)
+
+
+def _pallas_native() -> bool:
+    import jax
+
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
 
 
 def wtheta(cosmo: CosmoParams, win_a, win_b, p_table, theta_deg=None,

@@ -26,6 +26,7 @@ at the center), else 2; the gm version mirrors it with <N> < 1.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from chomp_tpu import background, linear, profiles
@@ -154,10 +155,12 @@ def two_halo_integrals(cosmo: CosmoParams, halo: HaloParams, model: HaloModel, k
     t = model.mass
     y = _y_matrix(cosmo, halo, model, k)
     f_dnu = t.f_nu * t.dnu_dlnm
-    h_m = y @ (t.w_lnm * f_dnu * t.bias)
+    h_m = jnp.matmul(y, t.w_lnm * f_dnu * t.bias,
+                     precision=jax.lax.Precision.HIGHEST)
     g = model.gal
     y_g = _y_gal(cosmo, halo, model, k)
-    h_g = y_g @ (g.w_lnm * g.dndlnm * g.n_first * g.bias) / model.n_g
+    h_g = jnp.matmul(y_g, g.w_lnm * g.dndlnm * g.n_first * g.bias,
+                     precision=jax.lax.Precision.HIGHEST) / model.n_g
     return h_m, h_g
 
 
@@ -174,14 +177,17 @@ def one_halo_integrals(cosmo: CosmoParams, halo: HaloParams, model: HaloModel, k
     t = model.mass
     y = _y_matrix(cosmo, halo, model, k)
     f_dnu = t.f_nu * t.dnu_dlnm
-    pp_mm = (y * y) @ (t.w_lnm * f_dnu * t.m / cosmo.rho_bar)
+    pp_mm = jnp.matmul(y * y, t.w_lnm * f_dnu * t.m / cosmo.rho_bar,
+                       precision=jax.lax.Precision.HIGHEST)
 
     g = model.gal
     y_g = _y_gal(cosmo, halo, model, k)
     y_gg = jnp.where(g.ln_m[None, :] < model.ln_m_sw2, y_g, y_g * y_g)
-    pp_gg = y_gg @ (g.w_lnm * g.dndlnm * g.n_second) / model.n_g**2
+    pp_gg = jnp.matmul(y_gg, g.w_lnm * g.dndlnm * g.n_second,
+                       precision=jax.lax.Precision.HIGHEST) / model.n_g**2
     y_gm = jnp.where(g.ln_m[None, :] < model.ln_m_sw1, y_g, y_g * y_g)
-    pp_gm = y_gm @ (g.w_lnm * g.dndlnm * g.m * g.n_first) / (
+    pp_gm = jnp.matmul(y_gm, g.w_lnm * g.dndlnm * g.m * g.n_first,
+                       precision=jax.lax.Precision.HIGHEST) / (
         model.n_g * cosmo.rho_bar)
     return pp_mm, pp_gg, pp_gm
 
@@ -267,13 +273,15 @@ def powers_with_exclusion(cosmo: CosmoParams, halo: HaloParams,
     lnarg = jnp.log(r_v[None, :] * k[:, None] / jnp.pi)
     mask = 1.0 / (1.0 + jnp.exp(sharpness * lnarg))
     f_dnu = t.f_nu * t.dnu_dlnm
-    h_m = (y * mask) @ (t.w_lnm * f_dnu * t.bias)
+    h_m = jnp.matmul(y * mask, t.w_lnm * f_dnu * t.bias,
+                     precision=jax.lax.Precision.HIGHEST)
     g = model.gal
     y_g = _y_gal(cosmo, halo, model, k)
     r_v_g = profiles.virial_radius(cosmo, halo, g.m, t.z)
     mask_g = 1.0 / (1.0 + jnp.exp(
         sharpness * jnp.log(r_v_g[None, :] * k[:, None] / jnp.pi)))
-    h_g = (y_g * mask_g) @ (g.w_lnm * g.dndlnm * g.n_first * g.bias) / model.n_g
+    h_g = jnp.matmul(y_g * mask_g, g.w_lnm * g.dndlnm * g.n_first * g.bias,
+                     precision=jax.lax.Precision.HIGHEST) / model.n_g
     pp_mm, pp_gg, pp_gm = one_halo_integrals(cosmo, halo, model, k,
                                              with_bao, grid)
     return {

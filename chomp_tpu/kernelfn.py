@@ -74,8 +74,11 @@ def build_kernel(cosmo: CosmoParams, win_a, win_b, mu: float = 0.0,
     wb = win_b.window_z(cosmo, z, grid)
     a = chi * wa * wb * d * d                     # compactly supported
 
+    import jax
+
     y, h = hankel_operator(n, ln0, dln, mu, q=1.0, y0_target=KTHETA_Y0)
-    k_vals = jnp.asarray(h) @ a
+    k_vals = jnp.matmul(jnp.asarray(h), a,
+                        precision=jax.lax.Precision.HIGHEST)
 
     from chomp_tpu.projection import z_bar as _z_bar
 

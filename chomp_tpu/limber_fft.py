@@ -1,0 +1,207 @@
+"""FFT-convolution Limber C_ell — the gather-free TPU fast path.
+
+Motivation (measured on TPU v5e): the table-interpolation Limber
+(projection.limber_cl) spends ~95% of the flagship pipeline in dynamic
+gathers — P((ell+1/2)/chi) lookups at 1024 x 128 query points per
+cosmology — which TPUs execute poorly.  This module removes every
+dynamic gather by exploiting the log-convolution structure of the
+Limber integral (the same observation behind the 2-FAST algorithm,
+arXiv:1709.02401, independently reimplemented here):
+
+With u = ln chi and s = ln(ell + offset),
+
+    C(s) = ∫ du G(u) P(e^{s-u}),   G(u) = W_a W_b D^2 / chi |_{chi=e^u}
+
+is a 1-D convolution of two log-lattice-sampled sequences:
+
+  1. P is evaluated EXACTLY on a static ln k lattice (direct halo-model
+     evaluation — no interpolation, no splines);
+  2. G is evaluated on the matching static ln chi lattice (z(chi) via a
+     single tiny inverse-table lookup);
+  3. C on the lattice = one batched real FFT convolution (XLA FFT);
+  4. C at the FFTLog ell nodes = a PRECOMPUTED static cubic-weight
+     matrix (numpy, at trace time) times the lattice values — an MXU
+     matmul, because both the lattice and s_ell = ln(ell + offset) are
+     static.
+
+Accuracy: the lattice trapezoid rule at spacing LATTICE_DLN converges
+as O(d^2) on the smooth window kernel; validated against the GL
+reference path to <1e-4 (tests).  Cost: one (B, ~2^13) FFT triple plus
+two small matmuls — ~100x less wall-clock than the gather path.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+from chomp_tpu import background
+from chomp_tpu.params import C_OVER_H0, DEFAULT_GRID, CosmoParams, GridSpec
+
+# Static lattice (shared by P and G; spacing sets the trapezoid error).
+LATTICE_DLN = 0.005
+# Pre-whitening tilt: convolve (P k^alpha) with (G chi^-alpha) and untilt
+# the output by e^{-alpha s}.  An exact identity in exact arithmetic; in
+# float32 it flattens the convolution output's ~10-decade dynamic range
+# so the FFT noise floor (set by the peak) no longer swamps the high-ell
+# C_ell tail (measured: w(0.001 deg) f32 error 4e-3 -> ~1e-4).
+TILT_ALPHA = 1.5
+LN_K_LO, LN_K_HI = np.log(1.0e-5), np.log(2.0e7)
+LN_CHI_LO, LN_CHI_HI = np.log(0.5), np.log(1.5e4)
+
+
+@lru_cache(maxsize=None)
+def _lattices():
+    n_k = int(np.ceil((LN_K_HI - LN_K_LO) / LATTICE_DLN)) + 1
+    ln_k = LN_K_LO + LATTICE_DLN * np.arange(n_k)
+    n_chi = int(np.ceil((LN_CHI_HI - LN_CHI_LO) / LATTICE_DLN)) + 1
+    ln_chi = LN_CHI_LO + LATTICE_DLN * np.arange(n_chi)
+    return ln_k, ln_chi
+
+
+@lru_cache(maxsize=None)
+def _fft_len(n: int) -> int:
+    m = 1
+    while m < n:
+        m *= 2
+    return m
+
+
+@lru_cache(maxsize=None)
+def _s_weights(ells_key, ell_offset: float):
+    """Static cubic (Catmull-Rom) interpolation matrix from the lattice
+    convolution output C(s_n), s_n = ln_k_lo + ln_chi_lo + n d, to the
+    requested s_ell = ln(ell + offset).  Pure numpy — built once."""
+    ells = np.asarray(ells_key)
+    ln_k, ln_chi = _lattices()
+    s0 = ln_k[0] + ln_chi[0]
+    n_out = len(ln_k) + len(ln_chi) - 1
+    s_ell = np.log(ells + ell_offset)
+    t = (s_ell - s0) / LATTICE_DLN
+    i = np.clip(np.floor(t).astype(int), 1, n_out - 3)
+    f = t - i
+    w = np.zeros((len(ells), n_out))
+    rows = np.arange(len(ells))
+    # Catmull-Rom basis:
+    w[rows, i - 1] = 0.5 * (-f + 2 * f**2 - f**3)
+    w[rows, i] = 0.5 * (2 - 5 * f**2 + 3 * f**3)
+    w[rows, i + 1] = 0.5 * (f + 4 * f**2 - 3 * f**3)
+    w[rows, i + 2] = 0.5 * (-(f**2) + f**3)
+    return w
+
+
+def k_lattice():
+    """The static ln k lattice on which P must be supplied (numpy)."""
+    ln_k, _ = _lattices()
+    return ln_k
+
+
+def _conv_direct(p, g, j_lo: int, j_hi: int):
+    """Lattice convolution as a direct 1-D convolution (MXU path),
+    computing only output positions j in [j_lo, j_hi) via asymmetric
+    padding (the s_ell interpolation window — ~45% smaller than the full
+    convolution support).
+
+    The integrand G_n P_{j-n} is strictly positive, so a direct summed
+    convolution has NO cancellation: float32 relative error ~ sqrt(n) eps
+    (~1e-6) at every output, unlike the FFT path whose single absolute
+    noise floor (set by the global peak) costs ~1e-2 on the small C_ell
+    values.  Unbatched 1-D in/out — batching comes from vmap's conv
+    batching rule.  Runs at HIGHEST precision (full-float32 MXU passes).
+    """
+    import jax
+
+    n_chi = g.shape[-1]
+    n_k = p.shape[-1]
+    lhs = p[None, None, :]                    # (N=1, C=1, W)
+    rhs = g[::-1][None, None, :]              # (O=1, I=1, W): flip == conv
+    # Full-conv output j corresponds to valid-conv index j - (n_chi - 1)
+    # with left pad (n_chi - 1).  Shift the left pad to start at j_lo and
+    # pad right just enough to reach j_hi - 1.
+    pad_l = n_chi - 1 - j_lo
+    pad_r = max(j_hi - n_k, 0)
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,),
+        padding=[(pad_l, pad_r)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST)
+    return out[0, 0, :j_hi - j_lo]
+
+
+def limber_cl_fft(cosmo: CosmoParams, win_a, win_b, ells, p_lattice,
+                  grid: GridSpec = DEFAULT_GRID, ell_offset: float = 0.5,
+                  growth_pivot=1.0, n_z_table: int = 1024,
+                  conv_method: str = "direct"):
+    """C_ell at (static, numpy) ``ells`` from P sampled on
+    :func:`k_lattice` (separable growth, pivot ``growth_pivot``).
+
+    ``p_lattice`` may carry leading batch dims; the convolution and the
+    static-weight matmul broadcast over them.  ``conv_method``:
+    "direct" (grouped conv on the MXU; float32-robust — default) or
+    "fft" (whitened FFT; fastest, float64-grade in x64 mode).
+    """
+    ln_k, ln_chi = _lattices()
+    chi = jnp.asarray(np.exp(ln_chi))
+
+    # z(chi) via a small static inverse table (one tiny gather, off the
+    # hot path: n_chi values per cosmology).
+    zt = jnp.linspace(1e-6, 12.0, n_z_table)
+    chit = background.comoving_distance(cosmo, zt, grid.n_dist)
+    z = jnp.interp(chi, chit, zt)
+
+    d = background.growth_factor(cosmo, z, grid.n_growth) / growth_pivot
+    wa = win_a.window_z(cosmo, z, grid)
+    wb = win_b.window_z(cosmo, z, grid)
+    g = wa * wb * d * d / chi * LATTICE_DLN          # trapezoid weights
+
+    n_k = ln_k.shape[0]
+    n_chi_n = ln_chi.shape[0]
+    n_out = n_k + n_chi_n - 1
+    w_full = _s_weights(tuple(np.asarray(ells).tolist()), ell_offset)
+    if conv_method == "direct":
+        # Only the interpolation window of the output is needed.
+        used = np.nonzero(np.any(w_full != 0.0, axis=0))[0]
+        j_lo, j_hi = int(used[0]), int(used[-1]) + 1
+        conv = _conv_direct(p_lattice, g, j_lo, j_hi)
+        import jax
+
+        w = jnp.asarray(w_full[:, j_lo:j_hi])
+        return jnp.matmul(conv, w.T, precision=jax.lax.Precision.HIGHEST)
+    else:
+        nfft = _fft_len(n_out)
+        # Static whitening tilts (numpy, folded in at trace time).
+        tilt_p = jnp.asarray(np.exp(TILT_ALPHA * (ln_k - ln_k[0])))
+        tilt_g = jnp.asarray(np.exp(TILT_ALPHA * (ln_chi - ln_chi[0])))
+        # C(s) = sum_n G_n P(s - u_n): plain lattice convolution.
+        pf = jnp.fft.rfft(p_lattice * tilt_p, n=nfft, axis=-1)
+        gf = jnp.fft.rfft(g * tilt_g, n=nfft, axis=-1)
+        conv = jnp.fft.irfft(pf * gf, n=nfft, axis=-1)[..., :n_out]
+        s_grid = np.arange(n_out) * LATTICE_DLN
+        conv = conv * jnp.asarray(np.exp(-TILT_ALPHA * s_grid))
+
+    import jax
+
+    w = jnp.asarray(w_full)
+    return jnp.matmul(conv, w.T, precision=jax.lax.Precision.HIGHEST)
+
+
+def p_lattice_halo(cosmo, halo_params, model, kind: str,
+                   with_bao: bool = False, grid: GridSpec = DEFAULT_GRID):
+    """Halo-model P on the lattice — EXACT evaluation (the direct tensor
+    contraction; no interpolation anywhere in the fast path)."""
+    from chomp_tpu import halo as halo_mod
+
+    ln_k = k_lattice()
+    return halo_mod.powers(cosmo, halo_params, model,
+                           jnp.asarray(np.exp(ln_k)), with_bao, grid)[kind]
+
+
+def p_lattice_linear(cosmo, with_bao: bool = False,
+                     grid: GridSpec = DEFAULT_GRID):
+    from chomp_tpu import linear
+
+    ln_k = k_lattice()
+    return linear.linear_power(cosmo, jnp.asarray(np.exp(ln_k)), 0.0,
+                               with_bao, grid)

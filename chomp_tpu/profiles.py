@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from chomp_tpu import background
 from chomp_tpu.params import CosmoParams, HaloParams
-from chomp_tpu.special import si_ci
+from chomp_tpu.special import aux_fg, aux_fm, si_ci  # noqa: F401 (si_ci re-exported)
 
 
 def concentration(halo: HaloParams, m, m_star, z=0.0):
@@ -58,18 +58,28 @@ def y_nfw(cosmo: CosmoParams, halo: HaloParams, k, m, m_star, z=0.0):
     (Appendix B.6 closed form; y -> 1 as k -> 0).
 
     ``k`` and ``m`` broadcast elementwise — pass ``k[:, None]`` and
-    ``m[None, :]`` for the (n_k, n_M) matrix."""
+    ``m[None, :]`` for the (n_k, n_M) matrix.
+
+    Numerics: the textbook form sin(x)(Si((1+c)x) - Si(x)) + ... loses
+    ~x*eps relative accuracy at large x (both Si -> pi/2 — catastrophic
+    in float32, where it cost 4% in P(k) at high k).  The exact
+    auxiliary-function identity used here,
+
+      y mu(c) = g(x) + sin(c x) (f - 1/.)((1+c)x) - cos(c x) g((1+c)x),
+
+    is cancellation-free at every scale (verified to agree with the
+    textbook form to ~1e-14 in float64 and to track float64 to ~1e-6 in
+    float32)."""
     k = jnp.asarray(k)
     m = jnp.asarray(m)
     c = concentration(halo, m, m_star, z)
     rv = virial_radius(cosmo, halo, m, z)
     rs = rv / c
     x = k * rs
-    si1, ci1 = si_ci((1.0 + c) * x)
-    si0, ci0 = si_ci(x)
+    b = (1.0 + c) * x
+    g_a = aux_fg(x)[1]
+    g_b = aux_fg(b)[1]
+    fm_b = aux_fm(b)
     mu = jnp.log(1.0 + c) - c / (1.0 + c)
-    return (
-        jnp.sin(x) * (si1 - si0)
-        - jnp.sin(c * x) / ((1.0 + c) * x)
-        + jnp.cos(x) * (ci1 - ci0)
-    ) / mu
+    cx = c * x
+    return (g_a + jnp.sin(cx) * fm_b - jnp.cos(cx) * g_b) / mu

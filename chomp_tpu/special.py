@@ -100,6 +100,57 @@ def si_ci(x):
     return jnp.where(small, si_s, si_l), jnp.where(small, ci_s, ci_l)
 
 
+def aux_fg(x):
+    """Full-range auxiliary functions (f(x), g(x)) with
+    Si = pi/2 - f cos - g sin, Ci = f sin - g cos.
+
+    Exposed for cancellation-free DIFFERENCES of Si/Ci: e.g. the NFW
+    y(k, M) needs Si(b)-Si(a) where both ~ pi/2 — forming it from Si
+    loses ~x*eps relative accuracy (catastrophic in float32 at large x),
+    while the f/g identity form keeps full precision (see
+    profiles.y_nfw).  Small-x branch from the series (no cancellation
+    there: pi/2 - Si is O(1))."""
+    x = jnp.asarray(x)
+    xs = jnp.clip(x, 1e-300, 4.0)
+    si_s, ci_s = _sici_series(xs)
+    co_s, sn_s = jnp.cos(xs), jnp.sin(xs)
+    f_small = (0.5 * jnp.pi - si_s) * co_s + ci_s * sn_s
+    g_small = (0.5 * jnp.pi - si_s) * sn_s - ci_s * co_s
+    xl = jnp.maximum(x, 4.0)
+    f_large, g_large = _aux_fg(xl)
+    small = x <= 4.0
+    return (jnp.where(small, f_small, f_large),
+            jnp.where(small, g_small, g_large))
+
+
+def aux_fm(x):
+    """f(x) - 1/x, cancellation-free at large x.
+
+    f -> 1/x asymptotically, so forming f - 1/x from f loses all
+    relative accuracy at large x; here the mid-range uses dedicated
+    Chebyshev fits of F(u) - 1 = x f - 1 and the far range the exact
+    asymptotic series -(1/x)(2!/x^2 - 4!/x^4 + ...)."""
+    x = jnp.asarray(x)
+    # Small x: f is O(1), 1/x dominates — direct subtraction is fine.
+    xs = jnp.clip(x, 1e-300, 4.0)
+    f_small = aux_fg(xs)[0] - 1.0 / xs
+    # Mid ranges: (F(u) - 1) * u from the fitted tables.
+    u = 1.0 / jnp.maximum(x, 4.0)
+    ua = jnp.clip(u, _cf.sici_a_range[0], _cf.sici_a_range[1])
+    fm_a = _cheb_on(_cf.sici_a_fm, *_cf.sici_a_range, ua) * ua
+    ub = jnp.clip(u, _cf.sici_b_range[0], _cf.sici_b_range[1])
+    fm_b = _cheb_on(_cf.sici_b_fm, *_cf.sici_b_range, ub) * ub
+    # Far range: exact asymptotic series (leading term -2/x^3).
+    xc = jnp.maximum(x, 64.0)
+    w = 1.0 / (xc * xc)
+    fm_c = jnp.zeros_like(x)
+    for k in range(6, 0, -1):
+        fm_c = fm_c * w + (-1.0) ** k * math.factorial(2 * k)
+    fm_c = fm_c * w / xc
+    out = jnp.where(x <= 16.0, fm_a, jnp.where(x <= 64.0, fm_b, fm_c))
+    return jnp.where(x <= 4.0, f_small, out)
+
+
 # ---------------------------------------------------------------------------
 # Bessel J0, J1, J2.
 # ---------------------------------------------------------------------------

@@ -162,3 +162,29 @@ def test_jit_grad_wtheta(fiducial, win):
 
     g = jax.grad(w01)(jnp.asarray(0.278))
     assert np.isfinite(float(g)) and float(g) != 0.0
+
+
+def test_fused_operator_matches_unfused(fiducial, win):
+    """wtheta_from_cl_fused (static-bins composed operator) == the
+    two-stage matmul+log-interp path."""
+    ells, _, _ = correlation.ell_grid(DEFAULT_GRID)
+    pt = projection.power_table_linear(fiducial)
+    cl = projection.limber_cl(fiducial, win, win, jnp.asarray(ells), pt)
+    th = np.array([0.003, 0.03, 0.3])
+    w_fused = correlation.wtheta_from_cl_fused(cl, th)
+    w_ref = correlation.wtheta_from_cl(cl, jnp.asarray(th))
+    np.testing.assert_allclose(np.asarray(w_fused), np.asarray(w_ref),
+                               rtol=2e-5)
+
+
+def test_pallas_engine_interpret(fiducial, win):
+    """Pallas FFTLog-apply kernel (interpret mode on CPU) matches XLA."""
+    ells, _, _ = correlation.ell_grid(DEFAULT_GRID)
+    pt = projection.power_table_linear(fiducial)
+    cl = projection.limber_cl(fiducial, win, win, jnp.asarray(ells), pt)
+    batch = jnp.stack([cl, 1.5 * cl]).astype(jnp.float32)
+    th = np.array([0.01, 0.1, 1.0])
+    w_pallas = correlation.wtheta_from_cl_fused(batch, th, engine="pallas")
+    w_xla = correlation.wtheta_from_cl_fused(batch, th, engine="xla")
+    np.testing.assert_allclose(np.asarray(w_pallas),
+                               np.asarray(w_xla, dtype=np.float32), rtol=2e-5)

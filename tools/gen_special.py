@@ -86,15 +86,20 @@ def main():
         ulo, uhi = 1.0 / xhi, 1.0 / xlo
         Ffn = lambda u: aux_fg_mp(1.0 / u)[0] / u      # F = x f
         Gfn = lambda u: aux_fg_mp(1.0 / u)[1] / u**2   # G = x^2 g
+        FMfn = lambda u: aux_fg_mp(1.0 / u)[0] / u - 1.0  # F - 1 = x f - 1
         cF = fit_cheb(Ffn, ulo, uhi, deg, n=400)
         cG = fit_cheb(Gfn, ulo, uhi, deg, n=400)
+        cFM = fit_cheb(FMfn, ulo, uhi, deg, n=400)
         out[f"{name}_f"] = cF
         out[f"{name}_g"] = cG
+        out[f"{name}_fm"] = cFM
         xs = np.linspace(xlo, xhi, 4001)
         fg = aux_fg_mp(xs)
         errF = np.max(np.abs(cheb_eval(cF, ulo, uhi, 1 / xs) - fg[0] * xs))
         errG = np.max(np.abs(cheb_eval(cG, ulo, uhi, 1 / xs) - fg[1] * xs**2))
-        checks.append((name, max(errF, errG)))
+        errFM = np.max(np.abs(cheb_eval(cFM, ulo, uhi, 1 / xs)
+                              - (fg[0] * xs - 1.0)))
+        checks.append((name, max(errF, errG, errFM)))
         out[f"{name}_range"] = np.array([ulo, uhi])
 
     # --- J0, J1 on [0, 8]: Chebyshev in t = x^2 -------------------------
