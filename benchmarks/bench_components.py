@@ -1,0 +1,89 @@
+"""Per-component benchmark harness (SURVEY.md §5.1: the tracing/
+profiling subsystem the reference never had).
+
+Prints a stage-by-stage timing table for the flagship pipeline plus the
+BASELINE.json secondary metric (batched C_ell / P(k) evals per second
+per chip).  Run on any backend; the driver's headline number comes from
+bench.py instead.
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timed(f, *args, reps=3):
+    out = f(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = f(*args)
+        jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def main(batch_size: int = 100):
+    from chomp_tpu import correlation, default_cosmo, default_halo, halo
+    from chomp_tpu import limber_fft, linear, projection
+    from chomp_tpu.hod import default_hod
+    from chomp_tpu.params import DEFAULT_GRID
+    from chomp_tpu.parallel.sweep import broadcast_cosmo, make_pipeline
+
+    b = batch_size
+    oms = jnp.linspace(0.24, 0.32, b)
+    batch = broadcast_cosmo(default_cosmo(), omega_m0=oms, omega_l0=1.0 - oms)
+    h = default_halo()
+    hod = default_hod()
+    dist = projection.DNdzGaussian(
+        z_min=jnp.asarray(0.0), z_max=jnp.asarray(2.0),
+        z0=jnp.asarray(1.0), sigma_z=jnp.asarray(0.2))
+    win = projection.WindowGalaxy(dist=dist)
+    ells_np = correlation.ell_grid(DEFAULT_GRID)[0]
+
+    print(f"device: {jax.devices()[0]}   batch: {b}")
+    rows = []
+
+    def stage(name, fn):
+        f = jax.jit(jax.vmap(fn))
+        dt = timed(f, batch)
+        rows.append((name, dt / b * 1e3))
+
+    stage("linear P(k) [1024 pts]",
+          lambda c: linear.linear_power(
+              c, jnp.asarray(np.logspace(-3, 2, 1024))))
+    stage("mass tables + halo model",
+          lambda c: halo.build_halo_model(c, h, hod).n_g)
+    stage("halo P on Limber lattice",
+          lambda c: limber_fft.p_lattice_halo(
+              c, h, halo.build_halo_model(c, h, hod), "power_gg"))
+
+    def cl_fn(c):
+        model = halo.build_halo_model(c, h, hod)
+        p = limber_fft.p_lattice_halo(c, h, model, "power_gg")
+        return limber_fft.limber_cl_fft(c, win, win, ells_np, p,
+                                        growth_pivot=model.mass.growth)
+
+    stage("+ Limber C_ell [1024 ells]", cl_fn)
+    full = make_pipeline(h, hod, dist)
+    stage("full w+gamma_t pipeline", full)
+
+    print(f"{'stage':34s} ms/cosmology")
+    for name, ms in rows:
+        print(f"  {name:32s} {ms:8.3f}")
+
+    # Secondary BASELINE metric: batched C_ell evals/sec/chip.
+    f = jax.jit(jax.vmap(cl_fn))
+    dt = timed(f, batch)
+    evals = b * len(ells_np)
+    print(f"\nC_ell throughput: {evals / dt:.3e} ell-evals/sec/chip "
+          f"({b} cosmologies x {len(ells_np)} ells in {dt*1e3:.1f} ms)")
+
+
+if __name__ == "__main__":
+    main()

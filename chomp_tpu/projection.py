@@ -249,3 +249,55 @@ def limber_cl(cosmo: CosmoParams, win_a, win_b, ells, p_table: PowerTable,
     k = (ells[:, None] + ell_offset) / chi[None, :]  # (nl, nz)
     p = p_table(k)
     return jnp.sum(p * kern[None, :], axis=-1)
+
+
+def limber_cl_exact_z(cosmo: CosmoParams, halo_params, hod, win_a, win_b,
+                      ells, kind: str = "power_gg", n_z: int = 32,
+                      with_bao: bool = False, grid: GridSpec = DEFAULT_GRID):
+    """Limber C_ell with EXACT redshift evolution of the halo model.
+
+    Capability upgrade over the reference: chomp (and this framework's
+    fast paths) use the separable approximation P(k, z) = P(k, z_pivot)
+    D^2(z)/D^2(z_pivot), which ignores the z-evolution of the mass
+    function, bias, HOD occupation of the halo field, and concentrations
+    (a few-percent effect on nonlinear scales across a wide kernel).
+    Here the FULL halo model is rebuilt at every projection node — on
+    TPU that is just a vmap over z of the same fused tensor program —
+    and P((ell+1/2)/chi(z), z) is evaluated EXACTLY at each node's k
+    column (no interpolation anywhere).
+
+    For ``kind='linear_power'`` the result equals the separable path
+    identically (linear growth IS separable) — used as the validation
+    anchor in the tests.
+    """
+    import jax
+
+    from chomp_tpu import halo as halo_mod
+    from chomp_tpu.grids import gl_fixed
+
+    ells = jnp.atleast_1d(jnp.asarray(ells))
+    lo_a, hi_a = win_a.support()
+    lo_b, hi_b = win_b.support()
+    lo = jnp.maximum(jnp.maximum(lo_a, lo_b), 1e-4)
+    hi = jnp.minimum(hi_a, hi_b)
+
+    x, w = gl_fixed(0.0, 1.0, n_z)
+    x = jnp.asarray(x)
+    w = jnp.asarray(w)
+    z = lo + (hi - lo) * x
+    wz = w * (hi - lo)
+    chi = background.comoving_distance(cosmo, z, grid.n_dist)
+    wa = win_a.window_z(cosmo, z, grid)
+    wb = win_b.window_z(cosmo, z, grid)
+    dchi_dz = C_OVER_H0 / background.ez(cosmo, z)
+    kern = wa * wb * dchi_dz / chi**2 * wz               # (nz,)
+
+    def p_column(z_j, chi_j):
+        k_col = (ells + 0.5) / chi_j                     # (nl,)
+        model = halo_mod.build_halo_model(cosmo, halo_params, hod, z_j,
+                                          with_bao, grid)
+        return halo_mod.powers(cosmo, halo_params, model, k_col,
+                               with_bao, grid)[kind]
+
+    p = jax.vmap(p_column)(z, chi)                       # (nz, nl)
+    return jnp.sum(p * kern[:, None], axis=0)
