@@ -187,15 +187,24 @@ def limber_cl_fft(cosmo: CosmoParams, win_a, win_b, ells, p_lattice,
     return jnp.matmul(conv, w.T, precision=jax.lax.Precision.HIGHEST)
 
 
-def p_lattice_halo(cosmo, halo_params, model, kind: str,
-                   with_bao: bool = False, grid: GridSpec = DEFAULT_GRID):
-    """Halo-model P on the lattice — EXACT evaluation (the direct tensor
-    contraction; no interpolation anywhere in the fast path)."""
+def p_lattice_halo_all(cosmo, halo_params, model,
+                       with_bao: bool = False,
+                       grid: GridSpec = DEFAULT_GRID):
+    """ALL halo-model spectra on the lattice in one evaluation (the
+    y-matrices are shared across mm/gm/gg — callers needing several
+    kinds, like the clustering+lensing pipeline, should use this)."""
     from chomp_tpu import halo as halo_mod
 
     ln_k = k_lattice()
     return halo_mod.powers(cosmo, halo_params, model,
-                           jnp.asarray(np.exp(ln_k)), with_bao, grid)[kind]
+                           jnp.asarray(np.exp(ln_k)), with_bao, grid)
+
+
+def p_lattice_halo(cosmo, halo_params, model, kind: str,
+                   with_bao: bool = False, grid: GridSpec = DEFAULT_GRID):
+    """Halo-model P on the lattice — EXACT evaluation (the direct tensor
+    contraction; no interpolation anywhere in the fast path)."""
+    return p_lattice_halo_all(cosmo, halo_params, model, with_bao, grid)[kind]
 
 
 def p_lattice_linear(cosmo, with_bao: bool = False,

@@ -79,23 +79,27 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
     ells_np = correlation.ell_grid(grid)[0]
     ells = jnp.asarray(ells_np)
 
-    def cl_pair(cosmo, model, wa, wb, kind):
+    theta_key = np.asarray(theta_deg)
+
+    def cl_from_p(cosmo, model, wa, wb, p_kind_table, kind):
         if method == "fft":
-            p_lat = limber_fft.p_lattice_halo(cosmo, halo_params, model,
-                                              kind, with_bao, grid)
-            return limber_fft.limber_cl_fft(cosmo, wa, wb, ells_np, p_lat,
-                                            grid,
+            return limber_fft.limber_cl_fft(cosmo, wa, wb, ells_np,
+                                            p_kind_table[kind], grid,
                                             growth_pivot=model.mass.growth)
         pt = projection.power_table_halo(cosmo, halo_params, model, kind,
                                          with_bao, grid)
         return projection.limber_cl(cosmo, wa, wb, ells, pt, grid)
 
-    theta_key = np.asarray(theta_deg)
-
     def fn(cosmo: CosmoParams):
         model = halo_mod.build_halo_model(cosmo, halo_params, hod, z_pivot,
                                           with_bao, grid)
-        cl_gg = cl_pair(cosmo, model, win_g, win_g, power_spec)
+        # One shared evaluation for every spectrum kind (the y-matrices
+        # dominate the halo stage; computing gg and gm separately would
+        # double it).
+        p_all = (limber_fft.p_lattice_halo_all(cosmo, halo_params, model,
+                                               with_bao, grid)
+                 if method == "fft" else None)
+        cl_gg = cl_from_p(cosmo, model, win_g, win_g, p_all, power_spec)
         out = {
             "theta_deg": theta_deg,
             "w_theta": correlation.wtheta_from_cl_fused(cl_gg, theta_key,
@@ -103,7 +107,7 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
             "n_g": model.n_g,
         }
         if include_lensing:
-            cl_kg = cl_pair(cosmo, model, win_k, win_g, "power_gm")
+            cl_kg = cl_from_p(cosmo, model, win_k, win_g, p_all, "power_gm")
             out["gamma_t"] = correlation.wtheta_from_cl_fused(cl_kg, theta_key,
                                                               grid, 2.0)
         return out

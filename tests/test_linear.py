@@ -110,3 +110,57 @@ def test_growth_scaling_of_sigma(fiducial):
     s1 = linear.sigma_m(fiducial, 1e13, z=1.0)
     d1 = background.growth_factor(fiducial, 1.0)
     np.testing.assert_allclose(s1 / s0, d1, rtol=1e-10)
+
+
+def test_with_bao_pipeline_end_to_end(fiducial):
+    """BASELINE configs[0]: wiggle EH transfer drives the full pipeline;
+    w(theta) shifts from the no-wiggle default by a small, bounded
+    amount (BAO feature level)."""
+    import jax
+
+    from chomp_tpu import correlation, limber_fft, projection
+    from chomp_tpu import default_halo, halo
+    from chomp_tpu.hod import default_hod
+
+    h = default_halo()
+    hod = default_hod()
+    dist = projection.DNdzGaussian(
+        z_min=jnp.asarray(0.0), z_max=jnp.asarray(2.0),
+        z0=jnp.asarray(1.0), sigma_z=jnp.asarray(0.2))
+    win = projection.WindowGalaxy(dist=dist)
+    ells = correlation.ell_grid()[0]
+    th = np.array([0.05, 0.5])
+
+    def w_of(with_bao):
+        model = halo.build_halo_model(fiducial, h, hod, with_bao=with_bao)
+        p = limber_fft.p_lattice_halo(fiducial, h, model, "power_gg",
+                                      with_bao=with_bao)
+        cl = limber_fft.limber_cl_fft(fiducial, win, win, ells, p,
+                                      growth_pivot=model.mass.growth)
+        return np.asarray(correlation.wtheta_from_cl_fused(cl, th))
+
+    w_nw = w_of(False)
+    w_bao = w_of(True)
+    rel = np.abs(w_bao / w_nw - 1)
+    assert np.all(np.isfinite(w_bao)) and np.all(w_bao > 0)
+    assert np.all(rel < 0.1) and np.any(rel > 1e-4)
+
+
+def test_diagnostics_convergence_report(fiducial):
+    from chomp_tpu import projection
+    from chomp_tpu import default_halo
+    from chomp_tpu.hod import default_hod
+    from chomp_tpu.params import GridSpec
+    from chomp_tpu.utils.diagnostics import convergence_report
+
+    tiny = GridSpec(n_k=64, n_k_table=256, sigma_panels=8,
+                    sigma_n_per_panel=32, n_growth=32, n_dist=32, n_mass=256,
+                    n_z_proj=32, n_z_lens=32, n_ell=256, n_theta=8,
+                    n_z_dndz=64, n_mu=8)
+    dist = projection.DNdzGaussian(
+        z_min=jnp.asarray(0.0), z_max=jnp.asarray(2.0),
+        z0=jnp.asarray(1.0), sigma_z=jnp.asarray(0.2))
+    rep = convergence_report(fiducial, default_halo(), default_hod(), dist,
+                             grid=tiny)
+    assert set(rep) == {"n_mass", "sigma_panels", "n_growth", "n_dist"}
+    assert all(v < 1e-2 for v in rep.values())
