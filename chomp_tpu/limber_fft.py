@@ -24,7 +24,7 @@ is a 1-D convolution of two log-lattice-sampled sequences:
      matmul, because both the lattice and s_ell = ln(ell + offset) are
      static.
 
-Accuracy: the lattice trapezoid rule at spacing LATTICE_DLN converges
+Accuracy: the lattice trapezoid rule at spacing grid.lattice_dln converges
 as O(d^2) on the smooth window kernel; validated against the GL
 reference path to <1e-4 (tests).  Cost: one (B, ~2^13) FFT triple plus
 two small matmuls — ~100x less wall-clock than the gather path.
@@ -40,25 +40,31 @@ import numpy as np
 from chomp_tpu import background
 from chomp_tpu.params import C_OVER_H0, DEFAULT_GRID, CosmoParams, GridSpec
 
-# Static lattice (shared by P and G; spacing sets the trapezoid error).
-LATTICE_DLN = 0.005
 # Pre-whitening tilt: convolve (P k^alpha) with (G chi^-alpha) and untilt
 # the output by e^{-alpha s}.  An exact identity in exact arithmetic; in
 # float32 it flattens the convolution output's ~10-decade dynamic range
 # so the FFT noise floor (set by the peak) no longer swamps the high-ell
 # C_ell tail (measured: w(0.001 deg) f32 error 4e-3 -> ~1e-4).
 TILT_ALPHA = 1.5
-LN_K_LO, LN_K_HI = np.log(1.0e-5), np.log(2.0e7)
-LN_CHI_LO, LN_CHI_HI = np.log(0.5), np.log(1.5e4)
+
+
+def _lattice_key(grid: GridSpec):
+    return (grid.lattice_dln, grid.lattice_k_lo, grid.lattice_k_hi,
+            grid.lattice_chi_lo, grid.lattice_chi_hi)
 
 
 @lru_cache(maxsize=None)
-def _lattices():
-    n_k = int(np.ceil((LN_K_HI - LN_K_LO) / LATTICE_DLN)) + 1
-    ln_k = LN_K_LO + LATTICE_DLN * np.arange(n_k)
-    n_chi = int(np.ceil((LN_CHI_HI - LN_CHI_LO) / LATTICE_DLN)) + 1
-    ln_chi = LN_CHI_LO + LATTICE_DLN * np.arange(n_chi)
+def _lattices_from_key(key):
+    dln, k_lo, k_hi, chi_lo, chi_hi = key
+    n_k = int(np.ceil(np.log(k_hi / k_lo) / dln)) + 1
+    ln_k = np.log(k_lo) + dln * np.arange(n_k)
+    n_chi = int(np.ceil(np.log(chi_hi / chi_lo) / dln)) + 1
+    ln_chi = np.log(chi_lo) + dln * np.arange(n_chi)
     return ln_k, ln_chi
+
+
+def _lattices(grid: GridSpec = DEFAULT_GRID):
+    return _lattices_from_key(_lattice_key(grid))
 
 
 @lru_cache(maxsize=None)
@@ -70,16 +76,17 @@ def _fft_len(n: int) -> int:
 
 
 @lru_cache(maxsize=None)
-def _s_weights(ells_key, ell_offset: float):
+def _s_weights(ells_key, ell_offset: float, lattice_key):
     """Static cubic (Catmull-Rom) interpolation matrix from the lattice
     convolution output C(s_n), s_n = ln_k_lo + ln_chi_lo + n d, to the
     requested s_ell = ln(ell + offset).  Pure numpy — built once."""
     ells = np.asarray(ells_key)
-    ln_k, ln_chi = _lattices()
+    ln_k, ln_chi = _lattices_from_key(lattice_key)
+    dln = lattice_key[0]
     s0 = ln_k[0] + ln_chi[0]
     n_out = len(ln_k) + len(ln_chi) - 1
     s_ell = np.log(ells + ell_offset)
-    t = (s_ell - s0) / LATTICE_DLN
+    t = (s_ell - s0) / dln
     i = np.clip(np.floor(t).astype(int), 1, n_out - 3)
     f = t - i
     w = np.zeros((len(ells), n_out))
@@ -92,9 +99,9 @@ def _s_weights(ells_key, ell_offset: float):
     return w
 
 
-def k_lattice():
+def k_lattice(grid: GridSpec = DEFAULT_GRID):
     """The static ln k lattice on which P must be supplied (numpy)."""
-    ln_k, _ = _lattices()
+    ln_k, _ = _lattices(grid)
     return ln_k
 
 
@@ -130,6 +137,48 @@ def _conv_direct(p, g, j_lo: int, j_hi: int):
     return out[0, 0, :j_hi - j_lo]
 
 
+def _window_on_lattice(cosmo, win, z, chi, grid, z_table=None):
+    """Window values at the (sorted, uniform-in-ln-chi) lattice nodes.
+
+    For the lensing-efficiency window the generic path runs a nested GL
+    quadrature per node (n_chi x n_z_lens x n_dist evaluations); on the
+    monotone lattice both inner integrals are CUMULATIVE:
+
+      W_kappa = (3/2) Om/c^2 (1+z) chi [F1(z) - chi F2(z)],
+      F1(z) = int_z^zmax p dz',  F2(z) = int_z^zmax p/chi' dz'.
+
+    Both are integrated in u = ln chi' (the lattice variable, uniform),
+    per-segment composite SIMPSON with the exact-lattice midpoints
+    chi = e^{u + du/2} — O(du^4) accuracy, one reverse cumsum each,
+    gather-free (validated against the generic GL window to ~1e-7)."""
+    from chomp_tpu.projection import WindowConvergence, dndz
+
+    if isinstance(win, WindowConvergence):
+        if z_table is None:
+            raise ValueError("lattice lensing window needs the z table")
+        zt, chit = z_table
+        dln = grid.lattice_dln
+        chi_mid = chi * float(np.exp(0.5 * dln))
+        z_mid = jnp.interp(chi_mid, chit, zt)
+        # Integrands in u-measure: dz' = (c/E) / chi' ... careful:
+        # dchi = (c/E) dz  =>  dz = (E/c) dchi = (E/c) chi du.
+        def q(z_pts, chi_pts):
+            p = dndz(win.dist, z_pts, grid)
+            jac = background.ez(cosmo, z_pts) / C_OVER_H0 * chi_pts
+            return p * jac, p * jac / chi_pts
+
+        q1, q2 = q(z, chi)
+        q1m, q2m = q(z_mid, chi_mid)
+        seg1 = dln / 6.0 * (q1[:-1] + 4.0 * q1m[:-1] + q1[1:])
+        seg2 = dln / 6.0 * (q2[:-1] + 4.0 * q2m[:-1] + q2[1:])
+        zero = jnp.zeros((1,), dtype=q1.dtype)
+        f1 = jnp.concatenate([jnp.cumsum(seg1[::-1])[::-1], zero])
+        f2 = jnp.concatenate([jnp.cumsum(seg2[::-1])[::-1], zero])
+        pref = 1.5 * cosmo.omega_m0 / C_OVER_H0**2
+        return pref * (1.0 + z) * chi * (f1 - chi * f2)
+    return win.window_z(cosmo, z, grid)
+
+
 def limber_cl_fft(cosmo: CosmoParams, win_a, win_b, ells, p_lattice,
                   grid: GridSpec = DEFAULT_GRID, ell_offset: float = 0.5,
                   growth_pivot=1.0, n_z_table: int = 1024,
@@ -142,7 +191,7 @@ def limber_cl_fft(cosmo: CosmoParams, win_a, win_b, ells, p_lattice,
     "direct" (grouped conv on the MXU; float32-robust — default) or
     "fft" (whitened FFT; fastest, float64-grade in x64 mode).
     """
-    ln_k, ln_chi = _lattices()
+    ln_k, ln_chi = _lattices(grid)
     chi = jnp.asarray(np.exp(ln_chi))
 
     # z(chi) via a small static inverse table (one tiny gather, off the
@@ -152,14 +201,15 @@ def limber_cl_fft(cosmo: CosmoParams, win_a, win_b, ells, p_lattice,
     z = jnp.interp(chi, chit, zt)
 
     d = background.growth_factor(cosmo, z, grid.n_growth) / growth_pivot
-    wa = win_a.window_z(cosmo, z, grid)
-    wb = win_b.window_z(cosmo, z, grid)
-    g = wa * wb * d * d / chi * LATTICE_DLN          # trapezoid weights
+    wa = _window_on_lattice(cosmo, win_a, z, chi, grid, (zt, chit))
+    wb = _window_on_lattice(cosmo, win_b, z, chi, grid, (zt, chit))
+    g = wa * wb * d * d / chi * grid.lattice_dln     # trapezoid weights
 
     n_k = ln_k.shape[0]
     n_chi_n = ln_chi.shape[0]
     n_out = n_k + n_chi_n - 1
-    w_full = _s_weights(tuple(np.asarray(ells).tolist()), ell_offset)
+    w_full = _s_weights(tuple(np.asarray(ells).tolist()), ell_offset,
+                        _lattice_key(grid))
     if conv_method == "direct":
         # Only the interpolation window of the output is needed.
         used = np.nonzero(np.any(w_full != 0.0, axis=0))[0]
@@ -178,7 +228,7 @@ def limber_cl_fft(cosmo: CosmoParams, win_a, win_b, ells, p_lattice,
         pf = jnp.fft.rfft(p_lattice * tilt_p, n=nfft, axis=-1)
         gf = jnp.fft.rfft(g * tilt_g, n=nfft, axis=-1)
         conv = jnp.fft.irfft(pf * gf, n=nfft, axis=-1)[..., :n_out]
-        s_grid = np.arange(n_out) * LATTICE_DLN
+        s_grid = np.arange(n_out) * grid.lattice_dln
         conv = conv * jnp.asarray(np.exp(-TILT_ALPHA * s_grid))
 
     import jax
@@ -195,7 +245,7 @@ def p_lattice_halo_all(cosmo, halo_params, model,
     kinds, like the clustering+lensing pipeline, should use this)."""
     from chomp_tpu import halo as halo_mod
 
-    ln_k = k_lattice()
+    ln_k = k_lattice(grid)
     return halo_mod.powers(cosmo, halo_params, model,
                            jnp.asarray(np.exp(ln_k)), with_bao, grid)
 
@@ -211,6 +261,6 @@ def p_lattice_linear(cosmo, with_bao: bool = False,
                      grid: GridSpec = DEFAULT_GRID):
     from chomp_tpu import linear
 
-    ln_k = k_lattice()
+    ln_k = k_lattice(grid)
     return linear.linear_power(cosmo, jnp.asarray(np.exp(ln_k)), 0.0,
                                with_bao, grid)

@@ -177,6 +177,15 @@ class GridSpec:
     # Redshift-distribution normalization quadrature.
     n_z_dndz: int = 256
 
+    # FFT-convolution Limber lattice (chomp_tpu.limber_fft): spacing sets
+    # the trapezoid error; the k/chi ranges bound the reachable
+    # (ell+1/2)/chi arguments.
+    lattice_dln: float = 0.008
+    lattice_k_lo: float = 1.0e-5
+    lattice_k_hi: float = 2.0e7
+    lattice_chi_lo: float = 0.5
+    lattice_chi_hi: float = 1.5e4
+
     # Trispectrum angle-average quadrature order.
     n_mu: int = 32
 

@@ -127,17 +127,21 @@ def test_with_bao_pipeline_end_to_end(fiducial):
     dist = projection.DNdzGaussian(
         z_min=jnp.asarray(0.0), z_max=jnp.asarray(2.0),
         z0=jnp.asarray(1.0), sigma_z=jnp.asarray(0.2))
+    from chomp_tpu.params import DEFAULT_GRID
+
+    g = DEFAULT_GRID.replace(n_mass=256, lattice_dln=0.02, n_ell=512)
     win = projection.WindowGalaxy(dist=dist)
-    ells = correlation.ell_grid()[0]
+    ells = correlation.ell_grid(g)[0]
     th = np.array([0.05, 0.5])
 
     def w_of(with_bao):
-        model = halo.build_halo_model(fiducial, h, hod, with_bao=with_bao)
+        model = halo.build_halo_model(fiducial, h, hod, with_bao=with_bao,
+                                      grid=g)
         p = limber_fft.p_lattice_halo(fiducial, h, model, "power_gg",
-                                      with_bao=with_bao)
-        cl = limber_fft.limber_cl_fft(fiducial, win, win, ells, p,
+                                      with_bao=with_bao, grid=g)
+        cl = limber_fft.limber_cl_fft(fiducial, win, win, ells, p, g,
                                       growth_pivot=model.mass.growth)
-        return np.asarray(correlation.wtheta_from_cl_fused(cl, th))
+        return np.asarray(correlation.wtheta_from_cl_fused(cl, th, g))
 
     w_nw = w_of(False)
     w_bao = w_of(True)
@@ -156,7 +160,7 @@ def test_diagnostics_convergence_report(fiducial):
     tiny = GridSpec(n_k=64, n_k_table=256, sigma_panels=8,
                     sigma_n_per_panel=32, n_growth=32, n_dist=32, n_mass=256,
                     n_z_proj=32, n_z_lens=32, n_ell=256, n_theta=8,
-                    n_z_dndz=64, n_mu=8)
+                    n_z_dndz=64, n_mu=8, lattice_dln=0.02)
     dist = projection.DNdzGaussian(
         z_min=jnp.asarray(0.0), z_max=jnp.asarray(2.0),
         z0=jnp.asarray(1.0), sigma_z=jnp.asarray(0.2))

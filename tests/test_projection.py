@@ -159,7 +159,8 @@ def test_limber_exact_z_linear_anchor(fiducial):
                                   grid=DEFAULT_GRID.replace(n_z_proj=64))
     cl_exact = projection.limber_cl_exact_z(
         fiducial, default_halo(), default_hod(), win, win, ells,
-        kind="linear_power", n_z=64)
+        kind="linear_power", n_z=64,
+        grid=DEFAULT_GRID.replace(n_mass=128))
     np.testing.assert_allclose(np.asarray(cl_exact), np.asarray(cl_sep),
                                rtol=2e-5)
 
@@ -175,8 +176,10 @@ def test_limber_exact_z_nonlinear_differs_sensibly(fiducial):
     hod = default_hod()
     win = projection.WindowGalaxy(dist=gauss_dist())
     ells = jnp.asarray([100.0, 3000.0, 30000.0])
+    small = DEFAULT_GRID.replace(n_mass=256)
     cl_exact = np.asarray(projection.limber_cl_exact_z(
-        fiducial, h, hod, win, win, ells, kind="power_gg", n_z=24))
+        fiducial, h, hod, win, win, ells, kind="power_gg", n_z=24,
+        grid=small))
     # Separable pivoted at the kernel's mean z (z_bar ~ 1): within ~1%
     # of exact (residual = genuine structure-evolution physics).
     model1 = halo.build_halo_model(fiducial, h, hod, z=1.0)
@@ -192,5 +195,6 @@ def test_limber_exact_z_nonlinear_differs_sensibly(fiducial):
     assert np.abs(cl_exact[0] / cl_sep0[0] - 1) > 0.2
     # n_z convergence.
     cl_exact2 = np.asarray(projection.limber_cl_exact_z(
-        fiducial, h, hod, win, win, ells, kind="power_gg", n_z=32))
+        fiducial, h, hod, win, win, ells, kind="power_gg", n_z=32,
+        grid=small))
     np.testing.assert_allclose(cl_exact, cl_exact2, rtol=2e-3)

@@ -92,3 +92,17 @@ def test_dryrun_multichip_runs():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_pytree_io_roundtrip(tmp_path, fiducial):
+    from chomp_tpu.utils.io import load_pytree, save_pytree
+
+    oms = jnp.asarray([0.25, 0.3])
+    batch = broadcast_cosmo(fiducial, omega_m0=oms, omega_l0=1.0 - oms)
+    path = tmp_path / "chunk.npz"
+    save_pytree(path, batch)
+    back = load_pytree(path, batch)
+    np.testing.assert_allclose(np.asarray(back.omega_m0),
+                               np.asarray(batch.omega_m0), rtol=0)
+    np.testing.assert_allclose(np.asarray(back.sigma_8),
+                               np.asarray(batch.sigma_8), rtol=0)
