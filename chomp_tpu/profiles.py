@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from chomp_tpu import background
 from chomp_tpu.params import CosmoParams, HaloParams
-from chomp_tpu.special import aux_fg, aux_fm, si_ci  # noqa: F401 (si_ci re-exported)
+from chomp_tpu.special import aux_fg, aux_fm, aux_g, si_ci  # noqa: F401
 
 
 def concentration(halo: HaloParams, m, m_star, z=0.0):
@@ -77,8 +77,8 @@ def y_nfw(cosmo: CosmoParams, halo: HaloParams, k, m, m_star, z=0.0):
     rs = rv / c
     x = k * rs
     b = (1.0 + c) * x
-    g_a = aux_fg(x)[1]
-    g_b = aux_fg(b)[1]
+    g_a = aux_g(x)
+    g_b = aux_g(b)
     fm_b = aux_fm(b)
     mu = jnp.log(1.0 + c) - c / (1.0 + c)
     cx = c * x

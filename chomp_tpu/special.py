@@ -26,8 +26,22 @@ import jax.numpy as jnp
 from chomp_tpu import _special_coeffs as _cf
 
 
+def _trim(coeffs, x, tol32: float = 3e-9):
+    """Drop Chebyshev tail terms below the dtype's needs: float32 code
+    keeps ~1e-8 coefficients (half the terms of the 1e-15 float64
+    tables) — the dtype check is static under jit, so each precision
+    compiles its own right-sized series."""
+    if jnp.result_type(x) != jnp.float32:
+        return coeffs
+    out = list(coeffs)
+    while len(out) > 2 and abs(out[-1]) < tol32:
+        out.pop()
+    return out
+
+
 def _clenshaw(coeffs, x):
     """Chebyshev series at x in [-1, 1]; ``coeffs`` is a static list."""
+    coeffs = _trim(coeffs, x)
     b1 = jnp.zeros_like(x)
     b2 = jnp.zeros_like(x)
     for ck in reversed(coeffs[1:]):
@@ -43,11 +57,13 @@ _EULER_GAMMA = 0.5772156649015329
 
 
 def _sici_series(x):
-    """Si, Ci power series for x <= 4 (16 terms; last term < 2e-16)."""
+    """Si, Ci power series for x <= 4 (16 terms in float64, last term
+    < 2e-16; 10 terms suffice for float32)."""
+    n_terms = 16 if jnp.result_type(x) != jnp.float32 else 10
     t = x * x
     si = jnp.zeros_like(x)
     ci = jnp.zeros_like(x)
-    for k in range(15, -1, -1):
+    for k in range(n_terms - 1, -1, -1):
         csi = (-1.0) ** k / ((2 * k + 1) * math.factorial(2 * k + 1))
         si = si * t + csi
         if k >= 1:
@@ -121,6 +137,30 @@ def aux_fg(x):
     small = x <= 4.0
     return (jnp.where(small, f_small, f_large),
             jnp.where(small, g_small, g_large))
+
+
+def aux_g(x):
+    """g(x) alone, full range — the NFW y(k, M) needs only g and f-1/x,
+    so skipping the f evaluations saves ~30% of the special-function
+    cost in the y-matrix hot loop."""
+    x = jnp.asarray(x)
+    xs = jnp.clip(x, 1e-300, 4.0)
+    si_s, ci_s = _sici_series(xs)
+    g_small = (0.5 * jnp.pi - si_s) * jnp.sin(xs) - ci_s * jnp.cos(xs)
+    u = 1.0 / jnp.maximum(x, 4.0)
+    ua = jnp.clip(u, _cf.sici_a_range[0], _cf.sici_a_range[1])
+    ga = _cheb_on(_cf.sici_a_g, *_cf.sici_a_range, ua) * ua * ua
+    ub = jnp.clip(u, _cf.sici_b_range[0], _cf.sici_b_range[1])
+    gb = _cheb_on(_cf.sici_b_g, *_cf.sici_b_range, ub) * ub * ub
+    xc = jnp.maximum(x, 64.0)
+    w = 1.0 / (xc * xc)
+    gc = jnp.zeros_like(x)
+    n_asym = 7 if jnp.result_type(x) != jnp.float32 else 4
+    for k in range(n_asym - 1, -1, -1):
+        gc = gc * w + (-1.0) ** k * math.factorial(2 * k + 1)
+    gc = gc * w
+    out = jnp.where(x <= 16.0, ga, jnp.where(x <= 64.0, gb, gc))
+    return jnp.where(x <= 4.0, g_small, out)
 
 
 def aux_fm(x):
