@@ -1,0 +1,71 @@
+"""float32-vs-float64 tolerance budget (SURVEY.md §4d).
+
+The conftest pins this process to CPU float64; the float32 pipeline is
+exercised in a subprocess (float32 needs x64 disabled at jax import
+time) and compared against the in-process float64 result.  Budget: the
+TPU serving path tracks float64 to ~1e-3 on the worst w(theta) bin
+(measured ~9.5e-4 at 1 deg where the Hankel cancellation is deepest,
+~2e-4 typical) — documented in README; this test pins the contract.
+"""
+
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+
+_SCRIPT = """
+import sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")   # float32: x64 stays off
+import jax.numpy as jnp, numpy as np
+from chomp_tpu import default_cosmo, default_halo, projection
+from chomp_tpu.hod import default_hod
+from chomp_tpu.parallel.sweep import broadcast_cosmo, make_pipeline
+from chomp_tpu.params import GridSpec
+
+grid = GridSpec(n_mass=256, lattice_dln=0.016, n_ell=512, n_theta=16)
+dist = projection.DNdzGaussian(z_min=jnp.asarray(0.0), z_max=jnp.asarray(2.0),
+                               z0=jnp.asarray(1.0), sigma_z=jnp.asarray(0.2))
+fn = make_pipeline(default_halo(), default_hod(), dist, grid=grid)
+oms = jnp.asarray([0.25, 0.31])
+batch = broadcast_cosmo(default_cosmo(), omega_m0=oms, omega_l0=1.0 - oms)
+out = jax.jit(jax.vmap(fn))(batch)
+assert out["w_theta"].dtype == jnp.float32, out["w_theta"].dtype
+np.save({out_path!r}, np.asarray(out["w_theta"], np.float64))
+"""
+
+
+def test_f32_tracks_f64_within_budget(fiducial):
+    from chomp_tpu import projection
+    from chomp_tpu import default_halo
+    from chomp_tpu.hod import default_hod
+    from chomp_tpu.params import GridSpec
+    from chomp_tpu.parallel.sweep import broadcast_cosmo, make_pipeline
+
+    grid = GridSpec(n_mass=256, lattice_dln=0.016, n_ell=512, n_theta=16)
+    dist = projection.DNdzGaussian(
+        z_min=jnp.asarray(0.0), z_max=jnp.asarray(2.0),
+        z0=jnp.asarray(1.0), sigma_z=jnp.asarray(0.2))
+    fn = make_pipeline(default_halo(), default_hod(), dist, grid=grid)
+    oms = jnp.asarray([0.25, 0.31])
+    batch = broadcast_cosmo(fiducial, omega_m0=oms, omega_l0=1.0 - oms)
+    w64 = np.asarray(jax.jit(jax.vmap(fn))(batch)["w_theta"])
+    assert w64.dtype == np.float64
+
+    with tempfile.TemporaryDirectory() as td:
+        out_path = str(Path(td) / "w32.npy")
+        script = _SCRIPT.format(repo=str(REPO), out_path=out_path)
+        subprocess.run([sys.executable, "-c", script], check=True,
+                       capture_output=True, cwd=td)
+        w32 = np.load(out_path)
+
+    rel = np.abs(w32 / w64 - 1.0)
+    assert np.max(rel) < 3e-3, f"f32 budget blown: max rel {np.max(rel)}"
+    assert np.median(rel) < 5e-4
