@@ -478,3 +478,81 @@ def gamma_t_oracle(theta_deg, lmin=1.0, lmax=3e5):
         v, _ = integrate.quad(integ, lo, hi, epsrel=1e-10, limit=200)
         total += v
     return total
+
+
+# ---------------------------------------------------------------------------
+# General-cosmology oracle (non-fiducial validation: w0/wa dark energy,
+# curvature, shifted parameters).  Same conventions as the fiducial
+# functions above, parametrized.
+# ---------------------------------------------------------------------------
+
+
+def cosmo_funcs(om=OM, ob=OB, h=H, s8=SIG8, ns=NS, tcmb=TCMB,
+                w0=-1.0, wa=0.0, ol=None):
+    """Closure bundle of background/linear functions for arbitrary
+    parameters (CPL dark energy, optional curvature via ol != 1-om)."""
+    if ol is None:
+        ol = 1.0 - om
+    ok = 1.0 - om - ol
+
+    def ez_g(z):
+        zp1 = 1.0 + z
+        de = ol * zp1 ** (3.0 * (1.0 + w0 + wa)) * np.exp(
+            -3.0 * wa * (1.0 - 1.0 / zp1))
+        return np.sqrt(om * zp1**3 + ok * zp1**2 + de)
+
+    def chi_g(z):
+        v, _ = integrate.quad(lambda zp: 1.0 / ez_g(zp), 0, z, epsrel=1e-10)
+        return CH * v
+
+    def growth_unnorm_g(z):
+        a = 1.0 / (1 + z)
+        integ, _ = integrate.quad(
+            lambda ap: 1.0 / (ap * ez_g(1.0 / ap - 1.0)) ** 3, 1e-8, a,
+            epsrel=1e-10, limit=300)
+        return 2.5 * om * ez_g(z) * integ
+
+    d0 = None
+
+    def growth_g(z):
+        nonlocal d0
+        if d0 is None:
+            d0 = growth_unnorm_g(0.0)
+        return growth_unnorm_g(z) / d0
+
+    omh2, obh2 = om * h * h, ob * h * h
+    theta = tcmb / 2.7
+    s_nw = 44.5 * np.log(9.83 / omh2) / np.sqrt(1.0 + 10.0 * obh2**0.75)
+    fb = ob / om
+    ag = (1.0 - 0.328 * np.log(431.0 * omh2) * fb
+          + 0.38 * np.log(22.3 * omh2) * fb * fb)
+
+    def transfer_g(k):
+        ks = k * h * s_nw
+        ge = om * h * (ag + (1.0 - ag) / (1.0 + (0.43 * ks) ** 4))
+        q = k * theta * theta / ge
+        l0 = np.log(2.0 * np.e + 1.8 * q)
+        c0 = 14.2 + 731.0 / (1.0 + 62.5 * q)
+        return l0 / (l0 + c0 * q * q)
+
+    def p_unnorm_g(k):
+        return k**ns * transfer_g(k) ** 2
+
+    def sigma2_r_g(r):
+        lnk = np.linspace(np.log(1e-5), np.log(1e3), 2**20 + 1)
+        k = np.exp(lnk)
+        f = k**3 * p_unnorm_g(k) * w_th(k * r) ** 2 / (2 * np.pi**2)
+        return integrate.simpson(f, x=lnk)
+
+    norm_g = s8**2 / sigma2_r_g(8.0)
+
+    def pk_lin_g(k, z=0.0):
+        return norm_g * p_unnorm_g(k) * growth_g(z) ** 2
+
+    def sigma_m_g(m, z=0.0):
+        rho_bar = RHO_CRIT * om
+        r = (3.0 * m / (4.0 * np.pi * rho_bar)) ** (1.0 / 3.0)
+        return np.sqrt(norm_g * sigma2_r_g(r)) * growth_g(z)
+
+    return dict(ez=ez_g, chi=chi_g, growth=growth_g, pk_lin=pk_lin_g,
+                sigma_m=sigma_m_g, norm=lambda: norm_g)

@@ -197,3 +197,23 @@ class TestTrispectrumAndCovariance:
         total = np.asarray(cov.covariance())
         assert total.shape == (5, 5)
         assert np.all(np.linalg.eigvalsh(0.5 * (total + total.T)) > 0)
+
+
+class TestLensingCorrelation:
+    def test_gamma_t_via_j2_kernel(self):
+        """Tangential shear through the compat stack: a J2 kernel pairing
+        a convergence and a galaxy window drives Correlation."""
+        lens_dist = kernel.dNdzGaussian(0.0, 2.0, 1.0, 0.2)
+        src_dist = kernel.dNdzGaussian(0.5, 3.0, 1.2, 0.3)
+        wg = kernel.WindowFunctionGalaxy(lens_dist)
+        wk = kernel.WindowFunctionConvergence(src_dist)
+        kern = kernel.GalaxyGalaxyLensingKernel(1e-8, 10.0, wk, wg)
+        h = halo.Halo(0.0)
+        corr = correlation.GalaxyGalaxyLensingCorrelation(
+            0.01, 1.0, bins=6, input_kernel=kern, input_halo=h,
+            power_spec="power_gm")
+        gt = corr.compute_correlation()
+        assert gt.shape == (6,)
+        assert np.all(np.isfinite(gt)) and np.all(gt > 0)
+        # Tangential shear decreases outward over this range.
+        assert gt[0] > gt[-1]
