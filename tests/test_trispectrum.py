@@ -164,3 +164,72 @@ def test_equal_k_positive_and_symmetric(fiducial, model):
     t_eq = trispectrum.trispectrum_parallelogram(
         fiducial, h, model, jnp.asarray([1.0]), jnp.asarray([1.0]))
     assert float(t_eq[0]) > 0.0
+
+
+def test_i_integrals_vs_quad(fiducial, model):
+    """The I_mu^beta building blocks against direct scipy quadrature
+    (pins the compositional pieces of T2h/T3h/T4h, not just T1h)."""
+    from scipy import integrate
+
+    h = default_halo()
+    m_star_val = float(jnp.exp(model.mass.ln_m_star))
+    rho_bar = oracle.RHO_CRIT * oracle.OM
+    k1, k2 = 0.8, 2.5
+    t = model.mass
+    y1 = trispectrum.y_nfw(fiducial, h, jnp.asarray(k1), t.m,
+                           model.m_star, t.z)
+    y2 = trispectrum.y_nfw(fiducial, h, jnp.asarray(k2), t.m,
+                           model.m_star, t.z)
+
+    def i_ref(mu_exp, beta, kfac):
+        def integrand(lnm):
+            m = np.exp(lnm)
+            val = (oracle._dndlnm_spl(lnm) * (m / rho_bar) ** mu_exp)
+            if beta:
+                val = val * oracle._bias_n_spl(lnm)
+            for kk in kfac:
+                val = val * oracle.y_nfw_mstar(kk, m, m_star_val)
+            return val
+
+        v, _ = integrate.quad(integrand, oracle.LN_M_MIN, oracle.LN_M_MAX,
+                              epsrel=1e-9, limit=400)
+        return v
+
+    ours_i11 = float(trispectrum._i_mu_beta(fiducial, h, model, [y1], 1, 1))
+    np.testing.assert_allclose(ours_i11, i_ref(1, 1, [k1]), rtol=3e-5)
+    ours_i21 = float(trispectrum._i_mu_beta(fiducial, h, model, [y1, y2], 2, 1))
+    np.testing.assert_allclose(ours_i21, i_ref(2, 1, [k1, k2]), rtol=3e-5)
+    ours_i31 = float(trispectrum._i_mu_beta(fiducial, h, model,
+                                            [y1, y2, y2], 3, 1))
+    np.testing.assert_allclose(ours_i31, i_ref(3, 1, [k1, k2, k2]), rtol=3e-5)
+
+
+def test_b_pt_avg_vs_quad(fiducial):
+    """<B_PT(k1,k2,-S)>_mu against direct angle quadrature."""
+    from scipy import integrate
+
+    k1, k2 = 0.3, 0.7
+
+    def b_ref():
+        def integrand(mu):
+            s2 = k1**2 + k2**2 + 2 * k1 * k2 * mu
+            s = np.sqrt(s2)
+            p1 = oracle.pk_lin(k1)
+            p2 = oracle.pk_lin(k2)
+            ps = oracle.pk_lin(s)
+
+            def f2(a2, b2, ab):
+                return (5.0 / 7.0 + 0.5 * ab * (1 / a2 + 1 / b2)
+                        + 2.0 / 7.0 * ab * ab / (a2 * b2))
+
+            k1k2 = k1 * k2 * mu
+            return (2 * f2(k1**2, k2**2, k1k2) * p1 * p2
+                    + 2 * f2(k2**2, s2, -(k2**2 + k1k2)) * p2 * ps
+                    + 2 * f2(s2, k1**2, -(k1**2 + k1k2)) * ps * p1)
+
+        v, _ = integrate.quad(integrand, -1, 1, epsrel=1e-10, limit=200)
+        return 0.5 * v
+
+    ours = float(trispectrum.b_pt_avg(fiducial, jnp.asarray(k1),
+                                      jnp.asarray(k2)))
+    np.testing.assert_allclose(ours, b_ref(), rtol=1e-5)
