@@ -25,6 +25,16 @@ TARGET_S_PER_COSMO = 1.0  # BASELINE.md north-star row
 
 def main():
     import jax
+
+    # Persistent compilation cache: the first full-pipeline compile is
+    # ~3-8 min through the remote-compile tunnel; subsequent processes
+    # reuse the cache.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from chomp_tpu import default_cosmo, default_halo

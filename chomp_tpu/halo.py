@@ -29,8 +29,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from chomp_tpu import background, linear, profiles
-from chomp_tpu.mass import MassTables, build_mass_tables, integrate_lnm, m_star
+from chomp_tpu import linear, profiles
+from chomp_tpu.mass import MassTables, build_mass_tables, m_star
 from chomp_tpu.params import DEFAULT_GRID, CosmoParams, GridSpec, HaloParams
 from chomp_tpu.utils.tree import pytree_dataclass
 

@@ -22,7 +22,6 @@ halo model, Limber, FFTLog).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -25,8 +25,6 @@ def convergence_report(cosmo, halo_params, hod, dist, grid=None) -> dict:
     """Relative shifts of key pipeline outputs under order doubling of
     each quadrature axis.  Everything well below 1e-4 means the static
     GridSpec is converged for this parameter point."""
-    import jax.numpy as jnp
-
     from chomp_tpu import halo as halo_mod
     from chomp_tpu import limber_fft, correlation
     from chomp_tpu.params import DEFAULT_GRID
