@@ -125,3 +125,32 @@ def test_vmap_over_cosmologies(fiducial):
             dataclasses.replace(fiducial, omega_m0=jnp.asarray(om),
                                 omega_l0=jnp.asarray(1.0 - om)), 1.0)
         np.testing.assert_allclose(batched[i], single, rtol=1e-12)
+
+
+def test_growth_ode_matches_integral_for_lcdm(fiducial):
+    """For w = -1 the integral formula is exact: the ODE solution must
+    agree (independent derivation — ODE + RK4 vs quadrature)."""
+    zs = jnp.asarray([0.0, 0.5, 1.0, 2.0])
+    d_int = background.growth_factor(fiducial, zs)
+    d_ode = background.growth_factor_exact(fiducial, zs, n_steps=2048)
+    np.testing.assert_allclose(np.asarray(d_ode), np.asarray(d_int),
+                               rtol=3e-5)
+
+
+def test_growth_ode_cpl_deviation_is_physical(fiducial):
+    """For CPL dark energy the integral formula is approximate; the ODE
+    deviates by a small but nonzero amount (the physics being added)."""
+    import dataclasses
+
+    cpl = dataclasses.replace(fiducial, w0=jnp.asarray(-1.2),
+                              wa=jnp.asarray(0.5))
+    zs = jnp.asarray([0.5, 1.0])
+    d_int = np.asarray(background.growth_factor(cpl, zs))
+    d_ode = np.asarray(background.growth_factor_exact(cpl, zs, n_steps=2048))
+    rel = np.abs(d_ode / d_int - 1.0)
+    assert np.all(rel < 0.05)    # same physics to a few %
+    assert np.any(rel > 1e-4)    # ...but genuinely different
+    # ODE normalization contract.
+    np.testing.assert_allclose(
+        background.growth_factor_exact(cpl, jnp.asarray(0.0)), 1.0,
+        rtol=1e-10)
