@@ -94,23 +94,28 @@ def projected_trispectrum(cosmo: CosmoParams, halo_p: HaloParams,
                           model: HaloModel, dist, ells_cov,
                           galaxy: bool = True, with_bao: bool = False,
                           grid: GridSpec = DEFAULT_GRID,
-                          n_k_tri: int = 96, n_z_tri: int = 24):
-    """T_proj(l, l') on a coarse ell grid: T̄ built once on an
-    (n_k_tri)^2 log-k grid, bilinearly interpolated in (ln k, ln k') at
-    each projection node, contracted over chi with the W^4/chi^6 D^6
-    weight."""
+                          n_k_tri: int = 96, n_z_tri: int = 24,
+                          exact_z: bool = False):
+    """T_proj(l, l') on a coarse ell grid: T̄ built on an (n_k_tri)^2
+    log-k grid, bilinearly interpolated in (ln k, ln k') at each
+    projection node, contracted over chi.
+
+    ``exact_z=False`` (default): one T̄ table at the model's pivot
+    redshift, scaled by the separable D^6(z) (exact for the tree-PT 4h
+    term, leading order for 1h-3h — mirroring chomp's separable P
+    treatment).  ``exact_z=True``: the FULL halo model and T̄ table are
+    rebuilt at every projection node (vmap over z of the same fused
+    program) — no growth approximation anywhere; ~n_z_tri x the cost."""
     ells_cov = jnp.asarray(ells_cov)
-    # T̄ table.
+    # T̄ table(s).
     k_lo, k_hi = grid.k_table_min, grid.k_table_max
     ln_k = jnp.asarray(np.linspace(np.log(k_lo), np.log(k_hi), n_k_tri))
     kk = jnp.exp(ln_k)
     k1g, k2g = jnp.meshgrid(kk, kk, indexing="ij")
-    if galaxy:
-        tbar = trispectrum.trispectrum_parallelogram_galaxy(
-            cosmo, halo_p, model, k1g.ravel(), k2g.ravel(), with_bao, grid)
-    else:
-        tbar = trispectrum.trispectrum_parallelogram(
-            cosmo, halo_p, model, k1g.ravel(), k2g.ravel(), with_bao, grid)
+    tri_fn = (trispectrum.trispectrum_parallelogram_galaxy if galaxy
+              else trispectrum.trispectrum_parallelogram)
+    tbar = tri_fn(cosmo, halo_p, model, k1g.ravel(), k2g.ravel(),
+                  with_bao, grid)
     ln_tbar = jnp.log(jnp.maximum(tbar.reshape(n_k_tri, n_k_tri), 1e-300))
     dln = ln_k[1] - ln_k[0]
 
@@ -146,13 +151,46 @@ def projected_trispectrum(cosmo: CosmoParams, halo_p: HaloParams,
 
     lnk1 = jnp.log((ells_cov[:, None] + 0.5) / chi[None, :])  # (nl, nz)
     out = jnp.zeros((ells_cov.shape[0], ells_cov.shape[0]))
+
+    import jax
+
+    if exact_z:
+        from chomp_tpu import halo as halo_mod
+
+        # No D^6 factor — the per-z tables carry the full evolution.
+        weight_exact = (w_gal**4 / chi**6
+                        * (C_OVER_H0 / background.ez(cosmo, z)) * wz)
+
+        def body(carry, idx):
+            model_z = halo_mod.build_halo_model(
+                cosmo, halo_p, model.hod, z[idx], with_bao, grid)
+            tb = tri_fn(cosmo, halo_p, model_z, k1g.ravel(), k2g.ravel(),
+                        with_bao, grid)
+            ln_tb = jnp.log(jnp.maximum(tb.reshape(n_k_tri, n_k_tri),
+                                        1e-300))
+            lnk_z = lnk1[:, idx]
+
+            def idx2(lnk):
+                t = jnp.clip((lnk - ln_k[0]) / dln, 0.0, n_k_tri - 1.001)
+                i = jnp.floor(t).astype(jnp.int32)
+                return i, t - i
+
+            i, fi = idx2(lnk_z[:, None])
+            j, fj = idx2(lnk_z[None, :])
+            t_ab = jnp.exp((1 - fi) * (1 - fj) * ln_tb[i, j]
+                           + fi * (1 - fj) * ln_tb[i + 1, j]
+                           + (1 - fi) * fj * ln_tb[i, j + 1]
+                           + fi * fj * ln_tb[i + 1, j + 1])
+            return carry + weight_exact[idx] * t_ab, None
+
+        out, _ = jax.lax.scan(body, out, jnp.arange(n_z_tri))
+        return out
+
     # Contract over z: T_proj[a,b] = sum_z weight_z T̄(k_a(z), k_b(z)).
     def body(carry, idx):
         lnk_z = lnk1[:, idx]
         t_ab = tbar_interp(lnk_z[:, None], lnk_z[None, :])
         return carry + weight[idx] * t_ab, None
-
-    import jax
 
     out, _ = jax.lax.scan(body, out, jnp.arange(n_z_tri))
     return out
@@ -164,7 +202,8 @@ def nongaussian_covariance(cosmo: CosmoParams, halo_p: HaloParams,
                            with_bao: bool = False,
                            grid: GridSpec = DEFAULT_GRID,
                            n_ell_cov: int = 96,
-                           ell_lo: float = 1.0, ell_hi: float = 1.0e5):
+                           ell_lo: float = 1.0, ell_hi: float = 1.0e5,
+                           exact_z: bool = False):
     """Non-Gaussian (connected trispectrum) covariance block."""
     ells_np, w_np = _log_ell_weights(n_ell_cov, ell_lo, ell_hi)
     ells = jnp.asarray(ells_np)
@@ -172,7 +211,8 @@ def nongaussian_covariance(cosmo: CosmoParams, halo_p: HaloParams,
     edges_rad = np.radians(np.asarray(theta_edges_deg))
     b = bin_averaged_j0(ells, edges_rad)                  # (nb, nl)
     t_proj = projected_trispectrum(cosmo, halo_p, model, dist, ells,
-                                   galaxy, with_bao, grid)
+                                   galaxy, with_bao, grid,
+                                   exact_z=exact_z)
     meas = ells**2 * w / (2.0 * jnp.pi)                   # l dl/(2 pi)
     bm = b * meas[None, :]
     return (bm @ t_proj @ bm.T) / omega_s_sr

@@ -32,3 +32,13 @@ def fiducial():
     from chomp_tpu import default_cosmo
 
     return default_cosmo()
+
+
+@pytest.fixture(scope="session")
+def fiducial_model(fiducial):
+    """Session-shared fiducial HaloModel — building it is the most
+    expensive repeated setup across test files (eager CPU dispatch)."""
+    from chomp_tpu import default_halo, halo
+    from chomp_tpu.hod import default_hod
+
+    return halo.build_halo_model(fiducial, default_halo(), default_hod())

@@ -19,9 +19,9 @@ def gauss_dist():
 
 
 @pytest.fixture(scope="module")
-def setup(fiducial):
+def setup(fiducial, fiducial_model):
     h = default_halo()
-    model = halo.build_halo_model(fiducial, h, default_hod())
+    model = fiducial_model
     dist = gauss_dist()
     win = projection.WindowGalaxy(dist=dist)
     pt = projection.power_table_halo(fiducial, h, model, "power_gg")
@@ -112,3 +112,36 @@ def test_total_covariance_psd(fiducial, setup):
         fiducial, h, model, dist, cl_fn, edges, OMEGA_S, N2D))
     eig = np.linalg.eigvalsh(0.5 * (cov + cov.T))
     assert np.all(eig > 0), f"covariance not PSD: {eig}"
+
+
+def test_projected_trispectrum_exact_z(fiducial, setup):
+    """exact_z rebuilds the halo model per projection node.  At a z~0
+    kernel it approaches the separable path (residual = genuine
+    beyond-D^6 evolution over the kernel width); for the fiducial z~1
+    galaxy kernel the separable default UNDERESTIMATES T_proj by a large
+    factor (bias^4 and 1/n_g^4 evolution) — the capability this option
+    adds."""
+    from chomp_tpu.params import GridSpec
+
+    h, model, dist, cl_fn = setup
+    g = GridSpec(n_mass=128, n_mu=8, sigma_panels=8, sigma_n_per_panel=32,
+                 n_growth=32, n_dist=32)
+    ells = np.logspace(1, 3.5, 6)
+    # z~0 kernel: paths agree to tens of percent.
+    d0 = projection.DNdzGaussian(
+        z_min=jnp.asarray(0.0), z_max=jnp.asarray(0.15),
+        z0=jnp.asarray(0.05), sigma_z=jnp.asarray(0.02))
+    sep = np.asarray(covariance.projected_trispectrum(
+        fiducial, h, model, d0, ells, grid=g, n_k_tri=48, n_z_tri=8))
+    ex = np.asarray(covariance.projected_trispectrum(
+        fiducial, h, model, d0, ells, grid=g, n_k_tri=48, n_z_tri=8,
+        exact_z=True))
+    assert np.median(np.abs(ex / sep - 1)) < 0.3
+    # z~1 kernel: exact is substantially larger (evolution is real).
+    sep1 = np.asarray(covariance.projected_trispectrum(
+        fiducial, h, model, dist, ells, grid=g, n_k_tri=48, n_z_tri=8))
+    ex1 = np.asarray(covariance.projected_trispectrum(
+        fiducial, h, model, dist, ells, grid=g, n_k_tri=48, n_z_tri=8,
+        exact_z=True))
+    assert np.median(ex1 / sep1) > 2.0
+    assert np.all(np.isfinite(ex1)) and np.all(np.diag(ex1) > 0)

@@ -12,8 +12,8 @@ from tests.oracle import oracle
 
 
 @pytest.fixture(scope="module")
-def model(fiducial):
-    return halo.build_halo_model(fiducial, default_halo(), default_hod())
+def model(fiducial_model):
+    return fiducial_model
 
 
 def test_n_g_vs_oracle(fiducial, model):

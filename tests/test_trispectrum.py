@@ -87,8 +87,8 @@ def test_k13_r1_continuity():
 
 
 @pytest.fixture(scope="module")
-def model(fiducial):
-    return halo.build_halo_model(fiducial, default_halo(), default_hod())
+def model(fiducial_model):
+    return fiducial_model
 
 
 def test_t1h_vs_oracle_quad(fiducial, model):
