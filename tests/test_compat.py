@@ -74,10 +74,16 @@ class TestHod:
                                    0.5, rtol=1e-10)
 
 
+@pytest.fixture(scope="module")
+def compat_halo():
+    """Module-shared compat Halo (expensive eager build)."""
+    return halo.Halo(0.0)
+
+
 class TestHalo:
     @pytest.fixture(scope="class")
-    def h(self):
-        return halo.Halo(0.0)
+    def h(self, compat_halo):
+        return compat_halo
 
     def test_powers_and_limits(self, h):
         k = jnp.asarray([1e-3, 1.0])
@@ -115,12 +121,11 @@ class TestHalo:
 
 class TestKernelAndCorrelation:
     @pytest.fixture(scope="class")
-    def stack(self):
+    def stack(self, compat_halo):
         lens_dist = kernel.dNdzGaussian(0.0, 2.0, 1.0, 0.2)
         wg = kernel.WindowFunctionGalaxy(lens_dist)
         kern = kernel.Kernel(1e-8, 10.0, wg, wg)
-        h = halo.Halo(0.0)
-        return wg, kern, h
+        return wg, kern, compat_halo
 
     def test_dndz_classes(self):
         g = kernel.dNdzGaussian(0.0, 2.0, 1.0, 0.2)
@@ -182,14 +187,14 @@ class TestKernelAndCorrelation:
 
 
 class TestTrispectrumAndCovariance:
-    def test_halo_trispectrum_object(self):
-        h = halo.Halo(0.0)
+    def test_halo_trispectrum_object(self, compat_halo):
+        h = compat_halo
         tri = halo_trispectrum.HaloTrispectrum(h)
         t = float(tri.trispectrum_parallelogram(1.0, 1.0))
         assert t > 0
 
-    def test_covariance_object(self):
-        h = halo.Halo(0.0)
+    def test_covariance_object(self, compat_halo):
+        h = compat_halo
         dist = kernel.dNdzGaussian(0.0, 2.0, 1.0, 0.2)
         wg = kernel.WindowFunctionGalaxy(dist)
         cov = covariance.Covariance(h, wg, area_deg2=300.0,
@@ -200,7 +205,7 @@ class TestTrispectrumAndCovariance:
 
 
 class TestLensingCorrelation:
-    def test_gamma_t_via_j2_kernel(self):
+    def test_gamma_t_via_j2_kernel(self, compat_halo):
         """Tangential shear through the compat stack: a J2 kernel pairing
         a convergence and a galaxy window drives Correlation."""
         lens_dist = kernel.dNdzGaussian(0.0, 2.0, 1.0, 0.2)
@@ -208,7 +213,7 @@ class TestLensingCorrelation:
         wg = kernel.WindowFunctionGalaxy(lens_dist)
         wk = kernel.WindowFunctionConvergence(src_dist)
         kern = kernel.GalaxyGalaxyLensingKernel(1e-8, 10.0, wk, wg)
-        h = halo.Halo(0.0)
+        h = compat_halo
         corr = correlation.GalaxyGalaxyLensingCorrelation(
             0.01, 1.0, bins=6, input_kernel=kern, input_halo=h,
             power_spec="power_gm")
