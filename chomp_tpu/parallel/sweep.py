@@ -162,3 +162,45 @@ def make_inference_step(fn_observable, data, invcov, learning_rate=1e-3):
         return params, opt_state, val
 
     return init_fn, step_fn
+
+
+def sweep_chunked(fn, cosmo_batch: CosmoParams, out_dir, chunk_size: int = 32,
+                  mesh: jax.sharding.Mesh | None = None, axis: str = "data"):
+    """Chunked, RESUMABLE sweep (SURVEY.md §5.3/§5.4: the failure-
+    detection/recovery analog — sweeps are stateless, so recovery is
+    re-running only missing chunks).
+
+    Splits the batch into ``chunk_size`` pieces, writes each result to
+    ``out_dir/chunk_{i:05d}.npz`` as it completes, and SKIPS chunks whose
+    output file already exists — rerunning after a crash (or on another
+    host working on the same shared directory) resumes where it left
+    off.  Returns the list of chunk paths.
+    """
+    import os
+
+    import numpy as onp
+
+    os.makedirs(out_dir, exist_ok=True)
+    n = int(jax.tree_util.tree_leaves(cosmo_batch)[0].shape[0])
+    paths = []
+    for i, start in enumerate(range(0, n, chunk_size)):
+        path = os.path.join(out_dir, f"chunk_{i:05d}.npz")
+        paths.append(path)
+        if os.path.exists(path):
+            continue
+        chunk = jax.tree_util.tree_map(
+            lambda x: x[start:start + chunk_size], cosmo_batch)
+        result = sweep(fn, chunk, mesh=mesh, axis=axis)
+        tmp = path + ".tmp.npz"
+        onp.savez(tmp, **{k: onp.asarray(v) for k, v in result.items()})
+        os.replace(tmp, path)       # atomic: no torn chunks on crash
+    return paths
+
+
+def read_chunks(paths):
+    """Concatenate chunk outputs back into full arrays."""
+    import numpy as onp
+
+    datas = [onp.load(p) for p in paths]
+    keys = datas[0].files
+    return {k: onp.concatenate([d[k] for d in datas], axis=0) for k in keys}

@@ -106,3 +106,29 @@ def test_pytree_io_roundtrip(tmp_path, fiducial):
                                np.asarray(batch.omega_m0), rtol=0)
     np.testing.assert_allclose(np.asarray(back.sigma_8),
                                np.asarray(batch.sigma_8), rtol=0)
+
+
+def test_sweep_chunked_resumable(tmp_path, fiducial):
+    """Chunked sweep writes per-chunk npz atomically and resumes by
+    skipping existing chunks (the stateless-recovery contract)."""
+    import os
+
+    from chomp_tpu.parallel.sweep import read_chunks, sweep_chunked
+
+    fn = make_pipeline(default_halo(), default_hod(), dist(), grid=TINY,
+                       include_lensing=False)
+    oms = jnp.linspace(0.25, 0.31, 6)
+    batch = broadcast_cosmo(fiducial, omega_m0=oms, omega_l0=1.0 - oms)
+    out = tmp_path / "chunks"
+    paths = sweep_chunked(fn, batch, out, chunk_size=2)
+    assert len(paths) == 3 and all(os.path.exists(p) for p in paths)
+    full = read_chunks(paths)
+    assert full["w_theta"].shape == (6, TINY.n_theta)
+    # Resume: delete one chunk, corrupt nothing else; only it re-runs.
+    os.remove(paths[1])
+    mtimes = {p: os.path.getmtime(p) for p in (paths[0], paths[2])}
+    paths2 = sweep_chunked(fn, batch, out, chunk_size=2)
+    assert paths2 == paths and os.path.exists(paths[1])
+    assert all(os.path.getmtime(p) == mtimes[p] for p in mtimes)
+    full2 = read_chunks(paths2)
+    np.testing.assert_allclose(full2["w_theta"], full["w_theta"], rtol=1e-12)
