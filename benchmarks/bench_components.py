@@ -85,5 +85,18 @@ def main(batch_size: int = 100):
           f"({b} cosmologies x {len(ells_np)} ells in {dt*1e3:.1f} ms)")
 
 
+def main_with_trace(trace_dir: str, batch_size: int = 100):
+    """Run the stage benchmarks under a jax.profiler trace (SURVEY.md
+    §5.1 tracing subsystem).  View with TensorBoard or xprof."""
+    with jax.profiler.trace(trace_dir):
+        main(batch_size)
+    print(f"profiler trace written to {trace_dir}")
+
+
 if __name__ == "__main__":
-    main()
+    if "--trace" in sys.argv:
+        idx = sys.argv.index("--trace")
+        main_with_trace(sys.argv[idx + 1] if len(sys.argv) > idx + 1
+                        else "/tmp/chomp_tpu_trace")
+    else:
+        main()
