@@ -114,8 +114,10 @@ class Kernel:
     ``Kernel(ktheta_min, ktheta_max, window_function_a,
     window_function_b, cosmo_multi_epoch, force_quad)``).
 
-    ``force_quad`` is accepted for parity and ignored: the FFTLog
-    evaluation replaces both of chomp's quadrature paths."""
+    ``force_quad=True`` bypasses the FFTLog spline and evaluates every
+    ``kernel()`` query by direct dense-Simpson quadrature of
+    ∫ dchi W_a W_b D^2 J_mu(k theta chi) — chomp's slow-but-sure path,
+    kept as the independent referee."""
 
     mu = 0.0
 
@@ -128,6 +130,7 @@ class Kernel:
         self.window_function_a = window_function_a
         self.window_function_b = window_function_b
         self.cosmo = (cosmo_multi_epoch or window_function_a.cosmo)
+        self.force_quad = bool(force_quad)
         self.grid = grid
         self._rebuild()
 
@@ -144,6 +147,11 @@ class Kernel:
 
     def kernel(self, ln_ktheta):
         """K at ln(k theta) (chomp ``Kernel.kernel``)."""
+        if self.force_quad:
+            return kernelfn.kernel_quad(
+                self.cosmo.cosmo, self.window_function_a.window,
+                self.window_function_b.window, ln_ktheta, mu=self.mu,
+                grid=self.grid)
         return kernelfn.kernel_at(self.tables, ln_ktheta)
 
     @property

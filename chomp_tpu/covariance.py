@@ -115,25 +115,33 @@ def projected_trispectrum(cosmo: CosmoParams, halo_p: HaloParams,
     tri_fn = (trispectrum.trispectrum_parallelogram_galaxy if galaxy
               else trispectrum.trispectrum_parallelogram)
     tbar = tri_fn(cosmo, halo_p, model, k1g.ravel(), k2g.ravel(),
-                  with_bao, grid)
-    ln_tbar = jnp.log(jnp.maximum(tbar.reshape(n_k_tri, n_k_tri), 1e-300))
+                  with_bao, grid).reshape(n_k_tri, n_k_tri)
     dln = ln_k[1] - ln_k[0]
 
-    def tbar_interp(lnk1, lnk2):
-        """Bilinear in (ln k, ln k') of ln T̄ (symmetric, smooth)."""
+    def _sign_lnabs(t):
+        """(sign, ln|t|) tables: bilinear in ln|T̄| with a separately
+        interpolated sign preserves regions where the negative K13/P13
+        star term dominates (plain ln(max(T,0)) would clamp them to 0)."""
+        return jnp.where(t < 0.0, -1.0, 1.0), jnp.log(
+            jnp.maximum(jnp.abs(t), 1e-300))
+
+    def _bilinear(tbl, lnk1, lnk2):
         def idx(lnk):
-            t = jnp.clip((lnk - ln_k[0]) / dln, 0.0, n_k_tri - 1.001)
+            t = jnp.clip((lnk - ln_k[0]) / dln, 0.0, tbl.shape[0] - 1.001)
             i = jnp.floor(t).astype(jnp.int32)
             return i, t - i
 
         i, fi = idx(lnk1)
         j, fj = idx(lnk2)
-        v00 = ln_tbar[i, j]
-        v10 = ln_tbar[i + 1, j]
-        v01 = ln_tbar[i, j + 1]
-        v11 = ln_tbar[i + 1, j + 1]
-        return jnp.exp((1 - fi) * (1 - fj) * v00 + fi * (1 - fj) * v10
-                       + (1 - fi) * fj * v01 + fi * fj * v11)
+        return ((1 - fi) * (1 - fj) * tbl[i, j] + fi * (1 - fj) * tbl[i + 1, j]
+                + (1 - fi) * fj * tbl[i, j + 1] + fi * fj * tbl[i + 1, j + 1])
+
+    sgn_tbar, ln_tbar = _sign_lnabs(tbar)
+
+    def tbar_interp(lnk1, lnk2):
+        """Sign-aware log-bilinear in (ln k, ln k') of T̄."""
+        mag = jnp.exp(_bilinear(ln_tbar, lnk1, lnk2))
+        return jnp.where(_bilinear(sgn_tbar, lnk1, lnk2) >= 0.0, mag, -mag)
 
     # Projection over z.
     z_lo = jnp.maximum(dist.z_min, 1e-3)
@@ -165,22 +173,13 @@ def projected_trispectrum(cosmo: CosmoParams, halo_p: HaloParams,
             model_z = halo_mod.build_halo_model(
                 cosmo, halo_p, model.hod, z[idx], with_bao, grid)
             tb = tri_fn(cosmo, halo_p, model_z, k1g.ravel(), k2g.ravel(),
-                        with_bao, grid)
-            ln_tb = jnp.log(jnp.maximum(tb.reshape(n_k_tri, n_k_tri),
-                                        1e-300))
+                        with_bao, grid).reshape(n_k_tri, n_k_tri)
+            sgn_tb, ln_tb = _sign_lnabs(tb)
             lnk_z = lnk1[:, idx]
-
-            def idx2(lnk):
-                t = jnp.clip((lnk - ln_k[0]) / dln, 0.0, n_k_tri - 1.001)
-                i = jnp.floor(t).astype(jnp.int32)
-                return i, t - i
-
-            i, fi = idx2(lnk_z[:, None])
-            j, fj = idx2(lnk_z[None, :])
-            t_ab = jnp.exp((1 - fi) * (1 - fj) * ln_tb[i, j]
-                           + fi * (1 - fj) * ln_tb[i + 1, j]
-                           + (1 - fi) * fj * ln_tb[i, j + 1]
-                           + fi * fj * ln_tb[i + 1, j + 1])
+            mag = jnp.exp(_bilinear(ln_tb, lnk_z[:, None], lnk_z[None, :]))
+            t_ab = jnp.where(
+                _bilinear(sgn_tb, lnk_z[:, None], lnk_z[None, :]) >= 0.0,
+                mag, -mag)
             return carry + weight_exact[idx] * t_ab, None
 
         out, _ = jax.lax.scan(body, out, jnp.arange(n_z_tri))

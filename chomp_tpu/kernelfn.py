@@ -93,6 +93,42 @@ def kernel_at(tables: KernelTables, ln_ktheta):
                       tables.k_vals, left=tables.k_vals[0], right=0.0)
 
 
+def kernel_quad(cosmo: CosmoParams, win_a, win_b, ln_ktheta, mu: float = 0.0,
+                grid: GridSpec = DEFAULT_GRID, n_quad: int = 2**17 + 1):
+    """Direct-quadrature K(k theta) (chomp ``force_quad=True``,
+    upstream:kernel.py ``Kernel._kernel_integrand`` route): composite
+    Simpson on a uniform chi grid dense enough to resolve the J_mu(y chi)
+    oscillations over the window support (~20 nodes per period at
+    y = 10, chi_max ~ 4000).  O(n_quad) Bessel evaluations per query —
+    the referee path, not the fast path (that is the FFTLog spline).
+    """
+    from chomp_tpu.special import j0, j2
+
+    ln_kt = jnp.atleast_1d(jnp.asarray(ln_ktheta))
+    y = jnp.exp(ln_kt)
+    z_hi = jnp.maximum(jnp.asarray(win_a.support()[1], dtype=y.dtype),
+                       jnp.asarray(win_b.support()[1], dtype=y.dtype))
+    chi_hi = background.comoving_distance(cosmo, z_hi, grid.n_dist)
+    chi = jnp.linspace(1e-3, chi_hi, n_quad)
+    z = _z_of_chi(cosmo, chi, grid)
+    d = background.growth_factor(cosmo, z, grid.n_growth)
+    a = (win_a.window_z(cosmo, z, grid) * win_b.window_z(cosmo, z, grid)
+         * d * d)
+    h = (chi_hi - 1e-3) / (n_quad - 1)
+    pattern = np.full(n_quad, 2.0)
+    pattern[1::2] = 4.0
+    pattern[0] = pattern[-1] = 1.0
+    w = a * jnp.asarray(pattern) * (h / 3.0)
+    bessel = j0 if mu == 0.0 else j2
+
+    import jax
+
+    # Sequential over query points: each row is n_quad Bessel evals and
+    # a dot — bounding peak memory to O(n_quad) regardless of len(y).
+    k_vals = jax.lax.map(lambda yy: jnp.sum(w * bessel(yy * chi)), y)
+    return k_vals if jnp.ndim(ln_ktheta) else k_vals[0]
+
+
 def wtheta_chomp_form(cosmo: CosmoParams, tables: KernelTables, p_table,
                       theta_deg, grid: GridSpec = DEFAULT_GRID,
                       n_lnk: int = 1024):

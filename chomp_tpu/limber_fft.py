@@ -115,14 +115,17 @@ def _conv_direct(p, g, j_lo: int, j_hi: int):
     convolution has NO cancellation: float32 relative error ~ sqrt(n) eps
     (~1e-6) at every output, unlike the FFT path whose single absolute
     noise floor (set by the global peak) costs ~1e-2 on the small C_ell
-    values.  Unbatched 1-D in/out — batching comes from vmap's conv
-    batching rule.  Runs at HIGHEST precision (full-float32 MXU passes).
+    values.  Leading batch dims of ``p`` (a shared-cosmology spectrum
+    stack) flatten into the conv N axis; ``g`` is the per-cosmology
+    window and stays unbatched (batch cosmologies by vmapping the whole
+    call).  Runs at HIGHEST precision (full-float32 MXU passes).
     """
     import jax
 
     n_chi = g.shape[-1]
     n_k = p.shape[-1]
-    lhs = p[None, None, :]                    # (N=1, C=1, W)
+    batch_shape = p.shape[:-1]
+    lhs = p.reshape((-1, 1, n_k))             # (N=prod(batch), C=1, W)
     rhs = g[::-1][None, None, :]              # (O=1, I=1, W): flip == conv
     # Full-conv output j corresponds to valid-conv index j - (n_chi - 1)
     # with left pad (n_chi - 1).  Shift the left pad to start at j_lo and
@@ -134,7 +137,7 @@ def _conv_direct(p, g, j_lo: int, j_hi: int):
         padding=[(pad_l, pad_r)],
         dimension_numbers=("NCH", "OIH", "NCH"),
         precision=jax.lax.Precision.HIGHEST)
-    return out[0, 0, :j_hi - j_lo]
+    return out[:, 0, :j_hi - j_lo].reshape(batch_shape + (j_hi - j_lo,))
 
 
 def _window_on_lattice(cosmo, win, z, chi, grid, z_table=None):

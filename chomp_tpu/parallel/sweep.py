@@ -171,11 +171,14 @@ def sweep_chunked(fn, cosmo_batch: CosmoParams, out_dir, chunk_size: int = 32,
     re-running only missing chunks).
 
     Splits the batch into ``chunk_size`` pieces, writes each result to
-    ``out_dir/chunk_{i:05d}.npz`` as it completes, and SKIPS chunks whose
-    output file already exists — rerunning after a crash (or on another
-    host working on the same shared directory) resumes where it left
-    off.  Returns the list of chunk paths.
+    ``out_dir/chunk_{i:05d}_{tag}.npz`` as it completes, and SKIPS
+    chunks whose output file already exists — rerunning after a crash
+    (or on another host working on the same shared directory) resumes
+    where it left off.  ``tag`` is a hash of the chunk's INPUT slice, so
+    a rerun with a different cosmology batch or chunk_size cannot
+    silently reuse stale chunk files.  Returns the list of chunk paths.
     """
+    import hashlib
     import os
 
     import numpy as onp
@@ -184,12 +187,16 @@ def sweep_chunked(fn, cosmo_batch: CosmoParams, out_dir, chunk_size: int = 32,
     n = int(jax.tree_util.tree_leaves(cosmo_batch)[0].shape[0])
     paths = []
     for i, start in enumerate(range(0, n, chunk_size)):
-        path = os.path.join(out_dir, f"chunk_{i:05d}.npz")
+        chunk = jax.tree_util.tree_map(
+            lambda x: x[start:start + chunk_size], cosmo_batch)
+        h = hashlib.sha1()
+        for leaf in jax.tree_util.tree_leaves(chunk):
+            h.update(onp.ascontiguousarray(onp.asarray(leaf)).tobytes())
+        path = os.path.join(out_dir,
+                            f"chunk_{i:05d}_{h.hexdigest()[:10]}.npz")
         paths.append(path)
         if os.path.exists(path):
             continue
-        chunk = jax.tree_util.tree_map(
-            lambda x: x[start:start + chunk_size], cosmo_batch)
         result = sweep(fn, chunk, mesh=mesh, axis=axis)
         tmp = path + ".tmp.npz"
         onp.savez(tmp, **{k: onp.asarray(v) for k, v in result.items()})

@@ -143,8 +143,12 @@ class WindowConvergence:
 def window_chi(cosmo: CosmoParams, win, chi_query, z_max=5.0,
                grid: GridSpec = DEFAULT_GRID, n_table: int = 512):
     """chomp-style W(chi) evaluation: invert chi -> z on a dense table,
-    then evaluate the z-form window."""
-    zt = jnp.linspace(1e-6, z_max, n_table)
+    then evaluate the z-form window.  The table extends to the window's
+    own support so a dN/dz reaching above ``z_max`` is never silently
+    clamped to W(z_max)."""
+    z_hi = jnp.maximum(jnp.asarray(win.support()[1], dtype=jnp.result_type(
+        float)), z_max)
+    zt = jnp.linspace(1e-6, z_hi, n_table)
     chit = background.comoving_distance(cosmo, zt, grid.n_dist)
     z = jnp.interp(jnp.asarray(chi_query), chit, zt)
     return win.window_z(cosmo, z, grid)

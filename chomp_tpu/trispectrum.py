@@ -84,8 +84,9 @@ def _mu_nodes(grid: GridSpec):
 
 
 def t_pt_parallelogram(cosmo: CosmoParams, k1, k2, with_bao: bool = False,
-                       grid: GridSpec = DEFAULT_GRID):
-    """Angle-averaged tree-level PT trispectrum T̄_PT(k1, k2).
+                       grid: GridSpec = DEFAULT_GRID, z=0.0):
+    """Angle-averaged tree-level PT trispectrum T̄_PT(k1, k2) at
+    redshift ``z`` (all linear P factors carry D^2(z)).
 
     Derivation (Wick enumeration, parallelogram q3=-q1, q4=-q2, P(0)=0
     terms dropped, mu = cos(angle between k1, k2), S(mu) = |k1+k2|,
@@ -105,8 +106,8 @@ def t_pt_parallelogram(cosmo: CosmoParams, k1, k2, with_bao: bool = False,
     """
     k1 = jnp.asarray(k1)
     k2 = jnp.asarray(k2)
-    p1 = linear.linear_power(cosmo, k1, 0.0, with_bao, grid)
-    p2 = linear.linear_power(cosmo, k2, 0.0, with_bao, grid)
+    p1 = linear.linear_power(cosmo, k1, z, with_bao, grid)
+    p2 = linear.linear_power(cosmo, k2, z, with_bao, grid)
 
     star = (2.0 * p1 * p1 * p2 * k13_kernel(k1 / k2)
             + 2.0 * p2 * p2 * p1 * k13_kernel(k2 / k1))
@@ -117,7 +118,7 @@ def t_pt_parallelogram(cosmo: CosmoParams, k1, k2, with_bao: bool = False,
     s2 = k1e**2 + k2e**2 + 2.0 * k1e * k2e * mu
     s2 = jnp.maximum(s2, 1e-20)
     s = jnp.sqrt(s2)
-    ps = linear.linear_power(cosmo, s, 0.0, with_bao, grid)
+    ps = linear.linear_power(cosmo, s, z, with_bao, grid)
     # a = -k1, b = S = k1 + k2:  a.b = -(k1^2 + k1 k2 mu)
     ab1 = -(k1e**2 + k1e * k2e * mu)
     ab2 = -(k2e**2 + k1e * k2e * mu)
@@ -131,19 +132,20 @@ def t_pt_parallelogram(cosmo: CosmoParams, k1, k2, with_bao: bool = False,
 
 
 def b_pt_avg(cosmo: CosmoParams, k1, k2, with_bao: bool = False,
-             grid: GridSpec = DEFAULT_GRID):
-    """<B_PT(k1, k2, -S)>_mu with B_PT(q1,q2,q3) = 2F2(q1,q2)P1P2 + cyc."""
+             grid: GridSpec = DEFAULT_GRID, z=0.0):
+    """<B_PT(k1, k2, -S)>_mu at redshift ``z``, with
+    B_PT(q1,q2,q3) = 2F2(q1,q2)P1P2 + cyc."""
     k1 = jnp.asarray(k1)
     k2 = jnp.asarray(k2)
-    p1 = linear.linear_power(cosmo, k1, 0.0, with_bao, grid)
-    p2 = linear.linear_power(cosmo, k2, 0.0, with_bao, grid)
+    p1 = linear.linear_power(cosmo, k1, z, with_bao, grid)
+    p2 = linear.linear_power(cosmo, k2, z, with_bao, grid)
     mu, w_mu = _mu_nodes(grid)
     k1e = k1[..., None]
     k2e = k2[..., None]
     k1k2 = k1e * k2e * mu
     s2 = jnp.maximum(k1e**2 + k2e**2 + 2.0 * k1k2, 1e-20)
     s = jnp.sqrt(s2)
-    ps = linear.linear_power(cosmo, s, 0.0, with_bao, grid)
+    ps = linear.linear_power(cosmo, s, z, with_bao, grid)
     # F2(k1,k2): a.b = k1 k2 mu
     f12 = f2_scalar(k1e**2, k2e**2, k1k2)
     # F2(k2,-S): a.b = -(k2^2 + k1 k2 mu)
@@ -185,10 +187,11 @@ def trispectrum_parallelogram(cosmo: CosmoParams, halo: HaloParams,
     k1 = jnp.asarray(k1)
     k2 = jnp.asarray(k2)
     t = model.mass
+    zm = t.z  # all P factors at the model's redshift (halo I's already are)
     y1 = y_nfw(cosmo, halo, k1[..., None], t.m, model.m_star, t.z)
     y2 = y_nfw(cosmo, halo, k2[..., None], t.m, model.m_star, t.z)
-    p1 = linear.linear_power(cosmo, k1, 0.0, with_bao, grid)
-    p2 = linear.linear_power(cosmo, k2, 0.0, with_bao, grid)
+    p1 = linear.linear_power(cosmo, k1, zm, with_bao, grid)
+    p2 = linear.linear_power(cosmo, k2, zm, with_bao, grid)
 
     i11_k1 = _i_mu_beta(cosmo, halo, model, [y1], 1, 1)
     i11_k2 = _i_mu_beta(cosmo, halo, model, [y2], 1, 1)
@@ -205,15 +208,15 @@ def trispectrum_parallelogram(cosmo: CosmoParams, halo: HaloParams,
         s2 = jnp.maximum(k1[..., None] ** 2 + k2[..., None] ** 2
                          + 2.0 * k1[..., None] * k2[..., None] * mu, 1e-20)
         ps_avg = 0.5 * jnp.sum(
-            linear.linear_power(cosmo, jnp.sqrt(s2), 0.0, with_bao, grid)
+            linear.linear_power(cosmo, jnp.sqrt(s2), zm, with_bao, grid)
             * w_mu, axis=-1)
         total = total + t2h_31 + 2.0 * ps_avg * i21 * i21
     if "3h" in terms:
         total = total + 4.0 * i21 * i11_k1 * i11_k2 * b_pt_avg(
-            cosmo, k1, k2, with_bao, grid)
+            cosmo, k1, k2, with_bao, grid, z=zm)
     if "4h" in terms:
         total = total + (i11_k1**2) * (i11_k2**2) * t_pt_parallelogram(
-            cosmo, k1, k2, with_bao, grid)
+            cosmo, k1, k2, with_bao, grid, z=zm)
     return total
 
 
@@ -245,10 +248,11 @@ def trispectrum_parallelogram_galaxy(cosmo: CosmoParams, halo: HaloParams,
     k1 = jnp.asarray(k1)
     k2 = jnp.asarray(k2)
     g = model.gal
+    zm = model.mass.z  # all P factors at the model's redshift
     y1 = y_nfw(cosmo, halo, k1[..., None], g.m, model.m_star, model.mass.z)
     y2 = y_nfw(cosmo, halo, k2[..., None], g.m, model.m_star, model.mass.z)
-    p1 = linear.linear_power(cosmo, k1, 0.0, with_bao, grid)
-    p2 = linear.linear_power(cosmo, k2, 0.0, with_bao, grid)
+    p1 = linear.linear_power(cosmo, k1, zm, with_bao, grid)
+    p2 = linear.linear_power(cosmo, k2, zm, with_bao, grid)
 
     j11_k1 = _j_mu_beta(model, [y1], 1, 1)
     j11_k2 = _j_mu_beta(model, [y2], 1, 1)
@@ -265,13 +269,13 @@ def trispectrum_parallelogram_galaxy(cosmo: CosmoParams, halo: HaloParams,
         s2 = jnp.maximum(k1[..., None] ** 2 + k2[..., None] ** 2
                          + 2.0 * k1[..., None] * k2[..., None] * mu, 1e-20)
         ps_avg = 0.5 * jnp.sum(
-            linear.linear_power(cosmo, jnp.sqrt(s2), 0.0, with_bao, grid)
+            linear.linear_power(cosmo, jnp.sqrt(s2), zm, with_bao, grid)
             * w_mu, axis=-1)
         total = total + t2h_31 + 2.0 * ps_avg * j21 * j21
     if "3h" in terms:
         total = total + 4.0 * j21 * j11_k1 * j11_k2 * b_pt_avg(
-            cosmo, k1, k2, with_bao, grid)
+            cosmo, k1, k2, with_bao, grid, z=zm)
     if "4h" in terms:
         total = total + (j11_k1**2) * (j11_k2**2) * t_pt_parallelogram(
-            cosmo, k1, k2, with_bao, grid)
+            cosmo, k1, k2, with_bao, grid, z=zm)
     return total

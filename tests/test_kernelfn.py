@@ -91,6 +91,22 @@ def test_chomp_route_equals_cl_route(fiducial):
                                rtol=2e-4)
 
 
+def test_kernel_quad_matches_fftlog(fiducial):
+    """force_quad referee (dense Simpson) == FFTLog spline, J0 and J2."""
+    win = projection.WindowGalaxy(dist=gauss_dist())
+    ln_kt = jnp.log(jnp.asarray([1e-5, 1e-4, 1e-3, 1e-2, 0.1]))
+    for mu in (0.0, 2.0):
+        kt = kernelfn.build_kernel(fiducial, win, win, mu=mu)
+        fast = np.asarray(kernelfn.kernel_at(kt, ln_kt))
+        quad = np.asarray(kernelfn.kernel_quad(fiducial, win, win, ln_kt,
+                                               mu=mu))
+        # K oscillates through zero at high k*theta: compare against the
+        # unsuppressed K(0) scale (~3e-4), not pointwise relative.
+        scale = max(np.abs(fast).max(), 1e-30)
+        np.testing.assert_allclose(quad, fast, atol=2e-4 * scale,
+                                   err_msg=f"mu={mu}")
+
+
 def test_z_bar_exposed(fiducial):
     win = projection.WindowGalaxy(dist=gauss_dist())
     kt = kernelfn.build_kernel(fiducial, win, win)

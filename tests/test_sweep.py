@@ -132,3 +132,9 @@ def test_sweep_chunked_resumable(tmp_path, fiducial):
     assert all(os.path.getmtime(p) == mtimes[p] for p in mtimes)
     full2 = read_chunks(paths2)
     np.testing.assert_allclose(full2["w_theta"], full["w_theta"], rtol=1e-12)
+    # A different input batch maps to different chunk files (the path tag
+    # hashes the input slice) — stale chunks are never silently reused.
+    oms_p = jnp.asarray([0.26, 0.305])
+    batch_p = broadcast_cosmo(fiducial, omega_m0=oms_p, omega_l0=1.0 - oms_p)
+    paths3 = sweep_chunked(fn, batch_p, out, chunk_size=2)
+    assert not set(paths3) & set(paths)
