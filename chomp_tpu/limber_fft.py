@@ -182,6 +182,23 @@ def _window_on_lattice(cosmo, win, z, chi, grid, z_table=None):
     return win.window_z(cosmo, z, grid)
 
 
+def _lattice_g(cosmo: CosmoParams, win_a, win_b, grid: GridSpec,
+               growth_pivot=1.0, n_z_table: int = 1024):
+    """Limber lattice weights G(u) = W_a W_b D^2 / chi * dln (trapezoid
+    measure), shared by the C_ell and fused-w(theta) lattice routes."""
+    _, ln_chi = _lattices(grid)
+    chi = jnp.asarray(np.exp(ln_chi))
+    # z(chi) via a small static inverse table (one tiny gather, off the
+    # hot path: n_chi values per cosmology).
+    zt = jnp.linspace(1e-6, 12.0, n_z_table)
+    chit = background.comoving_distance(cosmo, zt, grid.n_dist)
+    z = jnp.interp(chi, chit, zt)
+    d = background.growth_factor(cosmo, z, grid.n_growth) / growth_pivot
+    wa = _window_on_lattice(cosmo, win_a, z, chi, grid, (zt, chit))
+    wb = _window_on_lattice(cosmo, win_b, z, chi, grid, (zt, chit))
+    return wa * wb * d * d / chi * grid.lattice_dln
+
+
 def limber_cl_fft(cosmo: CosmoParams, win_a, win_b, ells, p_lattice,
                   grid: GridSpec = DEFAULT_GRID, ell_offset: float = 0.5,
                   growth_pivot=1.0, n_z_table: int = 1024,
@@ -195,18 +212,7 @@ def limber_cl_fft(cosmo: CosmoParams, win_a, win_b, ells, p_lattice,
     "fft" (whitened FFT; fastest, float64-grade in x64 mode).
     """
     ln_k, ln_chi = _lattices(grid)
-    chi = jnp.asarray(np.exp(ln_chi))
-
-    # z(chi) via a small static inverse table (one tiny gather, off the
-    # hot path: n_chi values per cosmology).
-    zt = jnp.linspace(1e-6, 12.0, n_z_table)
-    chit = background.comoving_distance(cosmo, zt, grid.n_dist)
-    z = jnp.interp(chi, chit, zt)
-
-    d = background.growth_factor(cosmo, z, grid.n_growth) / growth_pivot
-    wa = _window_on_lattice(cosmo, win_a, z, chi, grid, (zt, chit))
-    wb = _window_on_lattice(cosmo, win_b, z, chi, grid, (zt, chit))
-    g = wa * wb * d * d / chi * grid.lattice_dln     # trapezoid weights
+    g = _lattice_g(cosmo, win_a, win_b, grid, growth_pivot, n_z_table)
 
     n_k = ln_k.shape[0]
     n_chi_n = ln_chi.shape[0]
@@ -238,6 +244,59 @@ def limber_cl_fft(cosmo: CosmoParams, win_a, win_b, ells, p_lattice,
 
     w = jnp.asarray(w_full)
     return jnp.matmul(conv, w.T, precision=jax.lax.Precision.HIGHEST)
+
+
+@lru_cache(maxsize=None)
+def wtheta_lattice_operator(theta_key, grid: GridSpec, mu: float = 0.0,
+                            ell_offset: float = 0.5):
+    """(j_lo, j_hi, A): the ENTIRE conv-output -> w(theta bins) map as
+    one static float64 numpy matrix, A = BinsOp @ S with S the lattice
+    Catmull-Rom interpolation and BinsOp the fused Hankel+binning
+    operator (correlation.wtheta_bins_operator).
+
+    Composing offline in float64 removes the float32 C_ell intermediate:
+    the Bessel cancellation then happens inside exact f64 matrix entries,
+    and the runtime contraction consumes the strictly-positive direct
+    convolution output — the float32-robust shape of the whole
+    transform (NUMERICS.md §6)."""
+    from chomp_tpu import correlation
+
+    ells = correlation.ell_grid(grid)[0]
+    w_full = _s_weights(tuple(ells.tolist()), ell_offset,
+                        _lattice_key(grid))
+    used = np.nonzero(np.any(w_full != 0.0, axis=0))[0]
+    j_lo, j_hi = int(used[0]), int(used[-1]) + 1
+    bins_op = correlation.wtheta_bins_operator(theta_key, grid, mu)
+    return j_lo, j_hi, np.ascontiguousarray(bins_op @ w_full[:, j_lo:j_hi])
+
+
+def limber_wtheta_fft(cosmo: CosmoParams, win_a, win_b, theta_deg,
+                      p_lattice, grid: GridSpec = DEFAULT_GRID,
+                      mu: float = 0.0, ell_offset: float = 0.5,
+                      growth_pivot=1.0, n_z_table: int = 1024,
+                      compensated: bool = True):
+    """w(theta bins) [J0] or gamma_t [J2] straight from the P lattice:
+    direct convolution -> ONE fused static operator (lattice interp ∘
+    Hankel ∘ theta binning, composed in float64 offline).
+
+    ``compensated=True`` (default) applies the operator with two-float
+    accumulation (ops.df32) so the Bessel cancellation costs ~2^-48, not
+    ~2^-24 — this closes the float32 worst-bin budget to ~1e-4 at
+    unchanged wall-clock (the contraction is ~1e5 VPU flops).
+    """
+    from chomp_tpu.ops.df32 import df_contract
+
+    theta_key = tuple(np.asarray(theta_deg).tolist())
+    j_lo, j_hi, a_np = wtheta_lattice_operator(theta_key, grid, mu,
+                                               ell_offset)
+    g = _lattice_g(cosmo, win_a, win_b, grid, growth_pivot, n_z_table)
+    conv = _conv_direct(p_lattice, g, j_lo, j_hi)
+    if compensated:
+        return df_contract(conv, a_np)
+    import jax
+
+    return jnp.matmul(conv, jnp.asarray(a_np).T,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def p_lattice_halo_all(cosmo, halo_params, model,

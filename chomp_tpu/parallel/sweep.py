@@ -80,14 +80,18 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
 
     theta_key = np.asarray(theta_deg)
 
-    def cl_from_p(cosmo, model, wa, wb, p_kind_table, kind):
+    def w_from_p(cosmo, model, wa, wb, p_kind_table, kind, mu):
         if method == "fft":
-            return limber_fft.limber_cl_fft(cosmo, wa, wb, ells_np,
-                                            p_kind_table[kind], grid,
-                                            growth_pivot=model.mass.growth)
+            # Fused lattice route: conv -> one f64-composed operator with
+            # two-float accumulation (skips the f32 C_ell intermediate —
+            # the dominant term of the f32 error budget, NUMERICS.md §6).
+            return limber_fft.limber_wtheta_fft(
+                cosmo, wa, wb, theta_key, p_kind_table[kind], grid, mu=mu,
+                growth_pivot=model.mass.growth)
         pt = projection.power_table_halo(cosmo, halo_params, model, kind,
                                          with_bao, grid)
-        return projection.limber_cl(cosmo, wa, wb, ells, pt, grid)
+        cl = projection.limber_cl(cosmo, wa, wb, ells, pt, grid)
+        return correlation.wtheta_from_cl_fused(cl, theta_key, grid, mu)
 
     def fn(cosmo: CosmoParams):
         model = halo_mod.build_halo_model(cosmo, halo_params, hod, z_pivot,
@@ -98,17 +102,15 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
         p_all = (limber_fft.p_lattice_halo_all(cosmo, halo_params, model,
                                                with_bao, grid)
                  if method == "fft" else None)
-        cl_gg = cl_from_p(cosmo, model, win_g, win_g, p_all, power_spec)
         out = {
             "theta_deg": theta_deg,
-            "w_theta": correlation.wtheta_from_cl_fused(cl_gg, theta_key,
-                                                        grid, 0.0),
+            "w_theta": w_from_p(cosmo, model, win_g, win_g, p_all,
+                                power_spec, 0.0),
             "n_g": model.n_g,
         }
         if include_lensing:
-            cl_kg = cl_from_p(cosmo, model, win_k, win_g, p_all, "power_gm")
-            out["gamma_t"] = correlation.wtheta_from_cl_fused(cl_kg, theta_key,
-                                                              grid, 2.0)
+            out["gamma_t"] = w_from_p(cosmo, model, win_k, win_g, p_all,
+                                      "power_gm", 2.0)
         return out
 
     return fn
