@@ -73,3 +73,51 @@ class Covariance:
 
     def write(self, output_name):
         np.savetxt(output_name, np.asarray(self.covariance()))
+
+
+class JointCovariance:
+    """Joint (w_gg, gamma_t) covariance for a lens sample + source
+    sample — the full Morrison & Schneider 2013 clustering + g-g lensing
+    program behind chomp's covariance.py (upstream:covariance.py; the
+    exact upstream class surface is [M]-confidence, SURVEY.md §2 row 13;
+    the physics blocks are chomp_tpu.covariance.joint_wtheta_gammat_
+    covariance).
+
+    Parameters: a compat ``Halo`` (provides P_gg/P_gm/P_mm and the
+    trispectrum inputs), lens and source windows (compat
+    ``WindowFunctionGalaxy``), survey area in deg^2, lens and source
+    densities per square arcminute, and per-component shape dispersion
+    ``sigma_eps``.
+    """
+
+    def __init__(self, input_halo, window_lens, window_source, area_deg2,
+                 n_lens_per_arcmin2, n_src_per_arcmin2, sigma_eps=0.26,
+                 theta_min_deg=0.001, theta_max_deg=1.0, bins=16,
+                 exact_z=False, grid=DEFAULT_GRID):
+        self.halo = input_halo
+        self.window_lens = window_lens
+        self.window_source = window_source
+        self.omega_s_sr = float(area_deg2) * (np.pi / 180.0) ** 2
+        per_sr = (180.0 * 60.0 / np.pi) ** 2
+        self.n2d_lens = float(n_lens_per_arcmin2) * per_sr
+        self.n2d_src = float(n_src_per_arcmin2) * per_sr
+        self.shape_noise = float(sigma_eps) ** 2 / self.n2d_src
+        self.theta_edges_deg = np.logspace(np.log10(theta_min_deg),
+                                           np.log10(theta_max_deg), bins + 1)
+        self.exact_z = bool(exact_z)
+        self.grid = grid
+
+    def covariance(self, include_nongaussian=True):
+        """(2 bins, 2 bins) joint matrix ordered [w_gg bins, gamma_t
+        bins]."""
+        return cov_mod.joint_wtheta_gammat_covariance(
+            self.halo._epoch.cosmo, self.halo.halo_params, self.halo.model,
+            self.window_lens.redshift_dist.dist,
+            self.window_source.redshift_dist.dist,
+            self.theta_edges_deg, self.omega_s_sr, self.n2d_lens,
+            self.shape_noise, with_bao=self.halo._epoch.with_bao,
+            grid=self.grid, include_nongaussian=include_nongaussian,
+            exact_z=self.exact_z)
+
+    def write(self, output_name):
+        np.savetxt(output_name, np.asarray(self.covariance()))

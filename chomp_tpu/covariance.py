@@ -1,32 +1,40 @@
-"""Covariance of w(theta) bins: Gaussian + shot noise + trispectrum.
+"""Covariance of w(theta) / gamma_t bins: Gaussian + shot + trispectrum.
 
 TPU-native replacement for the reference's ``covariance.py``
 (upstream:covariance.py; SURVEY.md §2 row 13 [M]: "Gaussian + shot-noise
 + trispectrum covariance of w(theta) bins for a survey area", Morrison &
-Schneider 2013).  For bin-averaged estimators over annuli
-[theta_i^-, theta_i^+] in a survey of solid angle Omega_s with 2-D
-galaxy density n2d (per steradian):
+Schneider 2013 — which pairs galaxy clustering w_gg with galaxy-galaxy
+lensing gamma_t).  For bin-averaged estimators over annuli
+[theta_i^-, theta_i^+] in a survey of solid angle Omega_s:
 
-  Cov_G[i,j]  = (2/Omega_s) ∫ l dl/(2 pi) Jbar_i(l) Jbar_j(l)
-                  [C_l^2 + 2 C_l/n2d]
-  Cov_sn[i,j] = (2/Omega_s) delta_ij / (pi n2d^2 (th_i+^2 - th_i-^2))
-                  (the pure shot-noise delta, integrated analytically)
-  Cov_NG[i,j] = (1/Omega_s) ∬ (l dl/2pi)(l' dl'/2pi) Jbar_i(l) Jbar_j(l')
-                  T_proj(l, l')
-  T_proj(l,l') = ∫ dchi W^4/chi^6 (D/D_pivot)^6
-                  T̄((l+1/2)/chi, (l'+1/2)/chi)
+Generic Gaussian block for two 2-pt estimators w^(ab), w^(cd)
+(a..d tracer fields; mu = 0 for J0/w, 2 for J2/gamma_t):
 
-with the bin-averaged Bessel factor
-  Jbar_i(l) = 2 [ th+ l J1(th+ l) - th- l J1(th- l) ]
-              / (l^2 (th+^2 - th-^2)) ,
-the angle-averaged parallelogram trispectrum T̄ from
-chomp_tpu.trispectrum (galaxy version: HOD factorial-moment weights),
-and the same separable-growth approximation the rest of the pipeline
-uses (exact for the tree-PT 4h term; leading order for 1h-3h, mirroring
-chomp's separable P(k) treatment).
+  Cov_G[i,j] = (1/Omega_s) ∫ l dl/(2 pi) Jbar^mu_i(l) Jbar^mu'_j(l)
+                 [ Ct_ac Ct_bd + Ct_ad Ct_bc ],   Ct = C_l + N
+
+with noise N_gg = 1/n2d (shot), N_kk = shape noise, N_gk = 0.  The pure
+noise x noise constant is excluded from the quadrature and added back
+analytically through the Bessel closure
+∫ l Jbar^mu_i Jbar^mu_j dl = 2 delta_ij/(th+^2 - th-^2) (any mu).
+
+  Cov_NG[i,j] = (1/Omega_s) ∬ (l dl/2pi)(l' dl'/2pi)
+                  Jbar^mu_i(l) Jbar^mu'_j(l') T^{abcd}_proj(l, l')
+  T^{abcd}_proj(l,l') = ∫ dchi W_a W_b W_c W_d/chi^6 (D/D_pivot)^6
+                  T̄^{abcd}((l+1/2)/chi, (l'+1/2)/chi)
+
+with the bin-averaged Bessel factors (both closed-form)
+  Jbar^0_i(l) = 2 [ x J1(x) ]_{x-}^{x+} / (l^2 (th+^2 - th-^2))
+  Jbar^2_i(l) = 2 [ -x J1(x) - 2 J0(x) ]_{x-}^{x+} / (l^2 (th+^2-th-^2)),
+(x = l theta; the J2 antiderivative is ∫ x J2 dx = -x J1 - 2 J0), the
+mixed-tracer angle-averaged parallelogram trispectrum T̄^{abcd} from
+chomp_tpu.trispectrum, and the same separable-growth approximation the
+rest of the pipeline uses (exact for the tree-PT 4h term; leading order
+for 1h-3h, mirroring chomp's separable P(k) treatment; ``exact_z=True``
+rebuilds the halo model per projection node instead).
 
 Everything is dense linear algebra:  Cov_G = B diag(g) B^T and
-Cov_NG = (1/Omega_s) B T_proj B^T with B[i, l] = Jbar_i(l) — two matmuls
+Cov_NG = (1/Omega_s) B T_proj B'^T with B[i, l] = Jbar_i(l) — two matmuls
 on the MXU.
 """
 
@@ -39,8 +47,7 @@ from chomp_tpu import background, linear, trispectrum
 from chomp_tpu.grids import gl_fixed
 from chomp_tpu.halo import HaloModel
 from chomp_tpu.params import C_OVER_H0, DEFAULT_GRID, CosmoParams, GridSpec, HaloParams
-from chomp_tpu.special import j1
-from chomp_tpu.projection import dndz
+from chomp_tpu.special import j0, j1
 
 
 def theta_bin_edges_deg(grid: GridSpec = DEFAULT_GRID, n_bins: int = 16):
@@ -58,6 +65,46 @@ def bin_averaged_j0(ells, edges_rad):
     x_lo = lo * ells[None, :]
     num = 2.0 * (x_hi * j1(x_hi) - x_lo * j1(x_lo))
     return num / (ells[None, :] ** 2 * (hi * hi - lo * lo))
+
+
+def bin_averaged_j2(ells, edges_rad):
+    """Jbar^2_i(l) for gamma_t bin averages: (n_bins, n_ell).
+
+    (2/(th+^2 - th-^2)) ∫ theta J2(l theta) dtheta, closed form via the
+    antiderivative ∫ x J2(x) dx = -x J1(x) - 2 J0(x) (from
+    J2 = 2 J1/x - J0 with ∫ J1 = -J0 and ∫ x J0 = x J1)."""
+    ells = jnp.asarray(ells)
+    lo = jnp.asarray(edges_rad[:-1])[:, None]
+    hi = jnp.asarray(edges_rad[1:])[:, None]
+    x_hi = hi * ells[None, :]
+    x_lo = lo * ells[None, :]
+
+    def anti(x):
+        return -x * j1(x) - 2.0 * j0(x)
+
+    # anti(x) = -2 + x^4/32 - ...: the closed-form difference cancels
+    # catastrophically at small x (both values ~ -2).  Below x = 1 use
+    # the exact series of ∫_0^x t J2(t) dt = sum_m (-1)^m x^(2m+4)
+    # / (2^(2m+2) m! (m+2)! (2m+4)) instead (rel. error < 1e-9 at x=1).
+    def anti_series(x):
+        x2 = x * x
+        return x2 * x2 * (1.0 / 32.0 + x2 * (
+            -1.0 / 576.0 + x2 * (1.0 / 24576.0 + x2 * (
+                -1.0 / 1843200.0 + x2 / 212336640.0))))
+
+    small = x_hi < 1.0
+    num = 2.0 * jnp.where(small, anti_series(x_hi) - anti_series(x_lo),
+                          anti(x_hi) - anti(x_lo))
+    return num / (ells[None, :] ** 2 * (hi * hi - lo * lo))
+
+
+def bin_averaged_bessel(ells, edges_rad, mu: int):
+    """Dispatch Jbar^mu (mu = 0 for w(theta), 2 for gamma_t)."""
+    if mu == 0:
+        return bin_averaged_j0(ells, edges_rad)
+    if mu == 2:
+        return bin_averaged_j2(ells, edges_rad)
+    raise ValueError(f"unsupported Bessel order mu={mu}")
 
 
 def _log_ell_weights(n: int, lo: float, hi: float):
@@ -90,15 +137,64 @@ def gaussian_covariance(cl_fn, theta_edges_deg, n2d, omega_s_sr,
     return cov + jnp.diag(diag)
 
 
+def gaussian_block(cl_ac, cl_bd, cl_ad, cl_bc, theta_edges_deg_i,
+                   theta_edges_deg_j, omega_s_sr, mu_i: int = 0,
+                   mu_j: int = 0, noise_ac: float = 0.0,
+                   noise_bd: float = 0.0, noise_ad: float = 0.0,
+                   noise_bc: float = 0.0, n_ell_cov: int = 4096,
+                   ell_lo: float = 1.0, ell_hi: float = 1.0e6):
+    """Generic Gaussian covariance block Cov[w^(ab)_i, w^(cd)_j] (module
+    docstring): (1/Omega_s) ∫ l dl/2pi Jbar^{mu_i}_i Jbar^{mu_j}_j
+    [Ct_ac Ct_bd + Ct_ad Ct_bc].
+
+    ``cl_xy(ells) -> C_l`` callables for the four tracer pairings;
+    ``noise_xy`` the corresponding white-noise levels (1/n2d for gg,
+    shape noise for kk, usually 0 for gk).  The pure noise x noise
+    constant is integrated analytically via the Bessel closure — valid
+    when the two estimators share probe and binning (mu_i == mu_j and
+    identical edges); elsewhere it is dropped, which is exact whenever at
+    least one pairing factor in each product is noiseless (the gg x gt
+    cross block: N_ad = N_bc = 0)."""
+    ells_np, w_np = _log_ell_weights(n_ell_cov, ell_lo, ell_hi)
+    ells = jnp.asarray(ells_np)
+    w = jnp.asarray(w_np)
+    edges_i = np.radians(np.asarray(theta_edges_deg_i))
+    edges_j = np.radians(np.asarray(theta_edges_deg_j))
+    b_i = bin_averaged_bessel(ells, edges_i, mu_i)        # (nbi, nl)
+    b_j = bin_averaged_bessel(ells, edges_j, mu_j)        # (nbj, nl)
+    ct_ac = cl_ac(ells) + noise_ac
+    ct_bd = cl_bd(ells) + noise_bd
+    ct_ad = cl_ad(ells) + noise_ad
+    ct_bc = cl_bc(ells) + noise_bc
+    integrand = (ct_ac * ct_bd + ct_ad * ct_bc
+                 - (noise_ac * noise_bd + noise_ad * noise_bc))
+    g = (1.0 / omega_s_sr) * ells**2 * w / (2.0 * jnp.pi) * integrand
+    cov = (b_i * g[None, :]) @ b_j.T
+    nn = noise_ac * noise_bd + noise_ad * noise_bc
+    if nn != 0.0 and mu_i == mu_j and np.array_equal(edges_i, edges_j):
+        # ∫ l dl Jbar^mu_i Jbar^mu_j = 2 delta_ij/(th+^2 - th-^2).
+        lo = jnp.asarray(edges_i[:-1])
+        hi = jnp.asarray(edges_i[1:])
+        diag = nn / (jnp.pi * omega_s_sr * (hi * hi - lo * lo))
+        cov = cov + jnp.diag(diag)
+    return cov
+
+
 def projected_trispectrum(cosmo: CosmoParams, halo_p: HaloParams,
                           model: HaloModel, dist, ells_cov,
                           galaxy: bool = True, with_bao: bool = False,
                           grid: GridSpec = DEFAULT_GRID,
                           n_k_tri: int = 96, n_z_tri: int = 24,
-                          exact_z: bool = False):
-    """T_proj(l, l') on a coarse ell grid: T̄ built on an (n_k_tri)^2
-    log-k grid, bilinearly interpolated in (ln k, ln k') at each
-    projection node, contracted over chi.
+                          exact_z: bool = False, windows=None, tracers=None):
+    """T^{abcd}_proj(l, l') on a coarse ell grid: T̄ built on an
+    (n_k_tri)^2 log-k grid, bilinearly interpolated in (ln k, ln k') at
+    each projection node, contracted over chi.
+
+    ``windows``/``tracers``: 4-tuples assigning each trispectrum leg its
+    radial window and tracer field (module docstring) — the cross-probe
+    blocks of the Morrison & Schneider 2013 program.  Default (None):
+    four copies of the galaxy window built from ``dist`` with tracers set
+    by the legacy ``galaxy`` flag (the w_gg auto-covariance).
 
     ``exact_z=False`` (default): one T̄ table at the model's pivot
     redshift, scaled by the separable D^6(z) (exact for the tree-PT 4h
@@ -106,14 +202,21 @@ def projected_trispectrum(cosmo: CosmoParams, halo_p: HaloParams,
     treatment).  ``exact_z=True``: the FULL halo model and T̄ table are
     rebuilt at every projection node (vmap over z of the same fused
     program) — no growth approximation anywhere; ~n_z_tri x the cost."""
+    from chomp_tpu.projection import WindowGalaxy
+
     ells_cov = jnp.asarray(ells_cov)
+    if tracers is None:
+        tracers = ("g",) * 4 if galaxy else ("m",) * 4
     # T̄ table(s).
     k_lo, k_hi = grid.k_table_min, grid.k_table_max
     ln_k = jnp.asarray(np.linspace(np.log(k_lo), np.log(k_hi), n_k_tri))
     kk = jnp.exp(ln_k)
     k1g, k2g = jnp.meshgrid(kk, kk, indexing="ij")
-    tri_fn = (trispectrum.trispectrum_parallelogram_galaxy if galaxy
-              else trispectrum.trispectrum_parallelogram)
+
+    def tri_fn(cosmo_, halo_, model_, k1_, k2_, bao_, grid_):
+        return trispectrum.trispectrum_parallelogram_tracers(
+            cosmo_, halo_, model_, k1_, k2_, tracers, bao_, grid_)
+
     tbar = tri_fn(cosmo, halo_p, model, k1g.ravel(), k2g.ravel(),
                   with_bao, grid).reshape(n_k_tri, n_k_tri)
     dln = ln_k[1] - ln_k[0]
@@ -143,19 +246,27 @@ def projected_trispectrum(cosmo: CosmoParams, halo_p: HaloParams,
         mag = jnp.exp(_bilinear(ln_tbar, lnk1, lnk2))
         return jnp.where(_bilinear(sgn_tbar, lnk1, lnk2) >= 0.0, mag, -mag)
 
-    # Projection over z.
-    z_lo = jnp.maximum(dist.z_min, 1e-3)
+    # Projection over z: integration range where ALL leg windows overlap.
+    if windows is None:
+        windows = (WindowGalaxy(dist=dist),) * 4
+        z_lo = jnp.maximum(dist.z_min, 1e-3)
+        z_hi = dist.z_max
+    else:
+        sups = [w_.support() for w_ in windows]
+        z_lo = jnp.maximum(jnp.asarray(max(float(s[0]) for s in sups)), 1e-3)
+        z_hi = jnp.asarray(min(float(s[1]) for s in sups))
     z_nodes, z_w = gl_fixed(0.0, 1.0, n_z_tri)
     z_nodes = jnp.asarray(z_nodes)
     z_w = jnp.asarray(z_w)
-    z = z_lo + (dist.z_max - z_lo) * z_nodes
-    wz = z_w * (dist.z_max - z_lo)
+    z = z_lo + (z_hi - z_lo) * z_nodes
+    wz = z_w * (z_hi - z_lo)
     chi = background.comoving_distance(cosmo, z, grid.n_dist)
     d = (background.growth_factor(cosmo, z, grid.n_growth)
          / model.mass.growth)
-    p_z = dndz(dist, z, grid)
-    w_gal = p_z * background.ez(cosmo, z) / C_OVER_H0     # W_g(chi)
-    weight = w_gal**4 / chi**6 * d**6 * (C_OVER_H0 / background.ez(cosmo, z)) * wz
+    w_prod = windows[0].window_z(cosmo, z, grid)
+    for w_ in windows[1:]:
+        w_prod = w_prod * w_.window_z(cosmo, z, grid)
+    weight = w_prod / chi**6 * d**6 * (C_OVER_H0 / background.ez(cosmo, z)) * wz
 
     lnk1 = jnp.log((ells_cov[:, None] + 0.5) / chi[None, :])  # (nl, nz)
     out = jnp.zeros((ells_cov.shape[0], ells_cov.shape[0]))
@@ -166,7 +277,7 @@ def projected_trispectrum(cosmo: CosmoParams, halo_p: HaloParams,
         from chomp_tpu import halo as halo_mod
 
         # No D^6 factor — the per-z tables carry the full evolution.
-        weight_exact = (w_gal**4 / chi**6
+        weight_exact = (w_prod / chi**6
                         * (C_OVER_H0 / background.ez(cosmo, z)) * wz)
 
         def body(carry, idx):
@@ -202,19 +313,103 @@ def nongaussian_covariance(cosmo: CosmoParams, halo_p: HaloParams,
                            grid: GridSpec = DEFAULT_GRID,
                            n_ell_cov: int = 96,
                            ell_lo: float = 1.0, ell_hi: float = 1.0e5,
-                           exact_z: bool = False):
-    """Non-Gaussian (connected trispectrum) covariance block."""
+                           exact_z: bool = False, windows=None,
+                           tracers=None, mu_i: int = 0, mu_j: int = 0,
+                           theta_edges_deg_j=None,
+                           n_k_tri: int = 96, n_z_tri: int = 24):
+    """Non-Gaussian (connected trispectrum) covariance block.
+
+    Defaults reproduce the w_gg auto-block; ``windows``/``tracers`` +
+    ``mu_i``/``mu_j`` (and optionally distinct j-side bin edges) select
+    any cross-probe block, e.g. gg x gt: tracers ("g","g","g","m"),
+    windows (W_g, W_g, W_g, W_kappa), mu_j = 2."""
     ells_np, w_np = _log_ell_weights(n_ell_cov, ell_lo, ell_hi)
     ells = jnp.asarray(ells_np)
     w = jnp.asarray(w_np)
-    edges_rad = np.radians(np.asarray(theta_edges_deg))
-    b = bin_averaged_j0(ells, edges_rad)                  # (nb, nl)
+    edges_i = np.radians(np.asarray(theta_edges_deg))
+    edges_j = np.radians(np.asarray(
+        theta_edges_deg if theta_edges_deg_j is None else theta_edges_deg_j))
+    b_i = bin_averaged_bessel(ells, edges_i, mu_i)        # (nbi, nl)
+    b_j = bin_averaged_bessel(ells, edges_j, mu_j)        # (nbj, nl)
     t_proj = projected_trispectrum(cosmo, halo_p, model, dist, ells,
                                    galaxy, with_bao, grid,
-                                   exact_z=exact_z)
+                                   n_k_tri=n_k_tri, n_z_tri=n_z_tri,
+                                   exact_z=exact_z, windows=windows,
+                                   tracers=tracers)
     meas = ells**2 * w / (2.0 * jnp.pi)                   # l dl/(2 pi)
-    bm = b * meas[None, :]
-    return (bm @ t_proj @ bm.T) / omega_s_sr
+    return ((b_i * meas[None, :]) @ t_proj
+            @ (b_j * meas[None, :]).T) / omega_s_sr
+
+
+def joint_wtheta_gammat_covariance(cosmo: CosmoParams, halo_p: HaloParams,
+                                   model, dist_lens, dist_src,
+                                   theta_edges_deg, omega_s_sr,
+                                   n2d_lens, shape_noise,
+                                   with_bao: bool = False,
+                                   grid: GridSpec = DEFAULT_GRID,
+                                   include_nongaussian: bool = True,
+                                   exact_z: bool = False,
+                                   n_k_tri: int = 96, n_z_tri: int = 24,
+                                   n_ell_cov_ng: int = 96):
+    """Joint covariance of the stacked data vector [w_gg bins, gamma_t
+    bins] — the full Morrison & Schneider 2013 clustering + g-g lensing
+    program (upstream:covariance.py; SURVEY.md §2 row 13).
+
+    ``n2d_lens``: lens galaxies per steradian (shot noise N_gg = 1/n2d).
+    ``shape_noise``: the white shear-noise level N_kk = sigma_eps^2 /
+    n2d_src (sigma_eps per component; caller computes).  Returns a
+    (2 nb, 2 nb) matrix ordered [ww, w-gt; gt-w, gt-gt]."""
+    from chomp_tpu import projection
+    from chomp_tpu.projection import WindowConvergence, WindowGalaxy
+
+    win_g = WindowGalaxy(dist=dist_lens)
+    win_k = WindowConvergence(dist=dist_src)
+    pt_gg = projection.power_table_halo(cosmo, halo_p, model, "power_gg",
+                                        with_bao, grid)
+    pt_gm = projection.power_table_halo(cosmo, halo_p, model, "power_gm",
+                                        with_bao, grid)
+    pt_mm = projection.power_table_halo(cosmo, halo_p, model, "power_mm",
+                                        with_bao, grid)
+
+    def cl_gg(ells):
+        return projection.limber_cl(cosmo, win_g, win_g, ells, pt_gg, grid)
+
+    def cl_gk(ells):
+        return projection.limber_cl(cosmo, win_g, win_k, ells, pt_gm, grid)
+
+    def cl_kk(ells):
+        return projection.limber_cl(cosmo, win_k, win_k, ells, pt_mm, grid)
+
+    edges = theta_edges_deg
+    n_g = 1.0 / n2d_lens
+    # Gaussian blocks: [C~_ac C~_bd + C~_ad C~_bc] with (ab)/(cd) the
+    # estimator tracer pairs — ww: (gg)x(gg); w-gt: (gg)x(gk);
+    # gt-gt: (gk)x(gk).
+    cov_ww = gaussian_block(cl_gg, cl_gg, cl_gg, cl_gg, edges, edges,
+                            omega_s_sr, 0, 0, n_g, n_g, n_g, n_g)
+    cov_wg = gaussian_block(cl_gg, cl_gk, cl_gk, cl_gg, edges, edges,
+                            omega_s_sr, 0, 2, n_g, 0.0, 0.0, n_g)
+    cov_gg = gaussian_block(cl_gg, cl_kk, cl_gk, cl_gk, edges, edges,
+                            omega_s_sr, 2, 2, n_g, shape_noise, 0.0, 0.0)
+    if include_nongaussian:
+        common = dict(with_bao=with_bao, grid=grid, exact_z=exact_z,
+                      n_ell_cov=n_ell_cov_ng, n_k_tri=n_k_tri,
+                      n_z_tri=n_z_tri)
+        cov_ww = cov_ww + nongaussian_covariance(
+            cosmo, halo_p, model, dist_lens, edges, omega_s_sr,
+            windows=(win_g,) * 4, tracers=("g", "g", "g", "g"),
+            mu_i=0, mu_j=0, **common)
+        cov_wg = cov_wg + nongaussian_covariance(
+            cosmo, halo_p, model, dist_lens, edges, omega_s_sr,
+            windows=(win_g, win_g, win_g, win_k),
+            tracers=("g", "g", "g", "m"), mu_i=0, mu_j=2, **common)
+        cov_gg = cov_gg + nongaussian_covariance(
+            cosmo, halo_p, model, dist_lens, edges, omega_s_sr,
+            windows=(win_g, win_k, win_g, win_k),
+            tracers=("g", "m", "g", "m"), mu_i=2, mu_j=2, **common)
+    top = jnp.concatenate([cov_ww, cov_wg], axis=1)
+    bot = jnp.concatenate([cov_wg.T, cov_gg], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
 
 
 def wtheta_covariance(cosmo: CosmoParams, halo_p: HaloParams,

@@ -176,48 +176,129 @@ def _i_mu_beta(cosmo: CosmoParams, halo: HaloParams, model: HaloModel,
     return jnp.sum(prod, axis=-1)
 
 
-def trispectrum_parallelogram(cosmo: CosmoParams, halo: HaloParams,
-                              model: HaloModel, k1, k2,
-                              with_bao: bool = False,
-                              grid: GridSpec = DEFAULT_GRID,
-                              terms=("1h", "2h", "3h", "4h")):
-    """T̄(k1, k2): angle-averaged parallelogram halo-model trispectrum
-    (chomp ``halo_trispectrum.HaloTrispectrum`` equivalent).  ``k1``/
-    ``k2`` broadcast; returns their broadcast shape."""
+def trispectrum_parallelogram_tracers(cosmo: CosmoParams, halo: HaloParams,
+                                      model: HaloModel, k1, k2,
+                                      tracers=("m", "m", "m", "m"),
+                                      with_bao: bool = False,
+                                      grid: GridSpec = DEFAULT_GRID,
+                                      terms=("1h", "2h", "3h", "4h")):
+    """Mixed-tracer parallelogram trispectrum T̄^{abcd}(k1, k2).
+
+    Legs 0/1 carry (k1, -k1) with tracers[0]/tracers[1]; legs 2/3 carry
+    (k2, -k2) with tracers[2]/tracers[3].  Each tracer is ``"m"`` (matter,
+    leg factor M/rho_bar) or ``"g"`` (HOD galaxies; p same-halo galaxy
+    legs contribute the factorial moment <(N)_p>/n_g^p).  This is the
+    trispectrum family behind the cross-probe (clustering x g-g lensing)
+    covariance blocks of the Morrison & Schneider 2013 program that
+    chomp's covariance.py serves (upstream:covariance.py /
+    upstream:halo_trispectrum.py; SURVEY.md §2 rows 8 & 13):
+
+      gg x gg : ("g","g","g","g")     gg x gt : ("g","g","g","m")
+      gt x gt : ("g","m","g","m")     mm x mm : ("m","m","m","m")
+
+    Halo decomposition (Cooray-Hu 2001 generalized to distinct legs; the
+    same Wick enumeration as :func:`t_pt_parallelogram`, with the
+    uniform-tracer degeneracy factors 2/2/4 expanded into explicit sums
+    over leg choices):
+
+      1h    = U^0(0123)
+      2h_31 = sum_i P(k_i) U^1(i) U^1(rest)
+      2h_22 = <P(S)>_mu [ U^1(02) U^1(13) + U^1(03) U^1(12) ]
+      3h    = <B_PT>_mu sum_{(i,j) in opposite pairs} U^1(ij) U^1(k) U^1(l)
+      4h    = U^1(0) U^1(1) U^1(2) U^1(3) T̄_PT(k1, k2)
+
+    where "opposite pairs" are the four (leg-at-k1, leg-at-k2) choices —
+    same-k pairs carry P(0) = 0 and drop.  For uniform tracers this
+    reduces EXACTLY to the classic 2/2/4 coefficients (tested)."""
     k1 = jnp.asarray(k1)
     k2 = jnp.asarray(k2)
     t = model.mass
-    zm = t.z  # all P factors at the model's redshift (halo I's already are)
-    y1 = y_nfw(cosmo, halo, k1[..., None], t.m, model.m_star, t.z)
-    y2 = y_nfw(cosmo, halo, k2[..., None], t.m, model.m_star, t.z)
+    g = model.gal
+    zm = t.z  # all P factors at the model's redshift (halo U's already are)
     p1 = linear.linear_power(cosmo, k1, zm, with_bao, grid)
     p2 = linear.linear_power(cosmo, k2, zm, with_bao, grid)
 
-    i11_k1 = _i_mu_beta(cosmo, halo, model, [y1], 1, 1)
-    i11_k2 = _i_mu_beta(cosmo, halo, model, [y2], 1, 1)
-    i21 = _i_mu_beta(cosmo, halo, model, [y1, y2], 2, 1)
+    # y(k, M) on both quadrature packs (mass-table rule for pure-matter
+    # integrals; kink-safe galaxy pack whenever an HOD moment enters).
+    y_m = {0: y_nfw(cosmo, halo, k1[..., None], t.m, model.m_star, t.z)}
+    y_m[1] = y_m[0]
+    y_m[2] = y_nfw(cosmo, halo, k2[..., None], t.m, model.m_star, t.z)
+    y_m[3] = y_m[2]
+    y_g = {0: y_nfw(cosmo, halo, k1[..., None], g.m, model.m_star, t.z)}
+    y_g[1] = y_g[0]
+    y_g[2] = y_nfw(cosmo, halo, k2[..., None], g.m, model.m_star, t.z)
+    y_g[3] = y_g[2]
+
+    def u(leg_idx, beta):
+        """U^beta over the given legs: ∫ dlnM dn/dlnM b^beta
+        <(N)_p>/n_g^p (M/rho_bar)^q prod_i y(k_i, M)."""
+        n_gal = sum(1 for i in leg_idx if tracers[i] == "g")
+        n_mat = len(leg_idx) - n_gal
+        if n_gal:
+            w = g.w_lnm * g.dndlnm
+            w = w * model.hod.nth_moment(g.m, n_gal) / model.n_g**n_gal
+            if n_mat:
+                w = w * (g.m / cosmo.rho_bar) ** n_mat
+            if beta:
+                w = w * g.bias
+            prod = w
+            for i in leg_idx:
+                prod = prod * y_g[i]
+        else:
+            w = t.w_lnm * t.dndlnm * (t.m / cosmo.rho_bar) ** n_mat
+            if beta:
+                w = w * t.bias
+            prod = w
+            for i in leg_idx:
+                prod = prod * y_m[i]
+        return jnp.sum(prod, axis=-1)
+
+    p_of = {0: p1, 1: p1, 2: p2, 3: p2}
+    opposite_pairs = ((0, 2), (0, 3), (1, 2), (1, 3))
 
     total = jnp.zeros(jnp.broadcast_shapes(k1.shape, k2.shape))
     if "1h" in terms:
-        total = total + _i_mu_beta(cosmo, halo, model, [y1, y1, y2, y2], 4, 0)
+        total = total + u((0, 1, 2, 3), 0)
     if "2h" in terms:
-        i31_122 = _i_mu_beta(cosmo, halo, model, [y1, y2, y2], 3, 1)
-        i31_211 = _i_mu_beta(cosmo, halo, model, [y2, y1, y1], 3, 1)
-        t2h_31 = 2.0 * (p1 * i11_k1 * i31_122 + p2 * i11_k2 * i31_211)
+        t2h_31 = sum(
+            p_of[i] * u((i,), 1)
+            * u(tuple(j for j in range(4) if j != i), 1)
+            for i in range(4))
         mu, w_mu = _mu_nodes(grid)
         s2 = jnp.maximum(k1[..., None] ** 2 + k2[..., None] ** 2
                          + 2.0 * k1[..., None] * k2[..., None] * mu, 1e-20)
         ps_avg = 0.5 * jnp.sum(
             linear.linear_power(cosmo, jnp.sqrt(s2), zm, with_bao, grid)
             * w_mu, axis=-1)
-        total = total + t2h_31 + 2.0 * ps_avg * i21 * i21
+        t2h_22 = ps_avg * (u((0, 2), 1) * u((1, 3), 1)
+                           + u((0, 3), 1) * u((1, 2), 1))
+        total = total + t2h_31 + t2h_22
     if "3h" in terms:
-        total = total + 4.0 * i21 * i11_k1 * i11_k2 * b_pt_avg(
-            cosmo, k1, k2, with_bao, grid, z=zm)
+        b_avg = b_pt_avg(cosmo, k1, k2, with_bao, grid, z=zm)
+        t3h = sum(
+            u(pair, 1)
+            * u((tuple(j for j in range(4) if j not in pair)[0],), 1)
+            * u((tuple(j for j in range(4) if j not in pair)[1],), 1)
+            for pair in opposite_pairs)
+        total = total + b_avg * t3h
     if "4h" in terms:
-        total = total + (i11_k1**2) * (i11_k2**2) * t_pt_parallelogram(
-            cosmo, k1, k2, with_bao, grid, z=zm)
+        total = total + (u((0,), 1) * u((1,), 1) * u((2,), 1) * u((3,), 1)
+                         * t_pt_parallelogram(cosmo, k1, k2, with_bao, grid,
+                                              z=zm))
     return total
+
+
+def trispectrum_parallelogram(cosmo: CosmoParams, halo: HaloParams,
+                              model: HaloModel, k1, k2,
+                              with_bao: bool = False,
+                              grid: GridSpec = DEFAULT_GRID,
+                              terms=("1h", "2h", "3h", "4h")):
+    """T̄(k1, k2): angle-averaged parallelogram MATTER trispectrum
+    (chomp ``halo_trispectrum.HaloTrispectrum`` equivalent).  ``k1``/
+    ``k2`` broadcast; returns their broadcast shape."""
+    return trispectrum_parallelogram_tracers(
+        cosmo, halo, model, k1, k2, ("m", "m", "m", "m"), with_bao, grid,
+        terms)
 
 
 def _j_mu_beta(model: HaloModel, y_list, mu_exp: int, beta: int):
@@ -245,37 +326,6 @@ def trispectrum_parallelogram_galaxy(cosmo: CosmoParams, halo: HaloParams,
     :func:`trispectrum_parallelogram` with I -> J (HOD factorial-moment
     weights / n_g powers) — the trispectrum entering the w_gg(theta)
     covariance (chomp covariance.py's use case)."""
-    k1 = jnp.asarray(k1)
-    k2 = jnp.asarray(k2)
-    g = model.gal
-    zm = model.mass.z  # all P factors at the model's redshift
-    y1 = y_nfw(cosmo, halo, k1[..., None], g.m, model.m_star, model.mass.z)
-    y2 = y_nfw(cosmo, halo, k2[..., None], g.m, model.m_star, model.mass.z)
-    p1 = linear.linear_power(cosmo, k1, zm, with_bao, grid)
-    p2 = linear.linear_power(cosmo, k2, zm, with_bao, grid)
-
-    j11_k1 = _j_mu_beta(model, [y1], 1, 1)
-    j11_k2 = _j_mu_beta(model, [y2], 1, 1)
-    j21 = _j_mu_beta(model, [y1, y2], 2, 1)
-
-    total = jnp.zeros(jnp.broadcast_shapes(k1.shape, k2.shape))
-    if "1h" in terms:
-        total = total + _j_mu_beta(model, [y1, y1, y2, y2], 4, 0)
-    if "2h" in terms:
-        j31_122 = _j_mu_beta(model, [y1, y2, y2], 3, 1)
-        j31_211 = _j_mu_beta(model, [y2, y1, y1], 3, 1)
-        t2h_31 = 2.0 * (p1 * j11_k1 * j31_122 + p2 * j11_k2 * j31_211)
-        mu, w_mu = _mu_nodes(grid)
-        s2 = jnp.maximum(k1[..., None] ** 2 + k2[..., None] ** 2
-                         + 2.0 * k1[..., None] * k2[..., None] * mu, 1e-20)
-        ps_avg = 0.5 * jnp.sum(
-            linear.linear_power(cosmo, jnp.sqrt(s2), zm, with_bao, grid)
-            * w_mu, axis=-1)
-        total = total + t2h_31 + 2.0 * ps_avg * j21 * j21
-    if "3h" in terms:
-        total = total + 4.0 * j21 * j11_k1 * j11_k2 * b_pt_avg(
-            cosmo, k1, k2, with_bao, grid, z=zm)
-    if "4h" in terms:
-        total = total + (j11_k1**2) * (j11_k2**2) * t_pt_parallelogram(
-            cosmo, k1, k2, with_bao, grid, z=zm)
-    return total
+    return trispectrum_parallelogram_tracers(
+        cosmo, halo, model, k1, k2, ("g", "g", "g", "g"), with_bao, grid,
+        terms)

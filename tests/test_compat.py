@@ -203,6 +203,26 @@ class TestTrispectrumAndCovariance:
         assert total.shape == (5, 5)
         assert np.all(np.linalg.eigvalsh(0.5 * (total + total.T)) > 0)
 
+    def test_joint_covariance_object(self, compat_halo):
+        """Clustering + g-g lensing joint covariance (compat surface over
+        covariance.joint_wtheta_gammat_covariance)."""
+        h = compat_halo
+        lens = kernel.WindowFunctionGalaxy(
+            kernel.dNdzGaussian(0.0, 1.2, 0.5, 0.15))
+        src = kernel.WindowFunctionGalaxy(
+            kernel.dNdzGaussian(0.0, 2.5, 1.2, 0.3))
+        from chomp_tpu.params import GridSpec
+
+        g = GridSpec(n_mass=128, n_mu=8, sigma_panels=8,
+                     sigma_n_per_panel=32, n_growth=32, n_dist=32)
+        jc = covariance.JointCovariance(
+            h, lens, src, area_deg2=300.0, n_lens_per_arcmin2=2.0,
+            n_src_per_arcmin2=10.0, bins=4, theta_min_deg=0.01, grid=g)
+        total = np.asarray(jc.covariance(include_nongaussian=False))
+        assert total.shape == (8, 8)
+        np.testing.assert_allclose(total, total.T, rtol=1e-8)
+        assert np.all(np.linalg.eigvalsh(0.5 * (total + total.T)) > 0)
+
 
 class TestLensingCorrelation:
     def test_gamma_t_via_j2_kernel(self, compat_halo):

@@ -114,6 +114,114 @@ def test_total_covariance_psd(fiducial, setup):
     assert np.all(eig > 0), f"covariance not PSD: {eig}"
 
 
+def test_bin_averaged_j2_vs_quad():
+    """Closed-form Jbar^2 (with the small-x series branch) vs numerical
+    bin averaging of theta J2(l theta)."""
+    from scipy.integrate import quad
+    from scipy.special import jv
+
+    edges = np.radians(np.array([0.05, 0.1]))
+    ells = [1e-3, 1.0, 50.0, 500.0, 5000.0]
+    jb = np.asarray(covariance.bin_averaged_j2(jnp.asarray(ells), edges))[0]
+    for i, ell in enumerate(ells):
+        num, _ = quad(lambda th: jv(2, ell * th) * th, edges[0], edges[1],
+                      epsrel=1e-13, limit=800)
+        ref = 2 * num / (edges[1] ** 2 - edges[0] ** 2)
+        np.testing.assert_allclose(jb[i], ref, rtol=1e-8, atol=1e-300)
+
+
+def test_tracer_trispectrum_symmetries(fiducial, setup):
+    """Mixed-tracer engine: within-pair order is irrelevant, (pair, k)
+    exchange is a symmetry, and the uniform-tracer cases go through the
+    same engine as the named wrappers."""
+    from chomp_tpu import trispectrum as tri
+    from chomp_tpu.params import GridSpec
+
+    h, model, dist, cl_fn = setup
+    g = GridSpec(n_mass=128, n_mu=8, sigma_panels=8, sigma_n_per_panel=32,
+                 n_growth=32, n_dist=32)
+    k1 = jnp.asarray([0.1, 1.0])
+    k2 = jnp.asarray([0.5, 2.0])
+    t_gmgm = np.asarray(tri.trispectrum_parallelogram_tracers(
+        fiducial, h, model, k1, k2, ("g", "m", "g", "m"), grid=g))
+    t_mgmg = np.asarray(tri.trispectrum_parallelogram_tracers(
+        fiducial, h, model, k1, k2, ("m", "g", "m", "g"), grid=g))
+    t_swap = np.asarray(tri.trispectrum_parallelogram_tracers(
+        fiducial, h, model, k2, k1, ("g", "m", "g", "m"), grid=g))
+    np.testing.assert_allclose(t_gmgm, t_mgmg, rtol=1e-12)
+    np.testing.assert_allclose(t_gmgm, t_swap, rtol=1e-12)
+    # The named wrappers are the uniform-tracer specializations.
+    np.testing.assert_allclose(
+        np.asarray(tri.trispectrum_parallelogram_galaxy(
+            fiducial, h, model, k1, k2, grid=g)),
+        np.asarray(tri.trispectrum_parallelogram_tracers(
+            fiducial, h, model, k1, k2, ("g",) * 4, grid=g)), rtol=1e-12)
+    # All variants positive at these scales and the mixed one lies
+    # between a pure 1-halo ordering sanity (not a theorem, but holds
+    # for this HOD/fiducial and guards sign/weight regressions).
+    assert np.all(t_gmgm > 0)
+
+
+def test_gaussian_block_reduces_to_gaussian_covariance(setup):
+    """The generic 4-pairing Gaussian block with all legs = g equals the
+    dedicated w_gg Gaussian covariance exactly (including the analytic
+    pure-shot diagonal)."""
+    h, model, dist, cl_fn = setup
+    edges = covariance.theta_bin_edges_deg(DEFAULT_GRID, n_bins=5)
+    ref = np.asarray(covariance.gaussian_covariance(
+        cl_fn, edges, N2D, OMEGA_S))
+    n = 1.0 / N2D
+    blk = np.asarray(covariance.gaussian_block(
+        cl_fn, cl_fn, cl_fn, cl_fn, edges, edges, OMEGA_S, 0, 0,
+        n, n, n, n))
+    np.testing.assert_allclose(blk, ref, rtol=1e-10)
+
+
+def test_cross_window_trispectrum_reduction(fiducial, setup):
+    """projected_trispectrum with explicit (W_g x4, gggg) equals the
+    legacy dist+galaxy call bit-for-bit."""
+    from chomp_tpu.params import GridSpec
+
+    h, model, dist, cl_fn = setup
+    g = GridSpec(n_mass=128, n_mu=8, sigma_panels=8, sigma_n_per_panel=32,
+                 n_growth=32, n_dist=32)
+    ells = np.logspace(1, 3.5, 5)
+    legacy = np.asarray(covariance.projected_trispectrum(
+        fiducial, h, model, dist, ells, grid=g, n_k_tri=32, n_z_tri=6))
+    win_g = projection.WindowGalaxy(dist=dist)
+    general = np.asarray(covariance.projected_trispectrum(
+        fiducial, h, model, dist, ells, grid=g, n_k_tri=32, n_z_tri=6,
+        windows=(win_g,) * 4, tracers=("g",) * 4))
+    np.testing.assert_allclose(general, legacy, rtol=1e-12)
+
+
+def test_joint_wtheta_gammat_covariance(fiducial, setup):
+    """Full (w_gg, gamma_t) joint matrix: shape, symmetry, PSD, positive
+    diagonals, and 1/Omega_s scaling of the whole matrix."""
+    from chomp_tpu.params import GridSpec
+
+    h, model, dist, cl_fn = setup
+    g = GridSpec(n_mass=128, n_mu=8, sigma_panels=8, sigma_n_per_panel=32,
+                 n_growth=32, n_dist=32)
+    dist_src = projection.DNdzGaussian(
+        z_min=jnp.asarray(0.0), z_max=jnp.asarray(2.5),
+        z0=jnp.asarray(1.2), sigma_z=jnp.asarray(0.3))
+    edges = np.logspace(-2, 0, 5)
+    kw = dict(grid=g, n_k_tri=32, n_z_tri=6, n_ell_cov_ng=48)
+    cov = np.asarray(covariance.joint_wtheta_gammat_covariance(
+        fiducial, h, model, dist, dist_src, edges, OMEGA_S, N2D, 1e-9, **kw))
+    nb = len(edges) - 1
+    assert cov.shape == (2 * nb, 2 * nb)
+    np.testing.assert_allclose(cov, cov.T, rtol=1e-8)
+    assert np.all(np.diag(cov) > 0)
+    eig = np.linalg.eigvalsh(0.5 * (cov + cov.T))
+    assert np.all(eig > 0), f"joint covariance not PSD: {eig}"
+    cov2 = np.asarray(covariance.joint_wtheta_gammat_covariance(
+        fiducial, h, model, dist, dist_src, edges, 2 * OMEGA_S, N2D, 1e-9,
+        **kw))
+    np.testing.assert_allclose(cov2, 0.5 * cov, rtol=1e-10)
+
+
 def test_projected_trispectrum_exact_z(fiducial, setup):
     """exact_z rebuilds the halo model per projection node.  At a z~0
     kernel it approaches the separable path (residual = genuine
