@@ -29,7 +29,11 @@ default_halo_params = {
     "c0": 9.0,
     "beta": -0.13,
     "alpha": -1.0,
+    # Convention sentinels (HaloParams docstring): -1 selects the default
+    # fit forms (Bryan-Norman delta_v, NFW97 delta_c); -2/-3 the
+    # alternative/fixed forms; > 0 a literal value.
     "delta_v": -1.0,
+    "delta_c": -1.0,
 }
 
 default_limits = {

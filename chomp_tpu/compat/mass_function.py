@@ -46,14 +46,16 @@ class MassFunction:
 
     # -- evaluation (chomp method names) ------------------------------------
     def f_nu(self, nu):
-        return mass_mod.f_nu(self.tables, self.halo_params, nu)
+        return mass_mod.f_nu(self.tables, self.halo_params,
+                             self._internal_nu(nu))
 
     def f_m(self, m):
         return mass_mod.f_m(self._epoch.cosmo, self.tables, self.halo_params,
                             m, self._epoch.with_bao, self.grid)
 
     def bias_nu(self, nu):
-        return mass_mod.bias_nu(self.tables, self.halo_params, nu)
+        return mass_mod.bias_nu(self.tables, self.halo_params,
+                                self._internal_nu(nu))
 
     def bias_m(self, m):
         return mass_mod.bias_m(self._epoch.cosmo, self.tables,
@@ -65,20 +67,30 @@ class MassFunction:
                              self.halo_params, m, self._epoch.with_bao,
                              self.grid)
 
+    def _report_nu(self, nu2):
+        """Peak height in the configured reporting convention
+        (GridSpec.nu_convention): chomp's squared (delta_c/sigma)^2 or
+        linear delta_c/sigma.  Internal tables are always squared."""
+        return jnp.sqrt(nu2) if self.grid.nu_convention == "linear" else nu2
+
+    def _internal_nu(self, nu):
+        return nu**2 if self.grid.nu_convention == "linear" else nu
+
     def nu(self, m):
-        return mass_mod.nu_of_m(self._epoch.cosmo, self.tables, m,
-                                self._epoch.with_bao, self.grid)
+        return self._report_nu(mass_mod.nu_of_m(
+            self._epoch.cosmo, self.tables, m, self._epoch.with_bao,
+            self.grid))
 
     def mass(self, nu):
-        return mass_mod.m_of_nu(self.tables, nu)
+        return mass_mod.m_of_nu(self.tables, self._internal_nu(nu))
 
     @property
     def nu_min(self):
-        return float(self.tables.nu[0])
+        return float(self._report_nu(self.tables.nu[0]))
 
     @property
     def nu_max(self):
-        return float(self.tables.nu[-1])
+        return float(self._report_nu(self.tables.nu[-1]))
 
     def m_star(self):
         return float(jnp.exp(self.tables.ln_m_star))

@@ -109,8 +109,14 @@ def build_halo_model(
         cosmo, halo, z, with_bao, grid)
     n_first = hod.first_moment(t.m)
     n_second = hod.second_moment(t.m)
-    sw1 = _switch_lnm(hod.first_moment, t)
-    sw2 = _switch_lnm(hod.second_moment, t)
+    if grid.scranton_switch:
+        sw1 = _switch_lnm(hod.first_moment, t)
+        sw2 = _switch_lnm(hod.second_moment, t)
+    else:
+        # Plain y^2 convention: park both switches at the lower mass
+        # bound so no node takes the y^1 branch (GridSpec docstring).
+        sw1 = t.ln_m[0] * jnp.ones(())
+        sw2 = t.ln_m[0] * jnp.ones(())
 
     # Panel-refined galaxy quadrature: edges at every non-smooth mark.
     bps = tuple(hod.breakpoints()) if hasattr(hod, "breakpoints") else ()

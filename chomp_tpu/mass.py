@@ -55,6 +55,19 @@ class MassTables:
     z: jnp.ndarray           # scalar
 
 
+def halo_delta_c(cosmo: CosmoParams, halo: HaloParams, z=0.0):
+    """Collapse threshold by sentinel (HaloParams docstring; the NFW97
+    form is the SURVEY App. B.3 guess — [M]-confidence, so switchable):
+    > 0 literal, -1 NFW97 fit, -2 Kitayama-Suto 1996 fit, -3 fixed EdS
+    (3/20)(12 pi)^(2/3)."""
+    dc = jnp.asarray(halo.delta_c)
+    fit = jnp.where(
+        dc > -1.5, background.delta_c(cosmo, z),
+        jnp.where(dc > -2.5, background.delta_c_ks96(cosmo, z),
+                  background.DELTA_C_EDS))
+    return jnp.where(dc > 0.0, dc, fit)
+
+
 def f_nu_raw(halo: HaloParams, nu):
     """Un-normalized ST multiplicity in the nu-squared convention
     (Appendix B.4): f ∝ (1 + (a nu)^-q) sqrt(a nu) exp(-a nu/2)/nu."""
@@ -92,7 +105,7 @@ def build_mass_tables(
     norm = linear.power_norm(cosmo, with_bao, grid)
     d = background.growth_factor(cosmo, z, grid.n_growth)
     sigma = jnp.sqrt(norm * s2_un) * d
-    dc = background.delta_c(cosmo, z)
+    dc = halo_delta_c(cosmo, halo, z)
     nu = (dc / sigma) ** 2
     # d ln sigma^2 / d lnM = (1/3) (d sigma^2_un/d lnR)/sigma^2_un;
     # nu ∝ 1/sigma^2  =>  dnu/dlnM = -nu * d ln sigma^2 / d lnM.
@@ -145,14 +158,39 @@ def bias_nu(tables: MassTables, halo: HaloParams, nu):
 
 def nu_of_m(cosmo: CosmoParams, tables: MassTables, m,
             with_bao: bool = False, grid: GridSpec = DEFAULT_GRID):
-    """nu(M) at the tables' redshift, exact (chomp ``MassFunction.nu``)."""
-    return linear.nu_m(cosmo, m, tables.z, with_bao, grid)
+    """nu(M) at the tables' redshift, exact (chomp ``MassFunction.nu``).
+    Uses the tables' own resolved delta_c so a non-default threshold
+    convention (HaloParams.delta_c sentinel) stays consistent."""
+    r = linear.radius_of_mass(cosmo, m)
+    s2_un, _ = linear.sigma2_unnorm_r_and_dlnr(cosmo, r, with_bao, grid)
+    sigma = jnp.sqrt(linear.power_norm(cosmo, with_bao, grid) * s2_un
+                     ) * tables.growth
+    return (tables.delta_c / sigma) ** 2
 
 
 def m_of_nu(tables: MassTables, nu):
     """M(nu) inverse lookup via the monotone table (chomp
-    ``MassFunction.mass``; ~1e-6 relative from interpolation)."""
-    return jnp.exp(jnp.interp(jnp.log(nu), jnp.log(tables.nu), tables.ln_m))
+    ``MassFunction.mass``): 4-point Lagrange in (ln nu, ln M) on the
+    non-uniform GL nodes — ~1e-9 relative at the n_mass=256 default
+    (linear interpolation cost 8e-5, outside the round-trip contract).
+    API path only (one small gather); the pipelines never invert."""
+    lnq = jnp.atleast_1d(jnp.log(jnp.asarray(nu)))
+    xs = jnp.log(tables.nu)                    # increasing in M? nu grows
+    ys = tables.ln_m
+    n = xs.shape[0]
+    i = jnp.clip(jnp.searchsorted(xs, lnq) - 1, 1, n - 3)
+    idx = i[:, None] + jnp.arange(-1, 3)[None, :]          # (q, 4)
+    xn = xs[idx]                                           # (q, 4)
+    yn = ys[idx]
+    out = jnp.zeros_like(lnq)
+    for a in range(4):
+        w = jnp.ones_like(lnq)
+        for b_ in range(4):
+            if b_ != a:
+                w = w * (lnq - xn[:, b_]) / (xn[:, a] - xn[:, b_])
+        out = out + w * yn[:, a]
+    res = jnp.exp(out)
+    return res if jnp.ndim(nu) else res[0]
 
 
 def f_m(cosmo: CosmoParams, tables: MassTables, halo: HaloParams, m,

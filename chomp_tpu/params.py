@@ -95,9 +95,26 @@ class HaloParams:
     SURVEY.md Appendix B.0): stq=0.3, st_little_a=0.707 (Sheth-Tormen),
     c0=9.0, beta=-0.13 (concentration c = c0/(1+z) * (M/M*)^beta),
     alpha=-1 (NFW inner slope; only -1 is supported, as in chomp's
-    analytic y(k,M)), delta_v=-1 meaning "use the cosmology's virial
-    overdensity fit" (Bryan-Norman 1998 wrt mean density — SURVEY.md
-    Appendix C.4 / A.6 convention).
+    analytic y(k,M)).
+
+    Convention selectors (SURVEY.md Appendix C.1/C.3/C.4 are [M]/[L]-
+    confidence guesses — the reference mount was empty — so each choice
+    is a config sentinel, not a hardcode; if the true chomp convention
+    ever becomes checkable, matching it is a parameter change):
+
+    ``delta_v`` — virial overdensity w.r.t. MEAN density:
+      > 0 : that literal value (chomp's explicit-number mode)
+      -1  : Bryan-Norman 1998 fit /Omega_m(z)  [default; App. A.6]
+      -2  : Nakamura-Suto 1997 fit 18 pi^2 (1 + 0.4093 x^0.9052),
+            x = 1/Omega_m(z) - 1
+      -3  : fixed EdS value 18 pi^2
+
+    ``delta_c`` — spherical-collapse threshold:
+      > 0 : literal value
+      -1  : NFW97 fit 0.15 (12 pi)^(2/3) Omega_m(z)^0.0055  [default]
+      -2  : Kitayama-Suto 1996 fit (3/20)(12 pi)^(2/3)
+            (1 + 0.0123 log10 Omega_m(z))
+      -3  : fixed EdS value (3/20)(12 pi)^(2/3) = 1.68647
     """
 
     stq: jnp.ndarray
@@ -106,11 +123,12 @@ class HaloParams:
     beta: jnp.ndarray
     alpha: jnp.ndarray
     delta_v: jnp.ndarray
+    delta_c: jnp.ndarray
 
 
 def default_halo(**overrides) -> HaloParams:
     vals = dict(stq=0.3, st_little_a=0.707, c0=9.0, beta=-0.13, alpha=-1.0,
-                delta_v=-1.0)
+                delta_v=-1.0, delta_c=-1.0)
     vals.update(overrides)
     return HaloParams(**{k: jnp.asarray(float(v)) for k, v in vals.items()})
 
@@ -148,9 +166,13 @@ class GridSpec:
     n_dist: int = 64
 
     # Mass grid (chomp mass range; SURVEY.md A.4 uses [1e9, 1e16]).
+    # n_mass=256 is converged to <2e-5 on P(k<=100) and <7e-6 on the
+    # w/gamma_t bins vs n_mass=1024 (measured; the suite's goldens
+    # certify it at their own tolerances) — halving from 512 cut the
+    # halo stage ~2x on TPU.
     m_min: float = 1.0e9
     m_max: float = 1.0e16
-    n_mass: int = 512
+    n_mass: int = 256
 
     # Projection (Limber) quadrature over z, and lensing-efficiency inner
     # quadrature.
@@ -188,6 +210,17 @@ class GridSpec:
 
     # Trispectrum angle-average quadrature order.
     n_mu: int = 32
+
+    # Convention selectors for [M]-confidence upstream choices (SURVEY.md
+    # Appendix C.1/C.5; see also HaloParams.delta_v / .delta_c sentinels).
+    # scranton_switch: the central/satellite 1-halo y-exponent heuristic
+    # (y^1 below the <N>/<N(N-1)> = 1 crossing, y^2 above).  False uses
+    # the plain y^2 convention everywhere.
+    scranton_switch: bool = True
+    # nu_convention: how peak height is REPORTED by the API layers —
+    # chomp's "squared" nu = (delta_c/sigma)^2 (App. C.1) or the modern
+    # "linear" nu = delta_c/sigma.  Internal tables are always squared.
+    nu_convention: str = "squared"
 
     def replace(self, **kw) -> "GridSpec":
         return dataclasses.replace(self, **kw)

@@ -34,10 +34,17 @@ def concentration(halo: HaloParams, m, m_star, z=0.0):
 
 
 def halo_delta_v(cosmo: CosmoParams, halo: HaloParams, z=0.0):
-    """Virial overdensity: halo_dict value if > 0, else the cosmology's
-    Bryan-Norman fit (chomp ``delta_v = -1`` convention)."""
-    return jnp.where(halo.delta_v > 0.0, halo.delta_v,
-                     background.delta_v(cosmo, z))
+    """Virial overdensity: halo_dict value if > 0, else one of the fit
+    conventions by sentinel (HaloParams docstring; chomp's ``delta_v=-1``
+    "use the cosmology's fit" mode, with the fit form made switchable
+    because the upstream formula is [M]-confidence — SURVEY.md C.4):
+    -1 Bryan-Norman, -2 Nakamura-Suto, -3 fixed 18 pi^2."""
+    dv = jnp.asarray(halo.delta_v)
+    fit = jnp.where(
+        dv > -1.5, background.delta_v(cosmo, z),
+        jnp.where(dv > -2.5, background.delta_v_ns97(cosmo, z),
+                  18.0 * jnp.pi**2))
+    return jnp.where(dv > 0.0, dv, fit)
 
 
 def virial_radius(cosmo: CosmoParams, halo: HaloParams, m, z=0.0):

@@ -14,7 +14,7 @@ def test_gridspec_static_and_hashable():
     g2 = GridSpec()
     assert hash(g1) == hash(g2) and g1 == g2
     g3 = g1.replace(n_mass=1024)
-    assert g3 != g1 and g3.n_mass == 1024 and g1.n_mass == 512
+    assert g3 != g1 and g3.n_mass == 1024 and g1.n_mass == GridSpec.n_mass
     # Usable as a jit-static argument.
     calls = []
 
