@@ -51,7 +51,8 @@ def broadcast_cosmo(base: CosmoParams, **param_arrays) -> CosmoParams:
 def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
                   theta_deg=None, z_pivot: float = 0.0,
                   with_bao: bool = False, grid: GridSpec = DEFAULT_GRID,
-                  include_lensing: bool = True, method: str = "fft"):
+                  include_lensing: bool = True, method: str = "fft",
+                  exact_z_anchors: int | None = None):
     """Build the flagship single-cosmology program: halo model ->
     clustering w(theta) (+ lensing gamma_t) — the BASELINE.json configs[4]
     "batched w(theta) lensing+clustering pipeline".
@@ -60,6 +61,12 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
     Limber (chomp_tpu.limber_fft — ~100x faster on TPU, agrees with the
     reference path to ~1e-5); ``method="table"`` uses the
     GL + cubic-table reference path.
+
+    ``exact_z_anchors``: if set (e.g. 8-10), the fft route drops the
+    separable-growth approximation entirely — the halo model is expanded
+    over that many Chebyshev redshift anchors
+    (limber_fft.limber_wtheta_fft_exact_z), at ~n_anchors x the halo-
+    stage cost.  ``z_pivot`` is then unused.
 
     Returns ``fn(cosmo) -> dict`` (pure; jit/vmap/grad-able).
     ``halo_params``/``hod``/``dist`` are closed over but traced, so they
@@ -81,6 +88,11 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
     theta_key = np.asarray(theta_deg)
 
     def w_from_p(cosmo, model, wa, wb, p_kind_table, kind, mu):
+        if method == "fft" and exact_z_anchors:
+            return limber_fft.limber_wtheta_fft_exact_z(
+                cosmo, halo_params, hod, wa, wb, theta_key, kind,
+                n_z_anchor=exact_z_anchors, with_bao=with_bao, grid=grid,
+                mu=mu)
         if method == "fft":
             # Fused lattice route: conv -> one f64-composed operator with
             # two-float accumulation (skips the f32 C_ell intermediate —
@@ -167,7 +179,8 @@ def make_inference_step(fn_observable, data, invcov, learning_rate=1e-3):
 
 
 def sweep_chunked(fn, cosmo_batch: CosmoParams, out_dir, chunk_size: int = 32,
-                  mesh: jax.sharding.Mesh | None = None, axis: str = "data"):
+                  mesh: jax.sharding.Mesh | None = None, axis: str = "data",
+                  chunk_offset: int = 0, chunk_stride: int = 1):
     """Chunked, RESUMABLE sweep (SURVEY.md §5.3/§5.4: the failure-
     detection/recovery analog — sweeps are stateless, so recovery is
     re-running only missing chunks).
@@ -178,7 +191,14 @@ def sweep_chunked(fn, cosmo_batch: CosmoParams, out_dir, chunk_size: int = 32,
     (or on another host working on the same shared directory) resumes
     where it left off.  ``tag`` is a hash of the chunk's INPUT slice, so
     a rerun with a different cosmology batch or chunk_size cannot
-    silently reuse stale chunk files.  Returns the list of chunk paths.
+    silently reuse stale chunk files.
+
+    ``chunk_offset``/``chunk_stride`` restrict COMPUTATION to global
+    chunk indices i ≡ offset (mod stride) — the multi-host work split
+    (chomp_tpu.parallel.multihost) — while filenames stay keyed by the
+    global index, so any process mix produces one consistent directory.
+    Returns the list of ALL chunk paths (including ones this call did
+    not own).
     """
     import hashlib
     import os
@@ -197,10 +217,12 @@ def sweep_chunked(fn, cosmo_batch: CosmoParams, out_dir, chunk_size: int = 32,
         path = os.path.join(out_dir,
                             f"chunk_{i:05d}_{h.hexdigest()[:10]}.npz")
         paths.append(path)
+        if i % chunk_stride != chunk_offset % chunk_stride:
+            continue                # another process owns this chunk
         if os.path.exists(path):
             continue
         result = sweep(fn, chunk, mesh=mesh, axis=axis)
-        tmp = path + ".tmp.npz"
+        tmp = path + f".tmp.{os.getpid()}.npz"
         onp.savez(tmp, **{k: onp.asarray(v) for k, v in result.items()})
         os.replace(tmp, path)       # atomic: no torn chunks on crash
     return paths
