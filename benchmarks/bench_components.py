@@ -70,6 +70,11 @@ def main(batch_size: int = 100):
                                         growth_pivot=model.mass.growth)
 
     stage("+ Limber C_ell [1024 ells]", cl_fn)
+    win_k = projection.WindowConvergence(dist=dist)
+    stage("window lattice G (galaxy x galaxy)",
+          lambda c: limber_fft._lattice_g(c, win, win, DEFAULT_GRID))
+    stage("window lattice G (kappa x galaxy)",
+          lambda c: limber_fft._lattice_g(c, win_k, win, DEFAULT_GRID))
     full = make_pipeline(h, hod, dist)
     stage("full w+gamma_t pipeline", full)
 

@@ -154,3 +154,25 @@ def test_growth_ode_cpl_deviation_is_physical(fiducial):
     np.testing.assert_allclose(
         background.growth_factor_exact(cpl, jnp.asarray(0.0)), 1.0,
         rtol=1e-10)
+
+
+def test_z_of_chi_newton_roundtrip(fiducial):
+    """Gather-free Newton chi->z inversion: chi(z_of_chi(chi)) == chi to
+    roundoff across cosmologies far from the seed (the inversion behind
+    the lattice window stage — replaced a jnp.interp dynamic gather)."""
+    import dataclasses
+
+    chi = jnp.asarray(np.logspace(0.5, np.log10(6500.0), 64))
+    for om in (0.15, 0.278, 0.45):
+        c = dataclasses.replace(fiducial, omega_m0=jnp.asarray(om),
+                                omega_l0=jnp.asarray(1.0 - om))
+        z = background.z_of_chi(c, chi)
+        chi_back = background.comoving_distance(c, z)
+        np.testing.assert_allclose(np.asarray(chi_back), np.asarray(chi),
+                                   rtol=1e-10)
+    # CPL dark energy too.
+    cpl = dataclasses.replace(fiducial, w0=jnp.asarray(-1.2),
+                              wa=jnp.asarray(0.4))
+    z = background.z_of_chi(cpl, chi)
+    np.testing.assert_allclose(np.asarray(background.comoving_distance(cpl, z)),
+                               np.asarray(chi), rtol=1e-10)
