@@ -24,7 +24,7 @@ class Covariance:
     def __init__(self, input_halo, window_galaxy, area_deg2, n_per_arcmin2,
                  theta_min_deg=0.001, theta_max_deg=1.0, bins=16,
                  power_spec="power_gg", galaxy_trispectrum=True,
-                 grid=DEFAULT_GRID):
+                 grid=DEFAULT_GRID, n_k_tri=96, n_z_tri=24):
         self.halo = input_halo
         self.window = window_galaxy
         self.omega_s_sr = float(area_deg2) * (np.pi / 180.0) ** 2
@@ -34,6 +34,8 @@ class Covariance:
         self.power_spec = power_spec
         self.galaxy_trispectrum = bool(galaxy_trispectrum)
         self.grid = grid
+        self.n_k_tri = int(n_k_tri)
+        self.n_z_tri = int(n_z_tri)
 
     def _cl_fn(self):
         import jax.numpy as jnp
@@ -65,7 +67,8 @@ class Covariance:
             self.halo._epoch.cosmo, self.halo.halo_params, self.halo.model,
             self.window.redshift_dist.dist, self.theta_edges_deg,
             self.omega_s_sr, galaxy=self.galaxy_trispectrum,
-            with_bao=self.halo._epoch.with_bao, grid=self.grid)
+            with_bao=self.halo._epoch.with_bao, grid=self.grid,
+            n_k_tri=self.n_k_tri, n_z_tri=self.n_z_tri)
 
     def covariance(self):
         """Total covariance matrix (chomp's main entry)."""

@@ -58,20 +58,36 @@ def theta_bins_deg(grid: GridSpec = DEFAULT_GRID):
 
 
 def _interp_to_theta(theta_grid_rad, w_grid, theta_query_rad):
-    """Cubic log-log interpolation of |w| with sign restored (w can cross
-    zero only far outside the supported theta range for these kernels;
-    the sign lookup keeps it safe anyway).  Supports batched w rows
+    """Interpolation of w to query thetas, zero-crossing safe.
+
+    Log-magnitude cubic (sharp for the many-decade smooth decay) wherever
+    the 4-point stencil is single-signed; plain LINEAR interpolation
+    where the stencil straddles a zero crossing — ln|w| has a pole there
+    and the cubic-with-restored-sign heuristic lost ~1e-2 absolute
+    (guarded by tests/test_correlation.py's sign-crossing test; gamma_t
+    can cross at large theta).  Supports batched w rows
     (..., n_theta_grid) via vmap over flattened leading dims."""
     import jax
 
-    ln0 = jnp.log(theta_grid_rad[0])
-    dln = jnp.log(theta_grid_rad[1]) - ln0
+    ln_t = jnp.log(theta_grid_rad)
+    ln0 = ln_t[0]
+    dln = ln_t[1] - ln0
     lnq = jnp.log(theta_query_rad)
+    n = theta_grid_rad.shape[0]
+    i = jnp.clip(jnp.floor((lnq - ln0) / dln).astype(jnp.int32), 1, n - 3)
 
     def one(w_row):
-        sign = jnp.sign(jnp.interp(lnq, jnp.log(theta_grid_rad), w_row))
+        sign = jnp.sign(jnp.interp(lnq, ln_t, w_row))
         ln_absw = jnp.log(jnp.maximum(jnp.abs(w_row), 1e-300))
-        return sign * jnp.exp(interp_loglog_cubic(lnq, ln0, dln, ln_absw))
+        cubic = sign * jnp.exp(interp_loglog_cubic(lnq, ln0, dln, ln_absw))
+        # One guard point beyond the cubic stencil on each side: the
+        # log-magnitude curvature already blows up next to a crossing.
+        idx = jnp.clip(i[:, None] + jnp.arange(-2, 4)[None, :], 0, n - 1)
+        stencil = w_row[idx]                                      # (q, 6)
+        single_signed = (jnp.all(stencil > 0.0, axis=-1)
+                         | jnp.all(stencil < 0.0, axis=-1))
+        linear = jnp.interp(lnq, ln_t, w_row)
+        return jnp.where(single_signed, cubic, linear)
 
     if w_grid.ndim == 1:
         return one(w_grid)

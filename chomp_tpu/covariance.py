@@ -416,11 +416,13 @@ def wtheta_covariance(cosmo: CosmoParams, halo_p: HaloParams,
                       model: HaloModel, dist, cl_fn, theta_edges_deg,
                       omega_s_sr, n2d, galaxy: bool = True,
                       with_bao: bool = False,
-                      grid: GridSpec = DEFAULT_GRID):
+                      grid: GridSpec = DEFAULT_GRID,
+                      n_k_tri: int = 96, n_z_tri: int = 24):
     """Total covariance: Gaussian + shot noise + trispectrum (chomp
     ``Covariance`` object equivalent)."""
     cov_g = gaussian_covariance(cl_fn, theta_edges_deg, n2d, omega_s_sr)
     cov_ng = nongaussian_covariance(cosmo, halo_p, model, dist,
                                     theta_edges_deg, omega_s_sr, galaxy,
-                                    with_bao, grid)
+                                    with_bao, grid, n_k_tri=n_k_tri,
+                                    n_z_tri=n_z_tri)
     return cov_g + cov_ng

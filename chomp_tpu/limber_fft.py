@@ -408,43 +408,70 @@ def _exact_z_conv(cosmo, halo_params, hod, win_a, win_b, kind: str,
     """The Chebyshev-anchored grouped lattice convolution shared by the
     exact-z C_ell and w(theta) routes (limber_cl_fft_exact_z docstring):
     returns C on conv-output positions [j_lo, j_hi)."""
+    anchors = exact_z_anchor_spectra(cosmo, halo_params, hod, (kind,),
+                                     n_z_anchor, z_anchor_lo, z_anchor_hi,
+                                     with_bao, grid)
+    return exact_z_conv_from_anchors(cosmo, anchors, win_a, win_b, kind,
+                                     grid, j_lo, j_hi)
+
+
+def exact_z_anchor_spectra(cosmo, halo_params, hod, kinds,
+                           n_z_anchor: int, z_anchor_lo: float,
+                           z_anchor_hi: float, with_bao: bool,
+                           grid: GridSpec):
+    """Halo spectra at the Chebyshev redshift anchors for ALL requested
+    ``kinds`` in one sweep (the y-matrices dominate the anchor builds
+    and are shared across mm/gm/gg inside halo.powers) — callers
+    combining probes, like the w+gamma_t exact-z pipeline, should build
+    this once and feed both convolutions."""
     import jax
 
     from chomp_tpu import halo as halo_mod
+
+    ln_k, _ = _lattices(grid)
+    z_nodes, w_bary = _cheb_nodes(z_anchor_lo, z_anchor_hi, n_z_anchor)
+
+    def p_at(z_j):
+        model = halo_mod.build_halo_model(cosmo, halo_params, hod, z_j,
+                                          with_bao, grid)
+        p_all = halo_mod.powers(cosmo, halo_params, model,
+                                jnp.asarray(np.exp(ln_k)), with_bao, grid)
+        return {k: p_all[k] for k in kinds}, model.mass.growth
+
+    p_j, d_j = jax.vmap(p_at)(jnp.asarray(z_nodes))      # {kind: (J, n_k)}
+    return dict(p_j=p_j, d_j=d_j, z_nodes=z_nodes, w_bary=w_bary,
+                z_lo=z_anchor_lo, z_hi=z_anchor_hi, n_anchor=n_z_anchor)
+
+
+def exact_z_conv_from_anchors(cosmo, anchors, win_a, win_b, kind: str,
+                              grid: GridSpec, j_lo: int, j_hi: int):
+    """Grouped direct convolution of prebuilt anchor spectra against the
+    per-anchor window weights G_j (limber_cl_fft_exact_z docstring)."""
+    import jax
 
     ln_k, ln_chi = _lattices(grid)
     n_k = ln_k.shape[0]
     n_chi_n = ln_chi.shape[0]
     chi, z_u, z_mid = _lattice_z(cosmo, grid)
 
-    z_nodes, w_bary = _cheb_nodes(z_anchor_lo, z_anchor_hi, n_z_anchor)
-
-    def p_at(z_j):
-        model = halo_mod.build_halo_model(cosmo, halo_params, hod, z_j,
-                                          with_bao, grid)
-        p = halo_mod.powers(cosmo, halo_params, model,
-                            jnp.asarray(np.exp(ln_k)), with_bao, grid)[kind]
-        return p, model.mass.growth
-
-    p_j, d_j = jax.vmap(p_at)(jnp.asarray(z_nodes))      # (J, n_k), (J,)
-
     d_u = background.growth_factor(cosmo, z_u, grid.n_growth)
-    lag = _barycentric_rows(jnp.clip(z_u, z_anchor_lo, z_anchor_hi),
-                            z_nodes, w_bary)             # (n_chi, J)
+    lag = _barycentric_rows(jnp.clip(z_u, anchors["z_lo"], anchors["z_hi"]),
+                            anchors["z_nodes"], anchors["w_bary"])
     wa = _window_on_lattice(cosmo, win_a, z_u, chi, grid, z_mid)
     wb = _window_on_lattice(cosmo, win_b, z_u, chi, grid, z_mid)
     g0 = wa * wb / chi * grid.lattice_dln                # (n_chi,)
+    d_j = anchors["d_j"]
     g_j = (g0 * d_u * d_u)[None, :] * lag.T / (d_j * d_j)[:, None]  # (J, nchi)
 
     # Grouped direct conv: channel j convolves P_j against G_j; sum(j).
     pad_l = n_chi_n - 1 - j_lo
     pad_r = max(j_hi - n_k, 0)
     out = jax.lax.conv_general_dilated(
-        p_j[None, :, :],                                  # (1, J, n_k)
+        anchors["p_j"][kind][None, :, :],                 # (1, J, n_k)
         g_j[:, ::-1][:, None, :],                         # (J, 1, n_chi)
         window_strides=(1,), padding=[(pad_l, pad_r)],
         dimension_numbers=("NCH", "OIH", "NCH"),
-        feature_group_count=n_z_anchor,
+        feature_group_count=anchors["n_anchor"],
         precision=jax.lax.Precision.HIGHEST)
     return jnp.sum(out[0, :, :j_hi - j_lo], axis=0)       # (j_hi - j_lo,)
 
@@ -464,6 +491,21 @@ def limber_wtheta_fft_exact_z(cosmo: CosmoParams, halo_params, hod,
     convolution of :func:`limber_cl_fft_exact_z` feeding the same
     float64-composed lattice->Hankel->bins operator (and two-float
     contraction) as the separable :func:`limber_wtheta_fft`."""
+    anchors = exact_z_anchor_spectra(cosmo, halo_params, hod, (kind,),
+                                     n_z_anchor, z_anchor_lo, z_anchor_hi,
+                                     with_bao, grid)
+    return limber_wtheta_from_anchors(cosmo, anchors, win_a, win_b,
+                                      theta_deg, kind, grid, mu,
+                                      ell_offset, compensated)
+
+
+def limber_wtheta_from_anchors(cosmo, anchors, win_a, win_b, theta_deg,
+                               kind: str, grid: GridSpec = DEFAULT_GRID,
+                               mu: float = 0.0, ell_offset: float = 0.5,
+                               compensated: bool = True):
+    """Exact-z w(theta bins)/gamma_t from prebuilt anchor spectra —
+    multi-probe pipelines build :func:`exact_z_anchor_spectra` once (one
+    halo-model sweep for all spectrum kinds) and call this per probe."""
     import jax
 
     from chomp_tpu.ops.df32 import df_contract
@@ -471,9 +513,8 @@ def limber_wtheta_fft_exact_z(cosmo: CosmoParams, halo_params, hod,
     theta_key = tuple(np.asarray(theta_deg).tolist())
     j_lo, j_hi, a_np = wtheta_lattice_operator(theta_key, grid, mu,
                                                ell_offset)
-    conv = _exact_z_conv(cosmo, halo_params, hod, win_a, win_b, kind,
-                         n_z_anchor, z_anchor_lo, z_anchor_hi, with_bao,
-                         grid, n_z_table, j_lo, j_hi)
+    conv = exact_z_conv_from_anchors(cosmo, anchors, win_a, win_b, kind,
+                                     grid, j_lo, j_hi)
     if compensated:
         return df_contract(conv, a_np)
     return jnp.matmul(conv, jnp.asarray(a_np).T,

@@ -89,10 +89,10 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
 
     def w_from_p(cosmo, model, wa, wb, p_kind_table, kind, mu):
         if method == "fft" and exact_z_anchors:
-            return limber_fft.limber_wtheta_fft_exact_z(
-                cosmo, halo_params, hod, wa, wb, theta_key, kind,
-                n_z_anchor=exact_z_anchors, with_bao=with_bao, grid=grid,
-                mu=mu)
+            # p_kind_table carries the SHARED anchor spectra here (one
+            # halo sweep for gg+gm; the y-matrices dominate).
+            return limber_fft.limber_wtheta_from_anchors(
+                cosmo, p_kind_table, wa, wb, theta_key, kind, grid, mu=mu)
         if method == "fft":
             # Fused lattice route: conv -> one f64-composed operator with
             # two-float accumulation (skips the f32 C_ell intermediate —
@@ -110,10 +110,18 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
                                           with_bao, grid)
         # One shared evaluation for every spectrum kind (the y-matrices
         # dominate the halo stage; computing gg and gm separately would
-        # double it).
-        p_all = (limber_fft.p_lattice_halo_all(cosmo, halo_params, model,
-                                               with_bao, grid)
-                 if method == "fft" else None)
+        # double it).  In exact-z mode the shared object is the anchor
+        # spectra instead.
+        if method == "fft" and exact_z_anchors:
+            kinds = ((power_spec, "power_gm") if include_lensing
+                     else (power_spec,))
+            p_all = limber_fft.exact_z_anchor_spectra(
+                cosmo, halo_params, hod, kinds, exact_z_anchors,
+                1e-3, 3.0, with_bao, grid)
+        else:
+            p_all = (limber_fft.p_lattice_halo_all(cosmo, halo_params,
+                                                   model, with_bao, grid)
+                     if method == "fft" else None)
         out = {
             "theta_deg": theta_deg,
             "w_theta": w_from_p(cosmo, model, win_g, win_g, p_all,

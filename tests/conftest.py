@@ -24,6 +24,17 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the suite's wall-clock on this 1-core
+# image is dominated by XLA CPU compiles of the big fused programs;
+# caching them makes re-runs (the common dev loop) much faster.  Scoped
+# to the test tree so driver/bench caches stay separate.
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:  # pragma: no cover - older jax without the option
+    pass
+
 import pytest  # noqa: E402
 
 

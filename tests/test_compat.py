@@ -197,8 +197,13 @@ class TestTrispectrumAndCovariance:
         h = compat_halo
         dist = kernel.dNdzGaussian(0.0, 2.0, 1.0, 0.2)
         wg = kernel.WindowFunctionGalaxy(dist)
+        from chomp_tpu.params import GridSpec
+
+        g = GridSpec(n_mass=128, n_mu=8, sigma_panels=8,
+                     sigma_n_per_panel=32, n_growth=32, n_dist=32)
         cov = covariance.Covariance(h, wg, area_deg2=300.0,
-                                    n_per_arcmin2=2.0, bins=5)
+                                    n_per_arcmin2=2.0, bins=5, grid=g,
+                                    n_k_tri=32, n_z_tri=6)
         total = np.asarray(cov.covariance())
         assert total.shape == (5, 5)
         assert np.all(np.linalg.eigvalsh(0.5 * (total + total.T)) > 0)

@@ -87,11 +87,15 @@ def test_shot_noise_diagonal(setup):
 
 
 def test_nongaussian_covariance_structure(fiducial, setup):
+    from chomp_tpu.params import GridSpec
+
     h, model, dist, cl_fn = setup
+    g = GridSpec(n_mass=128, n_mu=8, sigma_panels=8, sigma_n_per_panel=32,
+                 n_growth=32, n_dist=32)
     edges = covariance.theta_bin_edges_deg(DEFAULT_GRID, n_bins=5)
     cov_ng = np.asarray(covariance.nongaussian_covariance(
         fiducial, h, model, dist, edges, OMEGA_S, galaxy=True,
-        grid=DEFAULT_GRID))
+        grid=g, n_k_tri=48, n_z_tri=8))
     assert cov_ng.shape == (5, 5)
     np.testing.assert_allclose(cov_ng, cov_ng.T, rtol=1e-8)
     assert np.all(np.diag(cov_ng) > 0)
@@ -101,15 +105,20 @@ def test_nongaussian_covariance_structure(fiducial, setup):
     # Scales as 1/Omega_s.
     cov_ng2 = np.asarray(covariance.nongaussian_covariance(
         fiducial, h, model, dist, edges, 2 * OMEGA_S, galaxy=True,
-        grid=DEFAULT_GRID))
+        grid=g, n_k_tri=48, n_z_tri=8))
     np.testing.assert_allclose(cov_ng2, 0.5 * cov_ng, rtol=1e-10)
 
 
 def test_total_covariance_psd(fiducial, setup):
+    from chomp_tpu.params import GridSpec
+
     h, model, dist, cl_fn = setup
+    g = GridSpec(n_mass=128, n_mu=8, sigma_panels=8, sigma_n_per_panel=32,
+                 n_growth=32, n_dist=32)
     edges = covariance.theta_bin_edges_deg(DEFAULT_GRID, n_bins=5)
     cov = np.asarray(covariance.wtheta_covariance(
-        fiducial, h, model, dist, cl_fn, edges, OMEGA_S, N2D))
+        fiducial, h, model, dist, cl_fn, edges, OMEGA_S, N2D,
+        grid=g, n_k_tri=48, n_z_tri=8))
     eig = np.linalg.eigvalsh(0.5 * (cov + cov.T))
     assert np.all(eig > 0), f"covariance not PSD: {eig}"
 
@@ -207,7 +216,7 @@ def test_joint_wtheta_gammat_covariance(fiducial, setup):
         z_min=jnp.asarray(0.0), z_max=jnp.asarray(2.5),
         z0=jnp.asarray(1.2), sigma_z=jnp.asarray(0.3))
     edges = np.logspace(-2, 0, 5)
-    kw = dict(grid=g, n_k_tri=32, n_z_tri=6, n_ell_cov_ng=48)
+    kw = dict(grid=g, n_k_tri=24, n_z_tri=4, n_ell_cov_ng=32)
     cov = np.asarray(covariance.joint_wtheta_gammat_covariance(
         fiducial, h, model, dist, dist_src, edges, OMEGA_S, N2D, 1e-9, **kw))
     nb = len(edges) - 1
@@ -216,10 +225,16 @@ def test_joint_wtheta_gammat_covariance(fiducial, setup):
     assert np.all(np.diag(cov) > 0)
     eig = np.linalg.eigvalsh(0.5 * (cov + cov.T))
     assert np.all(eig > 0), f"joint covariance not PSD: {eig}"
-    cov2 = np.asarray(covariance.joint_wtheta_gammat_covariance(
+    # 1/Omega_s scaling on the (cheap) Gaussian-only assembly — the NG
+    # blocks carry the same 1/Omega_s factor by construction (tested on
+    # the w_gg block in test_nongaussian_covariance_structure).
+    g1 = np.asarray(covariance.joint_wtheta_gammat_covariance(
+        fiducial, h, model, dist, dist_src, edges, OMEGA_S, N2D, 1e-9,
+        grid=g, include_nongaussian=False))
+    g2 = np.asarray(covariance.joint_wtheta_gammat_covariance(
         fiducial, h, model, dist, dist_src, edges, 2 * OMEGA_S, N2D, 1e-9,
-        **kw))
-    np.testing.assert_allclose(cov2, 0.5 * cov, rtol=1e-10)
+        grid=g, include_nongaussian=False))
+    np.testing.assert_allclose(g2, 0.5 * g1, rtol=1e-10)
 
 
 def test_projected_trispectrum_exact_z(fiducial, setup):
@@ -240,16 +255,16 @@ def test_projected_trispectrum_exact_z(fiducial, setup):
         z_min=jnp.asarray(0.0), z_max=jnp.asarray(0.15),
         z0=jnp.asarray(0.05), sigma_z=jnp.asarray(0.02))
     sep = np.asarray(covariance.projected_trispectrum(
-        fiducial, h, model, d0, ells, grid=g, n_k_tri=48, n_z_tri=8))
+        fiducial, h, model, d0, ells, grid=g, n_k_tri=32, n_z_tri=6))
     ex = np.asarray(covariance.projected_trispectrum(
-        fiducial, h, model, d0, ells, grid=g, n_k_tri=48, n_z_tri=8,
+        fiducial, h, model, d0, ells, grid=g, n_k_tri=32, n_z_tri=6,
         exact_z=True))
     assert np.median(np.abs(ex / sep - 1)) < 0.3
     # z~1 kernel: exact is substantially larger (evolution is real).
     sep1 = np.asarray(covariance.projected_trispectrum(
-        fiducial, h, model, dist, ells, grid=g, n_k_tri=48, n_z_tri=8))
+        fiducial, h, model, dist, ells, grid=g, n_k_tri=32, n_z_tri=6))
     ex1 = np.asarray(covariance.projected_trispectrum(
-        fiducial, h, model, dist, ells, grid=g, n_k_tri=48, n_z_tri=8,
+        fiducial, h, model, dist, ells, grid=g, n_k_tri=32, n_z_tri=6,
         exact_z=True))
     assert np.median(ex1 / sep1) > 2.0
     assert np.all(np.isfinite(ex1)) and np.all(np.diag(ex1) > 0)

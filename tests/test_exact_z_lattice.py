@@ -11,10 +11,13 @@ from chomp_tpu import default_halo, limber_fft, projection
 from chomp_tpu.hod import default_hod
 from chomp_tpu.params import GridSpec
 
-# Trimmed lattice: same spacing as the flagship, bounds just covering
-# the test window (keeps the CPU cost of the halo builds down).
-G = GridSpec(n_mass=96, n_mu=8, sigma_panels=8, sigma_n_per_panel=32,
-             n_growth=32, n_dist=32, lattice_k_lo=1e-4, lattice_k_hi=1e4,
+# Trimmed lattice: slightly coarser spacing than the flagship (both
+# routes inherit the same physics; the lattice trapezoid error at
+# dln=0.012 stays well under the 1e-4 assertion), bounds just covering
+# the test window — keeps the CPU cost of the halo builds down.
+G = GridSpec(n_mass=64, n_mu=8, sigma_panels=8, sigma_n_per_panel=32,
+             n_growth=32, n_dist=32, lattice_dln=0.012,
+             lattice_k_lo=1e-4, lattice_k_hi=1e4,
              lattice_chi_lo=50.0, lattice_chi_hi=7000.0)
 
 

@@ -160,7 +160,8 @@ def test_limber_exact_z_linear_anchor(fiducial):
     cl_exact = projection.limber_cl_exact_z(
         fiducial, default_halo(), default_hod(), win, win, ells,
         kind="linear_power", n_z=64,
-        grid=DEFAULT_GRID.replace(n_mass=128))
+        grid=DEFAULT_GRID.replace(n_mass=64, sigma_panels=8,
+                                  sigma_n_per_panel=32))
     np.testing.assert_allclose(np.asarray(cl_exact), np.asarray(cl_sep),
                                rtol=2e-5)
 
@@ -176,7 +177,9 @@ def test_limber_exact_z_nonlinear_differs_sensibly(fiducial):
     hod = default_hod()
     win = projection.WindowGalaxy(dist=gauss_dist())
     ells = jnp.asarray([100.0, 3000.0, 30000.0])
-    small = DEFAULT_GRID.replace(n_mass=256)
+    small = DEFAULT_GRID.replace(n_mass=128, sigma_panels=8,
+                                 sigma_n_per_panel=32, n_growth=32,
+                                 n_dist=32)
     cl_exact = np.asarray(projection.limber_cl_exact_z(
         fiducial, h, hod, win, win, ells, kind="power_gg", n_z=24,
         grid=small))

@@ -66,7 +66,8 @@ def test_sweep_sharded_matches_unsharded(fiducial):
 def test_inference_step_descends(fiducial):
     """One adam step on omega_m0 decreases chi^2 toward mock data."""
     fn = make_pipeline(default_halo(), default_hod(), dist(), grid=TINY,
-                       include_lensing=False)
+                       include_lensing=False,
+                       theta_deg=np.logspace(-2, 0, 8))
 
     def observable(om):
         c = dataclasses.replace(fiducial, omega_m0=om, omega_l0=1.0 - om)
