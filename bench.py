@@ -4,7 +4,8 @@ Prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 
 Metric: wall-clock seconds per cosmology for the full flagship pipeline
-(BASELINE.json configs[4]): 100 cosmologies, each computing the
+(BASELINE.json configs[4] asks >=100 batched cosmologies; 256
+amortizes the fixed per-launch host cost better): each computes the
 Sheth-Tormen mass function, Zheng05 HOD halo model, nonlinear P_gg and
 P_gm, Limber C_ell for clustering and lensing kernels, and
 w(theta)/gamma_t via the FFTLog MXU operator — all one jit+vmap program.
@@ -19,7 +20,7 @@ import json
 import sys
 import time
 
-N_COSMO = 100
+N_COSMO = 256
 TARGET_S_PER_COSMO = 1.0  # BASELINE.md north-star row
 
 

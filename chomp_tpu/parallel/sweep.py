@@ -137,14 +137,26 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
 
 
 def sweep(fn, cosmo_batch: CosmoParams, mesh: jax.sharding.Mesh | None = None,
-          axis: str = "data"):
+          axis: str = "data", validate: bool = False):
     """Run ``fn`` over a batch of cosmologies.
 
     Without a mesh: one jitted vmap on the local device.  With a mesh:
     the batch axis is sharded over ``axis`` via NamedSharding and XLA
     GSPMD partitions the whole program — each chip computes its slice,
     outputs stay sharded (gather happens lazily on host read, over ICI).
+
+    ``validate=True`` runs host-side physicality checks on the concrete
+    batch first and raises with every problem listed — jitted code
+    cannot raise, so unphysical parameters otherwise propagate NaN
+    silently (utils.diagnostics.validate_params).
     """
+    if validate:
+        from chomp_tpu.utils.diagnostics import validate_params
+
+        problems = validate_params(cosmo=cosmo_batch)
+        if problems:
+            raise ValueError("unphysical sweep parameters:\n  - "
+                             + "\n  - ".join(problems))
     batched = jax.jit(jax.vmap(fn))
     if mesh is None:
         return batched(cosmo_batch)

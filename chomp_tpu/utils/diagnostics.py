@@ -58,6 +58,75 @@ def convergence_report(cosmo, halo_params, hod, dist, grid=None) -> dict:
     return report
 
 
+def validate_params(cosmo=None, halo_params=None, hod=None,
+                    grid=None) -> list[str]:
+    """Host-side physicality checks BEFORE tracing (round-1 verify note:
+    unphysical cosmologies / degenerate HODs propagate NaN silently
+    through the jitted pipeline — by design, jit code cannot raise).
+
+    Returns a list of human-readable problems (empty = clean).  Call it
+    at sweep/pipeline boundaries on concrete inputs; batched leaves are
+    checked elementwise.  Traced (abstract) values are skipped.
+    """
+    problems: list[str] = []
+
+    def _vals(x):
+        try:
+            return np.asarray(x).ravel()
+        except Exception:  # traced/abstract: cannot check host-side
+            return None
+
+    def check(cond_desc, arr, ok):
+        v = _vals(arr)
+        if v is None:
+            return
+        bad = ~ok(v)
+        if np.any(bad):
+            problems.append(f"{cond_desc} (violated for {bad.sum()} of "
+                            f"{v.size} entries)")
+
+    if cosmo is not None:
+        check("omega_m0 > 0", cosmo.omega_m0, lambda v: v > 0)
+        check("omega_b0 in (0, omega_m0]", cosmo.omega_b0,
+              lambda v: (v > 0) & (v <= _vals(cosmo.omega_m0)))
+        check("h > 0", cosmo.h, lambda v: v > 0)
+        check("sigma_8 > 0", cosmo.sigma_8, lambda v: v > 0)
+        from chomp_tpu import background
+
+        z_probe = np.linspace(0.0, 10.0, 41)
+        try:
+            om = _vals(cosmo.omega_m0)
+            if om is not None and om.size > 1:
+                z_probe = z_probe[:, None]      # broadcast over the batch
+            e2 = np.asarray(background.e2z(cosmo, z_probe))
+            if np.any(e2 <= 0):
+                problems.append(
+                    "E^2(z) <= 0 somewhere in z in [0, 10] (dark-energy "
+                    "parameters make H^2 negative: distances/growth NaN)")
+        except Exception:
+            pass
+    if halo_params is not None:
+        check("st_little_a > 0", halo_params.st_little_a, lambda v: v > 0)
+        check("c0 > 0", halo_params.c0, lambda v: v > 0)
+    if hod is not None and cosmo is not None and grid is not None:
+        # Degenerate HOD: no occupied halos inside the mass range.
+        from chomp_tpu.params import GridSpec
+
+        g = grid if isinstance(grid, GridSpec) else None
+        if g is not None:
+            m_hi = np.asarray(g.m_max)
+            try:
+                n_at_top = float(np.max(np.asarray(hod.first_moment(
+                    jax.numpy.asarray(m_hi)))))
+                if not (n_at_top > 0):
+                    problems.append(
+                        "HOD first moment is 0 at m_max: no galaxies in "
+                        "the mass range (n_g = 0 -> divisions NaN)")
+            except Exception:
+                pass
+    return problems
+
+
 @contextlib.contextmanager
 def nan_guard():
     """Enable jax NaN debugging within the scope (test/debug mode)."""

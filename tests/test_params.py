@@ -70,3 +70,43 @@ def test_diagnostics_helpers(fiducial):
     with nan_guard():
         assert bool(jax.config.jax_debug_nans) is True
     assert bool(jax.config.jax_debug_nans) is False
+
+
+def test_validate_params_catches_unphysical():
+    """Host-side physicality checks (jit code cannot raise; NaN would
+    otherwise propagate silently — round-1 verify-skill rough edge)."""
+    import dataclasses
+
+    from chomp_tpu import default_cosmo, default_halo
+    from chomp_tpu.hod import default_hod
+    from chomp_tpu.utils.diagnostics import validate_params
+
+    assert validate_params(cosmo=default_cosmo(),
+                           halo_params=default_halo(),
+                           hod=default_hod(), grid=DEFAULT_GRID) == []
+    bad = default_cosmo(omega_m0=-0.1)
+    probs = validate_params(cosmo=bad)
+    assert any("omega_m0" in p for p in probs)
+    # Strongly closed universe: the negative-curvature term drives
+    # E^2(z) < 0 at moderate z (H^2 < 0 -> NaN distances downstream).
+    wild = default_cosmo(omega_l0=5.0)
+    probs = validate_params(cosmo=wild)
+    assert any("E^2" in p for p in probs), probs
+    # Degenerate HOD: M_min far above the mass range.
+    dead_hod = default_hod(log10_m_min=19.0, log10_m_0=19.0)
+    probs = validate_params(cosmo=default_cosmo(), hod=dead_hod,
+                            grid=DEFAULT_GRID)
+    assert any("no galaxies" in p for p in probs), probs
+
+
+def test_sweep_validate_raises():
+    import jax.numpy as jnp
+    import pytest
+
+    from chomp_tpu import default_cosmo
+    from chomp_tpu.parallel.sweep import broadcast_cosmo, sweep
+
+    batch = broadcast_cosmo(default_cosmo(),
+                            omega_m0=jnp.asarray([0.3, -0.2]))
+    with pytest.raises(ValueError, match="omega_m0"):
+        sweep(lambda c: c.omega_m0, batch, validate=True)
