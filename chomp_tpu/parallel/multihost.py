@@ -98,6 +98,46 @@ def wait_for_chunks(paths, timeout_s: float = 600.0, poll_s: float = 0.5):
         time.sleep(poll_s)
 
 
+def global_mesh_sweep(fn, cosmo_batch, axis: str = "data"):
+    """Single-program multi-host sweep over a GLOBAL device mesh.
+
+    The chunked path above is embarrassingly parallel (no collectives);
+    this is the true multi-controller alternative for when one batch
+    should span every chip of every host in ONE XLA program: all
+    processes call this with the SAME global batch, the batch axis is
+    sharded over a 1-D mesh of ALL global devices (DCN + ICI), each
+    process computes its addressable shard, and the full result is
+    allgathered back to every host.
+
+    Requires jax.distributed to be initialized (initialize_distributed)
+    and the batch size to divide by the global device count.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    devices = np.array(jax.devices())
+    n = int(jax.tree_util.tree_leaves(cosmo_batch)[0].shape[0])
+    if n % devices.size:
+        raise ValueError(f"batch size {n} not divisible by the "
+                         f"{devices.size} global devices")
+    mesh = Mesh(devices, (axis,))
+    sharding = NamedSharding(mesh, PartitionSpec(axis))
+    # Multi-controller device_put: each process provides its addressable
+    # shard of the (replicated host-side) global batch.
+    batch = jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_callback(
+            x.shape, sharding, lambda idx: np.asarray(x)[idx]),
+        jax.tree_util.tree_map(jnp.asarray, cosmo_batch))
+    out = jax.jit(jax.vmap(fn), out_shardings=sharding)(batch)
+    from jax.experimental import multihost_utils
+
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(multihost_utils.process_allgather(
+            x, tiled=True)), out)
+
+
 def run_multihost_sweep(fn, cosmo_batch, out_dir, chunk_size: int = 32,
                         mesh=None, axis: str = "data"):
     """Convenience end-to-end: strided chunk sweep + barrier + gather.

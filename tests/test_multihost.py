@@ -42,10 +42,16 @@ WORKER = textwrap.dedent("""
     batch = broadcast_cosmo(default_cosmo(),
                             omega_m0=jnp.linspace(0.25, 0.32, 12))
     res = multihost.run_multihost_sweep(fn, batch, out_dir, chunk_size=2)
+    # Single-program global-mesh path: one XLA program over all 4 global
+    # devices (2 hosts x 2), result allgathered to every process.
+    gres = multihost.global_mesh_sweep(fn, batch)
+    assert gres["chi1"].shape == (12,), gres["chi1"].shape
     if pid == 0:
         import numpy as np
         np.savez(os.path.join(out_dir, "combined.npz"),
                  **{k: np.asarray(v) for k, v in res.items()})
+        np.savez(os.path.join(out_dir, "global_mesh.npz"),
+                 **{k: np.asarray(v) for k, v in gres.items()})
     print("WORKER", pid, "OK", flush=True)
 """)
 
@@ -102,3 +108,6 @@ def test_two_process_multihost_sweep(tmp_path):
         lambda c: background.comoving_distance(c, 1.0, 32))(batch))
     np.testing.assert_allclose(combined["chi1"], ref_chi, rtol=1e-12)
     assert combined["chi1"].shape == (12,)
+    # The single-program global-mesh route agrees too.
+    gmesh = np.load(out_dir / "global_mesh.npz")
+    np.testing.assert_allclose(gmesh["chi1"], ref_chi, rtol=1e-12)
