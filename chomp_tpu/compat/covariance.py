@@ -37,6 +37,17 @@ class Covariance:
         self.n_k_tri = int(n_k_tri)
         self.n_z_tri = int(n_z_tri)
 
+    # -- mutators (chomp objects rebuild lazily; the compat halo carries
+    # the cosmology/HOD state, so delegating and recomputing matches) ----
+    def set_cosmology(self, cosmo_dict):
+        self.halo.set_cosmology(cosmo_dict)
+
+    def set_hod(self, hod_object):
+        self.halo.set_hod(hod_object)
+
+    def set_redshift(self, redshift):
+        self.halo.set_redshift(redshift)
+
     def _cl_fn(self):
         import jax.numpy as jnp
 
@@ -109,6 +120,12 @@ class JointCovariance:
                                            np.log10(theta_max_deg), bins + 1)
         self.exact_z = bool(exact_z)
         self.grid = grid
+
+    def set_cosmology(self, cosmo_dict):
+        self.halo.set_cosmology(cosmo_dict)
+
+    def set_hod(self, hod_object):
+        self.halo.set_hod(hod_object)
 
     def covariance(self, include_nongaussian=True):
         """(2 bins, 2 bins) joint matrix ordered [w_gg bins, gamma_t

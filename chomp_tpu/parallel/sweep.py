@@ -64,9 +64,10 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
 
     ``exact_z_anchors``: if set (e.g. 8-10), the fft route drops the
     separable-growth approximation entirely — the halo model is expanded
-    over that many Chebyshev redshift anchors
-    (limber_fft.limber_wtheta_fft_exact_z), at ~n_anchors x the halo-
-    stage cost.  ``z_pivot`` is then unused.
+    over that many Chebyshev redshift anchors shared across all probes
+    (limber_fft.exact_z_anchor_spectra; measured w+gamma_t on v5e:
+    3.1 ms/cosmology at J=6, 4.0 at J=8, vs ~0.6 separable).
+    ``z_pivot`` is then unused.
 
     Returns ``fn(cosmo) -> dict`` (pure; jit/vmap/grad-able).
     ``halo_params``/``hod``/``dist`` are closed over but traced, so they

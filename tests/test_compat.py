@@ -207,6 +207,15 @@ class TestTrispectrumAndCovariance:
         total = np.asarray(cov.covariance())
         assert total.shape == (5, 5)
         assert np.all(np.linalg.eigvalsh(0.5 * (total + total.T)) > 0)
+        # Mutator rebuild: the Gaussian block responds to sigma_8.
+        # (compat_halo is module-shared: always restore.)
+        g_before = np.asarray(cov.gaussian_covariance())
+        try:
+            cov.set_cosmology({"sigma_8": 0.9})
+            g_after = np.asarray(cov.gaussian_covariance())
+        finally:
+            cov.set_cosmology({"sigma_8": 0.811})
+        assert np.max(np.abs(g_after / g_before - 1)) > 0.05
 
     def test_joint_covariance_object(self, compat_halo):
         """Clustering + g-g lensing joint covariance (compat surface over
