@@ -350,7 +350,8 @@ def joint_wtheta_gammat_covariance(cosmo: CosmoParams, halo_p: HaloParams,
                                    include_nongaussian: bool = True,
                                    exact_z: bool = False,
                                    n_k_tri: int = 96, n_z_tri: int = 24,
-                                   n_ell_cov_ng: int = 96):
+                                   n_ell_cov_ng: int = 96,
+                                   n_ell_cov_g: int = 4096):
     """Joint covariance of the stacked data vector [w_gg bins, gamma_t
     bins] — the full Morrison & Schneider 2013 clustering + g-g lensing
     program (upstream:covariance.py; SURVEY.md §2 row 13).
@@ -386,11 +387,14 @@ def joint_wtheta_gammat_covariance(cosmo: CosmoParams, halo_p: HaloParams,
     # estimator tracer pairs — ww: (gg)x(gg); w-gt: (gg)x(gk);
     # gt-gt: (gk)x(gk).
     cov_ww = gaussian_block(cl_gg, cl_gg, cl_gg, cl_gg, edges, edges,
-                            omega_s_sr, 0, 0, n_g, n_g, n_g, n_g)
+                            omega_s_sr, 0, 0, n_g, n_g, n_g, n_g,
+                            n_ell_cov=n_ell_cov_g)
     cov_wg = gaussian_block(cl_gg, cl_gk, cl_gk, cl_gg, edges, edges,
-                            omega_s_sr, 0, 2, n_g, 0.0, 0.0, n_g)
+                            omega_s_sr, 0, 2, n_g, 0.0, 0.0, n_g,
+                            n_ell_cov=n_ell_cov_g)
     cov_gg = gaussian_block(cl_gg, cl_kk, cl_gk, cl_gk, edges, edges,
-                            omega_s_sr, 2, 2, n_g, shape_noise, 0.0, 0.0)
+                            omega_s_sr, 2, 2, n_g, shape_noise, 0.0, 0.0,
+                            n_ell_cov=n_ell_cov_g)
     if include_nongaussian:
         common = dict(with_bao=with_bao, grid=grid, exact_z=exact_z,
                       n_ell_cov=n_ell_cov_ng, n_k_tri=n_k_tri,

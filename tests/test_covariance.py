@@ -216,7 +216,8 @@ def test_joint_wtheta_gammat_covariance(fiducial, setup):
         z_min=jnp.asarray(0.0), z_max=jnp.asarray(2.5),
         z0=jnp.asarray(1.2), sigma_z=jnp.asarray(0.3))
     edges = np.logspace(-2, 0, 5)
-    kw = dict(grid=g, n_k_tri=24, n_z_tri=4, n_ell_cov_ng=32)
+    kw = dict(grid=g, n_k_tri=24, n_z_tri=4, n_ell_cov_ng=32,
+              n_ell_cov_g=1024)
     cov = np.asarray(covariance.joint_wtheta_gammat_covariance(
         fiducial, h, model, dist, dist_src, edges, OMEGA_S, N2D, 1e-9, **kw))
     nb = len(edges) - 1
@@ -230,10 +231,10 @@ def test_joint_wtheta_gammat_covariance(fiducial, setup):
     # the w_gg block in test_nongaussian_covariance_structure).
     g1 = np.asarray(covariance.joint_wtheta_gammat_covariance(
         fiducial, h, model, dist, dist_src, edges, OMEGA_S, N2D, 1e-9,
-        grid=g, include_nongaussian=False))
+        grid=g, include_nongaussian=False, n_ell_cov_g=1024))
     g2 = np.asarray(covariance.joint_wtheta_gammat_covariance(
         fiducial, h, model, dist, dist_src, edges, 2 * OMEGA_S, N2D, 1e-9,
-        grid=g, include_nongaussian=False))
+        grid=g, include_nongaussian=False, n_ell_cov_g=1024))
     np.testing.assert_allclose(g2, 0.5 * g1, rtol=1e-10)
 
 

@@ -181,7 +181,7 @@ def test_limber_exact_z_nonlinear_differs_sensibly(fiducial):
                                  sigma_n_per_panel=32, n_growth=32,
                                  n_dist=32)
     cl_exact = np.asarray(projection.limber_cl_exact_z(
-        fiducial, h, hod, win, win, ells, kind="power_gg", n_z=24,
+        fiducial, h, hod, win, win, ells, kind="power_gg", n_z=16,
         grid=small))
     # Separable pivoted at the kernel's mean z (z_bar ~ 1): within ~1%
     # of exact (residual = genuine structure-evolution physics).
