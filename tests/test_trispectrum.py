@@ -233,3 +233,89 @@ def test_b_pt_avg_vs_quad(fiducial):
     ours = float(trispectrum.b_pt_avg(fiducial, jnp.asarray(k1),
                                       jnp.asarray(k2)))
     np.testing.assert_allclose(ours, b_ref(), rtol=1e-5)
+
+
+def test_mixed_tracer_terms_vs_quad(fiducial, model):
+    """Independent scipy referee for the MIXED-tracer engine (the
+    cross-probe covariance blocks): the 1h term and the four-leg 2h_31
+    sum for tracers (g,m,g,m) / (g,g,g,m), with Zheng HOD factorial
+    moments and n_g computed from closed forms + adaptive quadrature —
+    none of the engine's code paths."""
+    from scipy import integrate
+    from scipy.special import erf as sp_erf
+
+    h = default_halo()
+    hod = default_hod()
+    m_star_val = float(jnp.exp(model.mass.ln_m_star))
+    rho_bar = oracle.RHO_CRIT * oracle.OM
+
+    # Zheng moments in pure numpy (default_hod parameters).
+    l_mmin, sig = 12.14, 0.15
+    l_m0, l_m1p, alpha = 12.14, 13.43, 1.0
+
+    def n_cen(m):
+        return 0.5 * (1 + sp_erf((np.log10(m) - l_mmin) / sig))
+
+    def n_sat(m):
+        frac = max(m - 10.0**l_m0, 0.0) / 10.0**l_m1p
+        return n_cen(m) * frac**alpha if frac > 0 else 0.0
+
+    def falling(m, p):
+        nc, ns = n_cen(m), n_sat(m)
+        return p * nc * ns ** (p - 1) + ns**p if p > 1 else nc + ns
+
+    n_g_ref, _ = integrate.quad(
+        lambda lnm: oracle._dndlnm_spl(lnm) * falling(np.exp(lnm), 1),
+        oracle.LN_M_MIN, oracle.LN_M_MAX, epsrel=1e-9, limit=400)
+
+    def u_ref(kfacs, n_gal, n_mat, beta):
+        def integrand(lnm):
+            m = np.exp(lnm)
+            val = oracle._dndlnm_spl(lnm)
+            if n_gal:
+                val = val * falling(m, n_gal) / n_g_ref**n_gal
+            if n_mat:
+                val = val * (m / rho_bar) ** n_mat
+            if beta:
+                val = val * oracle._bias_n_spl(lnm)
+            for kk in kfacs:
+                val = val * oracle.y_nfw_mstar(kk, m, m_star_val)
+            return val
+
+        v, _ = integrate.quad(integrand, oracle.LN_M_MIN, oracle.LN_M_MAX,
+                              epsrel=1e-9, limit=400)
+        return v
+
+    k1, k2 = 0.8, 2.5
+    # 1h, tracers (g, m, g, m): <(N)_2>/n_g^2 (M/rho)^2 y(k1)^2 y(k2)^2.
+    ours_1h = float(trispectrum.trispectrum_parallelogram_tracers(
+        fiducial, h, model, jnp.asarray(k1), jnp.asarray(k2),
+        ("g", "m", "g", "m"), terms=("1h",)))
+    ref_1h = u_ref([k1, k1, k2, k2], 2, 2, 0)
+    np.testing.assert_allclose(ours_1h, ref_1h, rtol=5e-4)
+
+    # 2h_31, tracers (g, g, g, m): explicit four-leg sum.
+    p1 = oracle.pk_lin(k1)
+    p2 = oracle.pk_lin(k2)
+    ref_2h31 = (
+        2.0 * p1 * u_ref([k1], 1, 0, 1) * u_ref([k1, k2, k2], 2, 1, 1)
+        + p2 * u_ref([k2], 1, 0, 1) * u_ref([k1, k1, k2], 2, 1, 1)
+        + p2 * u_ref([k2], 0, 1, 1) * u_ref([k1, k1, k2], 3, 0, 1))
+    # Isolate 2h_31 from the engine's 2h total by subtracting the
+    # (independently referee'd elsewhere) 2h_22 piece computed from
+    # quad U's and the angle average.
+    def ps_avg_ref():
+        def integrand(mu):
+            s = np.sqrt(k1**2 + k2**2 + 2 * k1 * k2 * mu)
+            return oracle.pk_lin(s)
+
+        v, _ = integrate.quad(integrand, -1, 1, epsrel=1e-10, limit=200)
+        return 0.5 * v
+
+    ref_2h22 = ps_avg_ref() * (
+        u_ref([k1, k2], 2, 0, 1) * u_ref([k1, k2], 1, 1, 1)
+        + u_ref([k1, k2], 1, 1, 1) * u_ref([k1, k2], 2, 0, 1))
+    ours_2h = float(trispectrum.trispectrum_parallelogram_tracers(
+        fiducial, h, model, jnp.asarray(k1), jnp.asarray(k2),
+        ("g", "g", "g", "m"), terms=("2h",)))
+    np.testing.assert_allclose(ours_2h, ref_2h31 + ref_2h22, rtol=1e-3)
