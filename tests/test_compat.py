@@ -193,6 +193,7 @@ class TestTrispectrumAndCovariance:
         t = float(tri.trispectrum_parallelogram(1.0, 1.0))
         assert t > 0
 
+    @pytest.mark.slow
     def test_covariance_object(self, compat_halo):
         h = compat_halo
         dist = kernel.dNdzGaussian(0.0, 2.0, 1.0, 0.2)
@@ -217,6 +218,7 @@ class TestTrispectrumAndCovariance:
             cov.set_cosmology({"sigma_8": 0.811})
         assert np.max(np.abs(g_after / g_before - 1)) > 0.05
 
+    @pytest.mark.slow
     def test_joint_covariance_object(self, compat_halo):
         """Clustering + g-g lensing joint covariance (compat surface over
         covariance.joint_wtheta_gammat_covariance)."""

@@ -40,6 +40,7 @@ def test_wtheta_small_theta_vs_oracle(fiducial, win):
     np.testing.assert_allclose(w, ref, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_gamma_t_vs_oracle(fiducial, win):
     wk = projection.WindowConvergence(dist=gauss_dist())
     pt = projection.power_table_linear(fiducial)
@@ -60,6 +61,7 @@ def test_default_theta_bins(fiducial, win):
     assert float(w[0]) > float(w[-1]) > 0.0
 
 
+@pytest.mark.slow
 def test_halo_power_spec_selector(fiducial, win):
     """The power_spec string selector drives the projected spectrum
     (chomp Correlation(power_spec=...) parity)."""
@@ -82,6 +84,7 @@ def test_halo_power_spec_selector(fiducial, win):
     assert outs["power_mm"] != outs["linear_power"]
 
 
+@pytest.mark.slow
 def test_wtheta_halo_gg_vs_oracle(fiducial, win):
     """Full nonlinear pipeline (halo P_gg -> C_l -> w) vs oracle."""
     from chomp_tpu import default_halo, halo

@@ -48,6 +48,7 @@ def test_bin_averaged_j0_limits():
         np.testing.assert_allclose(jb[i], ref, rtol=1e-8, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_gaussian_covariance_vs_direct(setup):
     """Gaussian block vs direct dense-Simpson double check on a pair."""
     h, model, dist, cl_fn = setup
@@ -86,6 +87,7 @@ def test_shot_noise_diagonal(setup):
     assert np.max(np.abs(off)) < 1e-3 * np.min(np.diag(cov))
 
 
+@pytest.mark.slow
 def test_nongaussian_covariance_structure(fiducial, setup):
     from chomp_tpu.params import GridSpec
 
@@ -109,6 +111,7 @@ def test_nongaussian_covariance_structure(fiducial, setup):
     np.testing.assert_allclose(cov_ng2, 0.5 * cov_ng, rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_total_covariance_psd(fiducial, setup):
     from chomp_tpu.params import GridSpec
 
@@ -204,6 +207,7 @@ def test_cross_window_trispectrum_reduction(fiducial, setup):
     np.testing.assert_allclose(general, legacy, rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_joint_wtheta_gammat_covariance(fiducial, setup):
     """Full (w_gg, gamma_t) joint matrix: shape, symmetry, PSD, positive
     diagonals, and 1/Omega_s scaling of the whole matrix."""
@@ -238,6 +242,35 @@ def test_joint_wtheta_gammat_covariance(fiducial, setup):
     np.testing.assert_allclose(g2, 0.5 * g1, rtol=1e-10)
 
 
+@pytest.mark.slow
+def test_cross_blocks_distinct_edges(fiducial, setup):
+    """w x gamma_t blocks with DIFFERENT bin edges per probe: rectangular
+    shapes, and consistency of the Gaussian block with its square-edges
+    restriction (the j-side edges being a subset of a finer grid)."""
+    from chomp_tpu.params import GridSpec
+
+    h, model, dist, cl_fn = setup
+    g = GridSpec(n_mass=128, n_mu=8, sigma_panels=8, sigma_n_per_panel=32,
+                 n_growth=32, n_dist=32)
+    edges_i = np.logspace(-2, 0, 6)          # 5 w bins
+    edges_j = np.logspace(-1.5, -0.2, 4)     # 3 gamma_t bins
+    blk = np.asarray(covariance.gaussian_block(
+        cl_fn, cl_fn, cl_fn, cl_fn, edges_i, edges_j, OMEGA_S, 0, 2,
+        n_ell_cov=1024))
+    assert blk.shape == (5, 3)
+    assert np.all(np.isfinite(blk))
+    # NG block with distinct j edges.
+    ng = np.asarray(covariance.nongaussian_covariance(
+        fiducial, h, model, dist, edges_i, OMEGA_S,
+        windows=(projection.WindowGalaxy(dist=dist),) * 4,
+        tracers=("g", "g", "g", "g"), mu_i=0, mu_j=2,
+        theta_edges_deg_j=edges_j, grid=g, n_k_tri=24, n_z_tri=4,
+        n_ell_cov=32))
+    assert ng.shape == (5, 3)
+    assert np.all(np.isfinite(ng))
+
+
+@pytest.mark.slow
 def test_projected_trispectrum_exact_z(fiducial, setup):
     """exact_z rebuilds the halo model per projection node.  At a z~0
     kernel it approaches the separable path (residual = genuine

@@ -16,6 +16,7 @@ def model(fiducial_model):
     return fiducial_model
 
 
+@pytest.mark.slow
 def test_n_g_vs_oracle(fiducial, model):
     np.testing.assert_allclose(model.n_g, oracle.n_g(), rtol=2e-5)
 

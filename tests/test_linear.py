@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from chomp_tpu import background, linear
 from chomp_tpu.params import DEFAULT_GRID
@@ -150,6 +151,7 @@ def test_with_bao_pipeline_end_to_end(fiducial):
     assert np.all(rel < 0.1) and np.any(rel > 1e-4)
 
 
+@pytest.mark.slow
 def test_diagnostics_convergence_report(fiducial):
     from chomp_tpu import projection
     from chomp_tpu import default_halo

@@ -64,6 +64,7 @@ def _free_port():
     return port
 
 
+@pytest.mark.slow
 def test_two_process_multihost_sweep(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(WORKER)

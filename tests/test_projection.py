@@ -146,6 +146,7 @@ def test_jit_and_grad_cl(fiducial):
     assert np.isfinite(float(g)) and float(g) != 0.0
 
 
+@pytest.mark.slow
 def test_limber_exact_z_linear_anchor(fiducial):
     """Exact-z Limber == separable path for linear power (growth IS
     separable), anchoring the non-separable machinery."""
@@ -166,6 +167,7 @@ def test_limber_exact_z_linear_anchor(fiducial):
                                rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_limber_exact_z_nonlinear_differs_sensibly(fiducial):
     """For halo P_gg the exact-z treatment deviates from the separable
     approximation by a few percent at nonlinear ell (the physics it

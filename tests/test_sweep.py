@@ -5,6 +5,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from chomp_tpu import default_cosmo, default_halo, projection
 from chomp_tpu.hod import default_hod
@@ -35,6 +36,7 @@ def test_broadcast_cosmo(fiducial):
     np.testing.assert_allclose(b.sigma_8[0], fiducial.sigma_8)
 
 
+@pytest.mark.slow
 def test_sweep_vmap_equals_loop(fiducial):
     fn = make_pipeline(default_halo(), default_hod(), dist(), grid=TINY,
                        include_lensing=False)
@@ -63,6 +65,7 @@ def test_sweep_sharded_matches_unsharded(fiducial):
                                np.asarray(plain["w_theta"]), rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_inference_step_descends(fiducial):
     """One adam step on omega_m0 decreases chi^2 toward mock data."""
     fn = make_pipeline(default_halo(), default_hod(), dist(), grid=TINY,
@@ -87,6 +90,7 @@ def test_inference_step_descends(fiducial):
     assert 0.25 < float(params) < 0.31
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_runs():
     import sys
     sys.path.insert(0, "/root/repo")
@@ -109,6 +113,7 @@ def test_pytree_io_roundtrip(tmp_path, fiducial):
                                np.asarray(batch.sigma_8), rtol=0)
 
 
+@pytest.mark.slow
 def test_sweep_chunked_resumable(tmp_path, fiducial):
     """Chunked sweep writes per-chunk npz atomically and resumes by
     skipping existing chunks (the stateless-recovery contract)."""

@@ -235,6 +235,7 @@ def test_b_pt_avg_vs_quad(fiducial):
     np.testing.assert_allclose(ours, b_ref(), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_mixed_tracer_terms_vs_quad(fiducial, model):
     """Independent scipy referee for the MIXED-tracer engine (the
     cross-probe covariance blocks): the 1h term and the four-leg 2h_31
