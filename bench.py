@@ -4,7 +4,7 @@ Prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 
 Metric: wall-clock seconds per cosmology for the full flagship pipeline
-(BASELINE.json configs[4] asks >=100 batched cosmologies; 256
+(BASELINE.json configs[4] asks >=100 batched cosmologies; 512
 amortizes the fixed per-launch host cost better): each computes the
 Sheth-Tormen mass function, Zheng05 HOD halo model, nonlinear P_gg and
 P_gm, Limber C_ell for clustering and lensing kernels, and
@@ -20,7 +20,7 @@ import json
 import sys
 import time
 
-N_COSMO = 256
+N_COSMO = 512
 TARGET_S_PER_COSMO = 1.0  # BASELINE.md north-star row
 
 

@@ -302,3 +302,32 @@ def test_projected_trispectrum_exact_z(fiducial, setup):
         exact_z=True))
     assert np.median(ex1 / sep1) > 2.0
     assert np.all(np.isfinite(ex1)) and np.all(np.diag(ex1) > 0)
+
+
+@pytest.mark.slow
+def test_cross_trispectrum_exact_z_smoke(fiducial, setup):
+    """exact_z=True through the MIXED windows/tracers path (per-node
+    halo-model rebuild + mixed T̄ tables): finite, symmetric in (l, l'),
+    and larger than the separable default for the deep kernel (real
+    evolution, as in the gg case)."""
+    from chomp_tpu.params import GridSpec
+
+    h, model, dist, cl_fn = setup
+    g = GridSpec(n_mass=96, n_mu=8, sigma_panels=8, sigma_n_per_panel=32,
+                 n_growth=32, n_dist=32)
+    win_g = projection.WindowGalaxy(dist=dist)
+    win_k = projection.WindowConvergence(dist=dist)
+    ells = np.logspace(1.5, 3.0, 4)
+    kw = dict(grid=g, n_k_tri=24, n_z_tri=4,
+              windows=(win_g, win_k, win_g, win_k),
+              tracers=("g", "m", "g", "m"))
+    sep = np.asarray(covariance.projected_trispectrum(
+        fiducial, h, model, dist, ells, **kw))
+    ex = np.asarray(covariance.projected_trispectrum(
+        fiducial, h, model, dist, ells, exact_z=True, **kw))
+    for t in (sep, ex):
+        assert t.shape == (4, 4)
+        assert np.all(np.isfinite(t))
+        np.testing.assert_allclose(t, t.T, rtol=1e-8)
+        assert np.all(np.diag(t) > 0)
+    assert np.median(ex / sep) > 1.0
