@@ -150,11 +150,18 @@ def gaussian_block(cl_ac, cl_bd, cl_ad, cl_bc, theta_edges_deg_i,
     ``cl_xy(ells) -> C_l`` callables for the four tracer pairings;
     ``noise_xy`` the corresponding white-noise levels (1/n2d for gg,
     shape noise for kk, usually 0 for gk).  The pure noise x noise
-    constant is integrated analytically via the Bessel closure — valid
-    when the two estimators share probe and binning (mu_i == mu_j and
-    identical edges); elsewhere it is dropped, which is exact whenever at
-    least one pairing factor in each product is noiseless (the gg x gt
-    cross block: N_ad = N_bc = 0)."""
+    constant is integrated analytically via the Bessel completeness
+    ∫ l J_mu(l th) J_mu(l th') dl = delta(th - th')/th, which for
+    bin-averaged factors of the SAME order gives, for ANY two binnings,
+
+        ∫ l dl Jbar^mu_i Jbar^mu_j = 2 (th_ovl+^2 - th_ovl-^2)_+ /
+                                     (A_i A_j),   A = th+^2 - th-^2
+
+    (the overlap of the two annuli; reduces to 2 delta_ij / A_i for
+    identical edges).  For mu_i != mu_j the closure does not apply and
+    the constant is dropped — exact whenever at least one pairing factor
+    in each product is noiseless (the gg x gt cross block:
+    N_ad = N_bc = 0)."""
     ells_np, w_np = _log_ell_weights(n_ell_cov, ell_lo, ell_hi)
     ells = jnp.asarray(ells_np)
     w = jnp.asarray(w_np)
@@ -171,12 +178,17 @@ def gaussian_block(cl_ac, cl_bd, cl_ad, cl_bc, theta_edges_deg_i,
     g = (1.0 / omega_s_sr) * ells**2 * w / (2.0 * jnp.pi) * integrand
     cov = (b_i * g[None, :]) @ b_j.T
     nn = noise_ac * noise_bd + noise_ad * noise_bc
-    if nn != 0.0 and mu_i == mu_j and np.array_equal(edges_i, edges_j):
-        # ∫ l dl Jbar^mu_i Jbar^mu_j = 2 delta_ij/(th+^2 - th-^2).
-        lo = jnp.asarray(edges_i[:-1])
-        hi = jnp.asarray(edges_i[1:])
-        diag = nn / (jnp.pi * omega_s_sr * (hi * hi - lo * lo))
-        cov = cov + jnp.diag(diag)
+    if nn != 0.0 and mu_i == mu_j:
+        # General annulus-overlap closure (docstring): numpy, static.
+        lo_i, hi_i = edges_i[:-1], edges_i[1:]
+        lo_j, hi_j = edges_j[:-1], edges_j[1:]
+        a_i = hi_i**2 - lo_i**2
+        a_j = hi_j**2 - lo_j**2
+        ovl = np.maximum(
+            np.minimum(hi_i[:, None], hi_j[None, :]) ** 2
+            - np.maximum(lo_i[:, None], lo_j[None, :]) ** 2, 0.0)
+        cov = cov + jnp.asarray(
+            nn * ovl / (np.pi * omega_s_sr * a_i[:, None] * a_j[None, :]))
     return cov
 
 

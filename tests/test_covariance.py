@@ -331,3 +331,33 @@ def test_cross_trispectrum_exact_z_smoke(fiducial, setup):
         np.testing.assert_allclose(t, t.T, rtol=1e-8)
         assert np.all(np.diag(t) > 0)
     assert np.median(ex / sep) > 1.0
+
+
+@pytest.mark.slow
+def test_noise_closure_overlap_edges():
+    """The generalized pure-noise closure for DISTINCT overlapping
+    binnings: gaussian_block with zero C_l and white noise must equal
+    the analytic annulus-overlap formula, cross-checked against dense
+    Simpson of (1/Omega) * 2N^2 * l dl/2pi Jbar_i Jbar_j."""
+    from scipy.integrate import simpson
+
+    zero = lambda ells: jnp.zeros_like(ells)
+    n = 1.0 / N2D
+    edges_i = np.array([0.01, 0.03, 0.1, 0.3])        # deg
+    edges_j = np.array([0.02, 0.06, 0.2])             # deg, offset/overlap
+    blk = np.asarray(covariance.gaussian_block(
+        zero, zero, zero, zero, edges_i, edges_j, OMEGA_S, 0, 0,
+        n, n, n, n))
+    # Brute force: the integrand is pure noise, 2 N^2 l/(2 pi) Ji Jj.
+    lnl = np.linspace(np.log(1.0), np.log(3e7), 2**21 + 1)
+    ells = np.exp(lnl)
+    ji = np.asarray(covariance.bin_averaged_j0(jnp.asarray(ells),
+                                               np.radians(edges_i)))
+    jj = np.asarray(covariance.bin_averaged_j0(jnp.asarray(ells),
+                                               np.radians(edges_j)))
+    for i in range(3):
+        for j in range(2):
+            ref = simpson((2.0 * n * n / OMEGA_S) * ells**2 / (2 * np.pi)
+                          * ji[i] * jj[j], x=lnl)
+            np.testing.assert_allclose(blk[i, j], ref, rtol=2e-3,
+                                       atol=1e-4 * abs(blk).max())
