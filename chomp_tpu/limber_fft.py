@@ -16,8 +16,8 @@ is a 1-D convolution of two log-lattice-sampled sequences:
 
   1. P is evaluated EXACTLY on a static ln k lattice (direct halo-model
      evaluation — no interpolation, no splines);
-  2. G is evaluated on the matching static ln chi lattice (z(chi) via a
-     single tiny inverse-table lookup);
+  2. G is evaluated on the matching static ln chi lattice (z(chi) by
+     Newton iteration from a static fiducial seed — gather-free);
   3. C on the lattice = one batched real FFT convolution (XLA FFT);
   4. C at the FFTLog ell nodes = a PRECOMPUTED static cubic-weight
      matrix (numpy, at trace time) times the lattice values — an MXU
@@ -217,7 +217,7 @@ def _lattice_z(cosmo: CosmoParams, grid: GridSpec):
 
 
 def _lattice_g(cosmo: CosmoParams, win_a, win_b, grid: GridSpec,
-               growth_pivot=1.0, n_z_table: int = 1024):
+               growth_pivot=1.0):
     """Limber lattice weights G(u) = W_a W_b D^2 / chi * dln (trapezoid
     measure), shared by the C_ell and fused-w(theta) lattice routes."""
     chi, z, z_mid = _lattice_z(cosmo, grid)
@@ -229,7 +229,7 @@ def _lattice_g(cosmo: CosmoParams, win_a, win_b, grid: GridSpec,
 
 def limber_cl_fft(cosmo: CosmoParams, win_a, win_b, ells, p_lattice,
                   grid: GridSpec = DEFAULT_GRID, ell_offset: float = 0.5,
-                  growth_pivot=1.0, n_z_table: int = 1024,
+                  growth_pivot=1.0,
                   conv_method: str = "direct"):
     """C_ell at (static, numpy) ``ells`` from P sampled on
     :func:`k_lattice` (separable growth, pivot ``growth_pivot``).
@@ -240,7 +240,7 @@ def limber_cl_fft(cosmo: CosmoParams, win_a, win_b, ells, p_lattice,
     "fft" (whitened FFT; fastest, float64-grade in x64 mode).
     """
     ln_k, ln_chi = _lattices(grid)
-    g = _lattice_g(cosmo, win_a, win_b, grid, growth_pivot, n_z_table)
+    g = _lattice_g(cosmo, win_a, win_b, grid, growth_pivot)
 
     n_k = ln_k.shape[0]
     n_chi_n = ln_chi.shape[0]
@@ -301,7 +301,7 @@ def wtheta_lattice_operator(theta_key, grid: GridSpec, mu: float = 0.0,
 def limber_wtheta_fft(cosmo: CosmoParams, win_a, win_b, theta_deg,
                       p_lattice, grid: GridSpec = DEFAULT_GRID,
                       mu: float = 0.0, ell_offset: float = 0.5,
-                      growth_pivot=1.0, n_z_table: int = 1024,
+                      growth_pivot=1.0,
                       compensated: bool = True):
     """w(theta bins) [J0] or gamma_t [J2] straight from the P lattice:
     direct convolution -> ONE fused static operator (lattice interp ∘
@@ -317,7 +317,7 @@ def limber_wtheta_fft(cosmo: CosmoParams, win_a, win_b, theta_deg,
     theta_key = tuple(np.asarray(theta_deg).tolist())
     j_lo, j_hi, a_np = wtheta_lattice_operator(theta_key, grid, mu,
                                                ell_offset)
-    g = _lattice_g(cosmo, win_a, win_b, grid, growth_pivot, n_z_table)
+    g = _lattice_g(cosmo, win_a, win_b, grid, growth_pivot)
     conv = _conv_direct(p_lattice, g, j_lo, j_hi)
     if compensated:
         return df_contract(conv, a_np)
@@ -360,7 +360,7 @@ def limber_cl_fft_exact_z(cosmo: CosmoParams, halo_params, hod, win_a, win_b,
                           z_anchor_lo: float = 1e-3, z_anchor_hi: float = 3.0,
                           with_bao: bool = False,
                           grid: GridSpec = DEFAULT_GRID,
-                          ell_offset: float = 0.5, n_z_table: int = 1024):
+                          ell_offset: float = 0.5):
     """Gather-free Limber C_ell with EXACT halo-model redshift evolution
     — the lattice-route answer to VERDICT round-1 item 7.
 
@@ -396,14 +396,14 @@ def limber_cl_fft_exact_z(cosmo: CosmoParams, halo_params, hod, win_a, win_b,
     j_lo, j_hi = int(used[0]), int(used[-1]) + 1
     conv = _exact_z_conv(cosmo, halo_params, hod, win_a, win_b, kind,
                          n_z_anchor, z_anchor_lo, z_anchor_hi, with_bao,
-                         grid, n_z_table, j_lo, j_hi)
+                         grid, j_lo, j_hi)
     w = jnp.asarray(w_full[:, j_lo:j_hi])
     return jnp.matmul(conv, w.T, precision=jax.lax.Precision.HIGHEST)
 
 
 def _exact_z_conv(cosmo, halo_params, hod, win_a, win_b, kind: str,
                   n_z_anchor: int, z_anchor_lo: float, z_anchor_hi: float,
-                  with_bao: bool, grid: GridSpec, n_z_table: int,
+                  with_bao: bool, grid: GridSpec,
                   j_lo: int, j_hi: int):
     """The Chebyshev-anchored grouped lattice convolution shared by the
     exact-z C_ell and w(theta) routes (limber_cl_fft_exact_z docstring):
@@ -488,7 +488,6 @@ def limber_wtheta_fft_exact_z(cosmo: CosmoParams, halo_params, hod,
                               with_bao: bool = False,
                               grid: GridSpec = DEFAULT_GRID, mu: float = 0.0,
                               ell_offset: float = 0.5,
-                              n_z_table: int = 1024,
                               compensated: bool = True):
     """w(theta bins) / gamma_t with EXACT halo-model z evolution on the
     flagship fused-operator path: the Chebyshev-anchored grouped
