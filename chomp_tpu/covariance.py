@@ -127,9 +127,14 @@ def gaussian_covariance(cl_fn, theta_edges_deg, n2d, omega_s_sr,
     edges_rad = np.radians(np.asarray(theta_edges_deg))
     b = bin_averaged_j0(ells, edges_rad)                  # (nb, nl)
     cl = cl_fn(ells)
+    import jax
+
     g = (2.0 / omega_s_sr) * ells**2 * w / (2.0 * jnp.pi) * (
         cl * cl + 2.0 * cl / n2d)
-    cov = (b * g[None, :]) @ b.T
+    # Jbar rows oscillate in sign: full-precision contraction (CLAUDE.md
+    # bf16-matmul rule) so f32-TPU use stays accurate.
+    cov = jnp.matmul(b * g[None, :], b.T,
+                     precision=jax.lax.Precision.HIGHEST)
     # Pure shot-noise delta, integrated analytically over the bins.
     lo = jnp.asarray(edges_rad[:-1])
     hi = jnp.asarray(edges_rad[1:])
@@ -173,11 +178,20 @@ def gaussian_block(cl_ac, cl_bd, cl_ad, cl_bc, theta_edges_deg_i,
     ct_bd = cl_bd(ells) + noise_bd
     ct_ad = cl_ad(ells) + noise_ad
     ct_bc = cl_bc(ells) + noise_bc
-    integrand = (ct_ac * ct_bd + ct_ad * ct_bc
-                 - (noise_ac * noise_bd + noise_ad * noise_bc))
-    g = (1.0 / omega_s_sr) * ells**2 * w / (2.0 * jnp.pi) * integrand
-    cov = (b_i * g[None, :]) @ b_j.T
+    import jax
+
     nn = noise_ac * noise_bd + noise_ad * noise_bc
+    if nn != 0.0 and mu_i != mu_j:
+        raise ValueError(
+            "gaussian_block: a pure noise x noise term is present "
+            f"(nn={nn}) but mu_i={mu_i} != mu_j={mu_j}, where the "
+            "analytic Bessel closure does not apply — this block (e.g. "
+            "w x gamma_t with the SAME sample as lens and source) is "
+            "not supported; split the noisy pairing out explicitly.")
+    integrand = (ct_ac * ct_bd + ct_ad * ct_bc - nn)
+    g = (1.0 / omega_s_sr) * ells**2 * w / (2.0 * jnp.pi) * integrand
+    cov = jnp.matmul(b_i * g[None, :], b_j.T,
+                     precision=jax.lax.Precision.HIGHEST)
     if nn != 0.0 and mu_i == mu_j:
         # General annulus-overlap closure (docstring): numpy, static.
         lo_i, hi_i = edges_i[:-1], edges_i[1:]
@@ -266,7 +280,9 @@ def projected_trispectrum(cosmo: CosmoParams, halo_p: HaloParams,
     else:
         sups = [w_.support() for w_ in windows]
         z_lo = jnp.maximum(jnp.asarray(max(float(s[0]) for s in sups)), 1e-3)
-        z_hi = jnp.asarray(min(float(s[1]) for s in sups))
+        # Disjoint supports (no common z): clamp to an empty span so the
+        # block is ~0 instead of a sign-flipped reversed integral.
+        z_hi = jnp.maximum(jnp.asarray(min(float(s[1]) for s in sups)), z_lo)
     z_nodes, z_w = gl_fixed(0.0, 1.0, n_z_tri)
     z_nodes = jnp.asarray(z_nodes)
     z_w = jnp.asarray(z_w)
@@ -349,8 +365,12 @@ def nongaussian_covariance(cosmo: CosmoParams, halo_p: HaloParams,
                                    exact_z=exact_z, windows=windows,
                                    tracers=tracers)
     meas = ells**2 * w / (2.0 * jnp.pi)                   # l dl/(2 pi)
-    return ((b_i * meas[None, :]) @ t_proj
-            @ (b_j * meas[None, :]).T) / omega_s_sr
+    import jax
+
+    hp = jax.lax.Precision.HIGHEST
+    return jnp.matmul(
+        jnp.matmul(b_i * meas[None, :], t_proj, precision=hp),
+        (b_j * meas[None, :]).T, precision=hp) / omega_s_sr
 
 
 def joint_wtheta_gammat_covariance(cosmo: CosmoParams, halo_p: HaloParams,

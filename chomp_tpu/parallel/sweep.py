@@ -116,9 +116,14 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
         if method == "fft" and exact_z_anchors:
             kinds = ((power_spec, "power_gm") if include_lensing
                      else (power_spec,))
+            # Anchor window covers the distribution's support (its z_max
+            # is concrete at build time); clamping P~ above the anchors
+            # would silently freeze evolution exactly where the kernel
+            # still has weight.
+            z_hi_anchor = max(float(np.asarray(dist.z_max)), 1.0)
             p_all = limber_fft.exact_z_anchor_spectra(
                 cosmo, halo_params, hod, kinds, exact_z_anchors,
-                1e-3, 3.0, with_bao, grid)
+                1e-3, z_hi_anchor, with_bao, grid)
         else:
             p_all = (limber_fft.p_lattice_halo_all(cosmo, halo_params,
                                                    model, with_bao, grid)

@@ -218,20 +218,31 @@ def trispectrum_parallelogram_tracers(cosmo: CosmoParams, halo: HaloParams,
     p1 = linear.linear_power(cosmo, k1, zm, with_bao, grid)
     p2 = linear.linear_power(cosmo, k2, zm, with_bao, grid)
 
-    # y(k, M) on both quadrature packs (mass-table rule for pure-matter
-    # integrals; kink-safe galaxy pack whenever an HOD moment enters).
-    y_m = {0: y_nfw(cosmo, halo, k1[..., None], t.m, model.m_star, t.z)}
-    y_m[1] = y_m[0]
-    y_m[2] = y_nfw(cosmo, halo, k2[..., None], t.m, model.m_star, t.z)
-    y_m[3] = y_m[2]
-    y_g = {0: y_nfw(cosmo, halo, k1[..., None], g.m, model.m_star, t.z)}
-    y_g[1] = y_g[0]
-    y_g[2] = y_nfw(cosmo, halo, k2[..., None], g.m, model.m_star, t.z)
-    y_g[3] = y_g[2]
+    # y(k, M) on the quadrature packs, built lazily per pack (mass-table
+    # rule for pure-matter integrals; kink-safe galaxy pack whenever an
+    # HOD moment enters) — the y matrices are the dominant eager cost and
+    # uniform-tracer calls only ever touch one pack.
+    _y_cache: dict = {}
+
+    def _y(pack_m, i):
+        key = (pack_m, 0 if i < 2 else 2)      # legs 0/1 share k1, 2/3 k2
+        if key not in _y_cache:
+            m_nodes = t.m if pack_m else g.m
+            kk = k1 if i < 2 else k2
+            _y_cache[key] = y_nfw(cosmo, halo, kk[..., None], m_nodes,
+                                  model.m_star, t.z)
+        return _y_cache[key]
+
+    _u_cache: dict = {}
 
     def u(leg_idx, beta):
         """U^beta over the given legs: ∫ dlnM dn/dlnM b^beta
-        <(N)_p>/n_g^p (M/rho_bar)^q prod_i y(k_i, M)."""
+        <(N)_p>/n_g^p (M/rho_bar)^q prod_i y(k_i, M).  Memoized on the
+        (sorted legs, beta) key — the 2h/3h/4h assembly reuses the
+        single-leg integrals many times."""
+        key = (tuple(sorted(leg_idx)), beta)
+        if key in _u_cache:
+            return _u_cache[key]
         n_gal = sum(1 for i in leg_idx if tracers[i] == "g")
         n_mat = len(leg_idx) - n_gal
         if n_gal:
@@ -243,15 +254,17 @@ def trispectrum_parallelogram_tracers(cosmo: CosmoParams, halo: HaloParams,
                 w = w * g.bias
             prod = w
             for i in leg_idx:
-                prod = prod * y_g[i]
+                prod = prod * _y(False, i)
         else:
             w = t.w_lnm * t.dndlnm * (t.m / cosmo.rho_bar) ** n_mat
             if beta:
                 w = w * t.bias
             prod = w
             for i in leg_idx:
-                prod = prod * y_m[i]
-        return jnp.sum(prod, axis=-1)
+                prod = prod * _y(True, i)
+        out = jnp.sum(prod, axis=-1)
+        _u_cache[key] = out
+        return out
 
     p_of = {0: p1, 1: p1, 2: p2, 3: p2}
     opposite_pairs = ((0, 2), (0, 3), (1, 2), (1, 3))
@@ -299,22 +312,6 @@ def trispectrum_parallelogram(cosmo: CosmoParams, halo: HaloParams,
     return trispectrum_parallelogram_tracers(
         cosmo, halo, model, k1, k2, ("m", "m", "m", "m"), with_bao, grid,
         terms)
-
-
-def _j_mu_beta(model: HaloModel, y_list, mu_exp: int, beta: int):
-    """Galaxy-field analog of I_mu^beta with HOD factorial-moment
-    weights:  J_mu^beta = ∫ dlnM dn/dlnM <(N)_mu>/n_g^mu b^beta prod(y_i)
-    (standard halo-model galaxy polyspectra; evaluated on the kink-safe
-    galaxy quadrature pack)."""
-    g = model.gal
-    nth = model.hod.nth_moment(g.m, mu_exp)
-    weight = g.w_lnm * g.dndlnm * nth / model.n_g**mu_exp
-    if beta:
-        weight = weight * g.bias
-    prod = weight
-    for y in y_list:
-        prod = prod * y
-    return jnp.sum(prod, axis=-1)
 
 
 def trispectrum_parallelogram_galaxy(cosmo: CosmoParams, halo: HaloParams,

@@ -361,3 +361,27 @@ def test_noise_closure_overlap_edges():
                           * ji[i] * jj[j], x=lnl)
             np.testing.assert_allclose(blk[i, j], ref, rtol=2e-3,
                                        atol=1e-4 * abs(blk).max())
+
+
+def test_disjoint_window_supports_give_zero(fiducial, setup):
+    """Windows with NO common support: the projected trispectrum block
+    must be ~0 (empty z span), not a sign-flipped reversed integral."""
+    from chomp_tpu.params import GridSpec
+
+    h, model, dist, cl_fn = setup
+    g = GridSpec(n_mass=96, n_mu=8, sigma_panels=8, sigma_n_per_panel=32,
+                 n_growth=32, n_dist=32)
+    lo_dist = projection.DNdzGaussian(
+        z_min=jnp.asarray(0.05), z_max=jnp.asarray(0.4),
+        z0=jnp.asarray(0.2), sigma_z=jnp.asarray(0.05))
+    hi_dist = projection.DNdzGaussian(
+        z_min=jnp.asarray(0.8), z_max=jnp.asarray(1.4),
+        z0=jnp.asarray(1.1), sigma_z=jnp.asarray(0.1))
+    win_lo = projection.WindowGalaxy(dist=lo_dist)
+    win_hi = projection.WindowGalaxy(dist=hi_dist)
+    ells = np.logspace(1.5, 3.0, 3)
+    t = np.asarray(covariance.projected_trispectrum(
+        fiducial, h, model, dist, ells, grid=g, n_k_tri=16, n_z_tri=3,
+        windows=(win_lo, win_lo, win_hi, win_hi),
+        tracers=("g", "g", "g", "g")))
+    assert np.all(np.abs(t) < 1e-30), t
