@@ -62,3 +62,39 @@ def test_spectral_sharded_matches_unsharded(fiducial):
     bad = Mesh(np.array(jax.devices()[:6]).reshape(2, 3), ("data", "model"))
     with pytest.raises(ValueError, match="not divisible"):
         make_spectral_pipeline(h, hod, dist, bad, grid=TINY)
+
+
+def test_spectral_sharded_gamma_t(fiducial):
+    """J2 (gamma_t) through the spectral-sharded pipeline: the fused
+    operator's mu=2 columns shard identically."""
+    from jax.sharding import Mesh
+
+    devices = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, ("data", "model"))
+    h = default_halo()
+    hod = default_hod()
+    dist = _dist()
+    theta = np.logspace(-2, 0, TINY.n_theta)
+    fn = make_spectral_pipeline(h, hod, dist, mesh, theta_deg=theta,
+                                grid=TINY, power_spec="power_gm", mu=2.0)
+    oms = jnp.linspace(0.26, 0.30, 4)
+    batch = broadcast_cosmo(default_cosmo(), omega_m0=oms,
+                            omega_l0=1.0 - oms)
+    gt = np.asarray(fn(batch))
+    assert gt.shape == (4, TINY.n_theta)
+    assert np.all(np.isfinite(gt))
+
+
+def test_global_mesh_sweep_divisibility_guard():
+    """Single-process use of global_mesh_sweep still validates the
+    batch/device divisibility."""
+    import pytest
+
+    from chomp_tpu import default_cosmo
+    from chomp_tpu.parallel.multihost import global_mesh_sweep
+    from chomp_tpu.parallel.sweep import broadcast_cosmo
+
+    batch = broadcast_cosmo(default_cosmo(),
+                            omega_m0=jnp.linspace(0.25, 0.3, 5))
+    with pytest.raises(ValueError, match="not divisible"):
+        global_mesh_sweep(lambda c: c.omega_m0, batch)
