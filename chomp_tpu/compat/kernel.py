@@ -138,6 +138,20 @@ class Kernel:
         self.tables = kernelfn.build_kernel(
             self.cosmo.cosmo, self.window_function_a.window,
             self.window_function_b.window, mu=self.mu, grid=self.grid)
+        # The FFTLog grid is fixed (kernelfn.KTHETA_Y0 .. ~10); chomp's
+        # constructor range is honored only within it.  Queries past the
+        # grid would silently return the edge value/0, so fail loudly at
+        # construction instead.
+        import numpy as _np
+
+        grid_lo = float(_np.exp(self.tables.ln_ktheta[0]))
+        grid_hi = float(_np.exp(self.tables.ln_ktheta[-1]))
+        if self.ktheta_min < grid_lo * 0.99 or self.ktheta_max > grid_hi * 1.01:
+            raise ValueError(
+                f"requested ktheta range [{self.ktheta_min:g}, "
+                f"{self.ktheta_max:g}] exceeds the kernel grid coverage "
+                f"[{grid_lo:g}, {grid_hi:g}] (kernelfn.KTHETA_Y0/"
+                "N_KERNEL); widen the grid constants or narrow the range")
 
     def set_cosmology(self, cosmo_dict):
         self.cosmo.set_cosmology(cosmo_dict)

@@ -163,12 +163,9 @@ def wtheta_from_cl_fused(cl_grid, theta_deg, grid: GridSpec = DEFAULT_GRID,
 
 
 def _pallas_native() -> bool:
-    import jax
+    from chomp_tpu.ops.fftlog_pallas import on_tpu
 
-    try:
-        return jax.devices()[0].platform in ("tpu", "axon")
-    except Exception:  # pragma: no cover
-        return False
+    return on_tpu()
 
 
 def wtheta(cosmo: CosmoParams, win_a, win_b, p_table, theta_deg=None,

@@ -278,11 +278,19 @@ def projected_trispectrum(cosmo: CosmoParams, halo_p: HaloParams,
         z_lo = jnp.maximum(dist.z_min, 1e-3)
         z_hi = dist.z_max
     else:
+        # Traced-safe support intersection (supports are pytree leaves —
+        # a Python float() here would crash under jit/vmap over window
+        # parameters).
+        import functools
+
         sups = [w_.support() for w_ in windows]
-        z_lo = jnp.maximum(jnp.asarray(max(float(s[0]) for s in sups)), 1e-3)
+        z_lo = functools.reduce(jnp.maximum,
+                                [jnp.asarray(s[0]) for s in sups],
+                                jnp.asarray(1e-3))
         # Disjoint supports (no common z): clamp to an empty span so the
         # block is ~0 instead of a sign-flipped reversed integral.
-        z_hi = jnp.maximum(jnp.asarray(min(float(s[1]) for s in sups)), z_lo)
+        z_hi = jnp.maximum(functools.reduce(
+            jnp.minimum, [jnp.asarray(s[1]) for s in sups]), z_lo)
     z_nodes, z_w = gl_fixed(0.0, 1.0, n_z_tri)
     z_nodes = jnp.asarray(z_nodes)
     z_w = jnp.asarray(z_w)
@@ -395,14 +403,29 @@ def joint_wtheta_gammat_covariance(cosmo: CosmoParams, halo_p: HaloParams,
     from chomp_tpu import projection
     from chomp_tpu.projection import WindowConvergence, WindowGalaxy
 
+    from chomp_tpu import halo as halo_mod
+    from chomp_tpu.grids import loggrid
+
     win_g = WindowGalaxy(dist=dist_lens)
     win_k = WindowConvergence(dist=dist_src)
-    pt_gg = projection.power_table_halo(cosmo, halo_p, model, "power_gg",
-                                        with_bao, grid)
-    pt_gm = projection.power_table_halo(cosmo, halo_p, model, "power_gm",
-                                        with_bao, grid)
-    pt_mm = projection.power_table_halo(cosmo, halo_p, model, "power_mm",
-                                        with_bao, grid)
+    # ONE halo evaluation feeds all three tables (the y-matrices are
+    # shared across mm/gm/gg inside halo.powers; three separate
+    # power_table_halo calls would triple the dominant setup cost).
+    ln_k_np, dln = loggrid(grid.k_table_min, grid.k_table_max,
+                           grid.n_k_table)
+    ln_k = jnp.asarray(ln_k_np)
+    p_all = halo_mod.powers(cosmo, halo_p, model, jnp.exp(ln_k), with_bao,
+                            grid)
+
+    def _table(kind):
+        return projection.PowerTable(
+            ln_k0=ln_k[0], dln=jnp.asarray(dln),
+            ln_p=jnp.log(jnp.maximum(p_all[kind], 1e-300)),
+            growth_pivot=model.mass.growth)
+
+    pt_gg = _table("power_gg")
+    pt_gm = _table("power_gm")
+    pt_mm = _table("power_mm")
 
     def cl_gg(ells):
         return projection.limber_cl(cosmo, win_g, win_g, ells, pt_gg, grid)

@@ -115,8 +115,14 @@ def hankel_operator(n: int, ln_x0: float, dln: float, mu: float,
 
 
 def hankel_apply(h, a):
-    """Batched application: a (..., N) -> G (..., N).  One MXU matmul."""
-    return a @ jnp.asarray(h).T
+    """Batched application: a (..., N) -> G (..., N).  One MXU matmul at
+    HIGHEST precision — the operator rows oscillate in sign, and the
+    TPU's default bf16 pass loses ~1e-2 through the cancellation
+    (CLAUDE.md matmul rule; same pin as every internal Hankel path)."""
+    import jax
+
+    return jnp.matmul(a, jnp.asarray(h).T,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def hankel_direct(a_fn, y, x_lo=1e-5, x_hi=1e7, mu: float = 0.0,

@@ -256,7 +256,7 @@ def limber_cl_fft(cosmo: CosmoParams, win_a, win_b, ells, p_lattice,
 
         w = jnp.asarray(w_full[:, j_lo:j_hi])
         return jnp.matmul(conv, w.T, precision=jax.lax.Precision.HIGHEST)
-    else:
+    elif conv_method == "fft":
         nfft = _fft_len(n_out)
         # Static whitening tilts (numpy, folded in at trace time).
         tilt_p = jnp.asarray(np.exp(TILT_ALPHA * (ln_k - ln_k[0])))
@@ -267,6 +267,11 @@ def limber_cl_fft(cosmo: CosmoParams, win_a, win_b, ells, p_lattice,
         conv = jnp.fft.irfft(pf * gf, n=nfft, axis=-1)[..., :n_out]
         s_grid = np.arange(n_out) * grid.lattice_dln
         conv = conv * jnp.asarray(np.exp(-TILT_ALPHA * s_grid))
+    else:
+        raise ValueError(
+            f"conv_method must be 'direct' or 'fft', got {conv_method!r}"
+            " (the fft path is float64-grade only — a silent fallback"
+            " would cost ~1e-2 on small C_ell values in float32)")
 
     import jax
 
