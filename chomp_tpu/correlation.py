@@ -125,18 +125,12 @@ def wtheta_bins_operator(theta_key, grid: GridSpec = DEFAULT_GRID,
     Pallas kernel in chomp_tpu.ops.fftlog_pallas consumes)."""
     theta_deg = np.asarray(theta_key)
     theta_grid, w_op = wtheta_operator(grid, mu)
+    from chomp_tpu.grids import catmull_rom_weights_np
+
     ln_t = np.log(theta_grid)
     d = ln_t[1] - ln_t[0]
     q = np.log(np.radians(theta_deg))
-    t = (q - ln_t[0]) / d
-    i = np.clip(np.floor(t).astype(int), 1, len(ln_t) - 3)
-    f = t - i
-    w2 = np.zeros((len(theta_deg), len(ln_t)))
-    rows = np.arange(len(theta_deg))
-    w2[rows, i - 1] = 0.5 * (-f + 2 * f**2 - f**3)
-    w2[rows, i] = 0.5 * (2 - 5 * f**2 + 3 * f**3)
-    w2[rows, i + 1] = 0.5 * (f + 4 * f**2 - 3 * f**3)
-    w2[rows, i + 2] = 0.5 * (-(f**2) + f**3)
+    w2 = catmull_rom_weights_np(len(ln_t), (q - ln_t[0]) / d)
     return np.ascontiguousarray(w2 @ w_op)
 
 

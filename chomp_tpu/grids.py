@@ -106,3 +106,21 @@ def interp_loglog_cubic(ln_xq, ln_x0: float, dln: float, ln_yg):
     out = jnp.where(t_all < 0.0, lo, interior)
     out = jnp.where(t_all > n - 1.0, hi, out)
     return out
+
+
+def catmull_rom_weights_np(n: int, t):
+    """(len(t), n) Catmull-Rom weight matrix on a UNIFORM grid (numpy,
+    offline): row q interpolates grid values at fractional index t[q],
+    with the 4-tap stencil clipped to [1, n-3] (linear-ish extrapolation
+    at the edges).  Shared by the static-operator builders
+    (correlation.wtheta_bins_operator, limber_fft._s_weights)."""
+    t = np.asarray(t, dtype=np.float64)
+    i = np.clip(np.floor(t).astype(int), 1, n - 3)
+    f = t - i
+    w = np.zeros((len(t), n))
+    rows = np.arange(len(t))
+    w[rows, i - 1] = 0.5 * (-f + 2 * f**2 - f**3)
+    w[rows, i] = 0.5 * (2 - 5 * f**2 + 3 * f**3)
+    w[rows, i + 1] = 0.5 * (f + 4 * f**2 - 3 * f**3)
+    w[rows, i + 2] = 0.5 * (-(f**2) + f**3)
+    return w

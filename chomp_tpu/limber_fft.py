@@ -104,18 +104,10 @@ def _s_weights(ells_key, ell_offset: float, lattice_key):
     dln = lattice_key[0]
     s0 = ln_k[0] + ln_chi[0]
     n_out = len(ln_k) + len(ln_chi) - 1
+    from chomp_tpu.grids import catmull_rom_weights_np
+
     s_ell = np.log(ells + ell_offset)
-    t = (s_ell - s0) / dln
-    i = np.clip(np.floor(t).astype(int), 1, n_out - 3)
-    f = t - i
-    w = np.zeros((len(ells), n_out))
-    rows = np.arange(len(ells))
-    # Catmull-Rom basis:
-    w[rows, i - 1] = 0.5 * (-f + 2 * f**2 - f**3)
-    w[rows, i] = 0.5 * (2 - 5 * f**2 + 3 * f**3)
-    w[rows, i + 1] = 0.5 * (f + 4 * f**2 - 3 * f**3)
-    w[rows, i + 2] = 0.5 * (-(f**2) + f**3)
-    return w
+    return catmull_rom_weights_np(n_out, (s_ell - s0) / dln)
 
 
 def k_lattice(grid: GridSpec = DEFAULT_GRID):
