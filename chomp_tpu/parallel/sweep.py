@@ -48,6 +48,40 @@ def broadcast_cosmo(base: CosmoParams, **param_arrays) -> CosmoParams:
     return CosmoParams(**full)
 
 
+def _warn_if_separable_bias(dist, z_pivot: float, threshold: float = 0.5):
+    """Host-side warning when the separable-growth approximation is known
+    to be badly biased for this configuration.
+
+    The repo's own measurement (tests/test_exact_z_lattice.py): pivoting
+    the halo model at z_pivot=0 under a kernel with mean redshift ~1
+    biases C_ell by >10% — far above the 1e-4 numerics budget.  This
+    matches chomp's separable factorization (parity-correct) but
+    deserves a loud hint toward ``exact_z_anchors``.  Skipped silently
+    when the dist parameters are traced (host-side check only)."""
+    import warnings
+
+    try:
+        z_lo = float(np.asarray(dist.z_min))
+        z_hi = float(np.asarray(dist.z_max))
+        zg = np.linspace(z_lo, z_hi, 257)
+        p = np.asarray(jnp.asarray(dist.raw_dndz(jnp.asarray(zg))))
+        den = float(np.trapz(p, zg))
+        if den <= 0.0:
+            return
+        z_bar = float(np.trapz(p * zg, zg)) / den
+    except Exception:
+        return  # traced dist: cannot check host-side
+    if abs(z_bar - z_pivot) > threshold:
+        warnings.warn(
+            f"make_pipeline: separable growth with z_pivot={z_pivot} but "
+            f"the window's mean redshift is ~{z_bar:.2f}; the frozen "
+            "halo-model shape biases C_ell at the >10% level for such "
+            "deep kernels (measured in tests/test_exact_z_lattice.py). "
+            "Pass exact_z_anchors=6..8 for exact redshift evolution, or "
+            "set z_pivot near the kernel mean.",
+            stacklevel=3)
+
+
 def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
                   theta_deg=None, z_pivot: float = 0.0,
                   with_bao: bool = False, grid: GridSpec = DEFAULT_GRID,
@@ -67,11 +101,14 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
     over that many Chebyshev redshift anchors shared across all probes
     (limber_fft.exact_z_anchor_spectra; measured w+gamma_t on v5e:
     3.1 ms/cosmology at J=6, 4.0 at J=8, vs ~0.6 separable).
-    ``z_pivot`` is then unused.
+    ``z_pivot`` is then unused.  The anchor window is sized from
+    ``dist.z_max`` at BUILD time, so exact-z mode needs a concrete
+    (non-traced) ``dist.z_max`` — vmap the cosmology axis, not the dist.
 
     Returns ``fn(cosmo) -> dict`` (pure; jit/vmap/grad-able).
     ``halo_params``/``hod``/``dist`` are closed over but traced, so they
-    can also carry batch axes via vmap in_axes if desired.
+    can also carry batch axes via vmap in_axes if desired (except
+    ``dist`` in exact-z mode, per above).
     """
     import numpy as np
 
@@ -87,6 +124,15 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
     ells = jnp.asarray(ells_np)
 
     theta_key = np.asarray(theta_deg)
+
+    # Anchor window top is concrete at build time (advisor round-2:
+    # computing it inside fn breaks vmap-over-dist with a
+    # TracerArrayConversionError; hoisted here, dist.z_max must simply
+    # be concrete when exact-z mode is requested).
+    z_hi_anchor = (max(float(np.asarray(dist.z_max)), 1.0)
+                   if (method == "fft" and exact_z_anchors) else None)
+    if not exact_z_anchors:
+        _warn_if_separable_bias(dist, z_pivot)
 
     def w_from_p(cosmo, model, wa, wb, p_kind_table, kind, mu):
         if method == "fft" and exact_z_anchors:
@@ -116,11 +162,10 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
         if method == "fft" and exact_z_anchors:
             kinds = ((power_spec, "power_gm") if include_lensing
                      else (power_spec,))
-            # Anchor window covers the distribution's support (its z_max
-            # is concrete at build time); clamping P~ above the anchors
+            # Anchor window covers the distribution's support (z_hi_anchor
+            # hoisted to build time); clamping P~ above the anchors
             # would silently freeze evolution exactly where the kernel
             # still has weight.
-            z_hi_anchor = max(float(np.asarray(dist.z_max)), 1.0)
             p_all = limber_fft.exact_z_anchor_spectra(
                 cosmo, halo_params, hod, kinds, exact_z_anchors,
                 1e-3, z_hi_anchor, with_bao, grid)

@@ -94,17 +94,25 @@ def validate_params(cosmo=None, halo_params=None, hod=None,
         from chomp_tpu import background
 
         z_probe = np.linspace(0.0, 10.0, 41)
-        try:
-            om = _vals(cosmo.omega_m0)
-            if om is not None and om.size > 1:
+        # Batch size = the MAX over all cosmology leaves: a batched w0/wa
+        # with scalar omega_m0 must still broadcast against the z probe
+        # (advisor round-2: keying on omega_m0 alone made the check no-op
+        # for exactly the dark-energy batches it targets).
+        leaf_vals = [_vals(getattr(cosmo, f)) for f in
+                     ("omega_m0", "omega_b0", "omega_l0", "h", "w0", "wa")]
+        if all(v is not None for v in leaf_vals):
+            if max(v.size for v in leaf_vals) > 1:
                 z_probe = z_probe[:, None]      # broadcast over the batch
-            e2 = np.asarray(background.e2z(cosmo, z_probe))
-            if np.any(e2 <= 0):
-                problems.append(
-                    "E^2(z) <= 0 somewhere in z in [0, 10] (dark-energy "
-                    "parameters make H^2 negative: distances/growth NaN)")
-        except Exception:
-            pass
+            try:
+                e2 = np.asarray(background.e2z(cosmo, z_probe))
+            except Exception as exc:            # pragma: no cover
+                problems.append(f"E^2(z) check could not run: {exc!r}")
+            else:
+                if np.any(e2 <= 0):
+                    problems.append(
+                        "E^2(z) <= 0 somewhere in z in [0, 10] (dark-"
+                        "energy parameters make H^2 negative: distances/"
+                        "growth NaN)")
     if halo_params is not None:
         check("st_little_a > 0", halo_params.st_little_a, lambda v: v > 0)
         check("c0 > 0", halo_params.c0, lambda v: v > 0)

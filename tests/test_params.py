@@ -97,6 +97,19 @@ def test_validate_params_catches_unphysical():
     probs = validate_params(cosmo=default_cosmo(), hod=dead_hod,
                             grid=DEFAULT_GRID)
     assert any("no galaxies" in p for p in probs), probs
+    # Advisor round-2: a batched dark-energy leaf with SCALAR omega_m0
+    # must still broadcast against the z probe (the batch size is the
+    # max over all leaves, not omega_m0's).
+    import jax.numpy as jnp
+
+    bad_batch = dataclasses.replace(
+        default_cosmo(), omega_l0=jnp.asarray([-2.0, 0.722]),
+        w0=jnp.asarray(0.0))
+    probs = validate_params(cosmo=bad_batch)
+    assert any("E^2" in p for p in probs), probs
+    ok_batch = dataclasses.replace(default_cosmo(),
+                                   w0=jnp.asarray([-1.0, -0.9]))
+    assert validate_params(cosmo=ok_batch) == []
 
 
 def test_sweep_validate_raises():

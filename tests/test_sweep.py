@@ -144,3 +144,20 @@ def test_sweep_chunked_resumable(tmp_path, fiducial):
     batch_p = broadcast_cosmo(fiducial, omega_m0=oms_p, omega_l0=1.0 - oms_p)
     paths3 = sweep_chunked(fn, batch_p, out, chunk_size=2)
     assert not set(paths3) & set(paths)
+
+
+def test_separable_growth_warning():
+    """Deep kernel (z_bar ~ 1) with z_pivot=0 and no exact-z anchors
+    fires the separable-growth bias warning (VERDICT round-2 weak #6);
+    exact-z mode and a matched pivot stay silent."""
+    import warnings
+
+    with pytest.warns(UserWarning, match="separable growth"):
+        make_pipeline(default_halo(), default_hod(), dist(), grid=TINY,
+                      include_lensing=False)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        make_pipeline(default_halo(), default_hod(), dist(), grid=TINY,
+                      include_lensing=False, z_pivot=1.0)
+        make_pipeline(default_halo(), default_hod(), dist(), grid=TINY,
+                      include_lensing=False, exact_z_anchors=4)
