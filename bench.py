@@ -82,11 +82,49 @@ def main():
     if not finite:
         raise SystemExit("non-finite benchmark outputs")
 
+    # --- auditability extras (VERDICT round-2 weak #3) ---------------
+    # (a) XLA's own FLOP count for the whole batched program.
+    flops = float("nan")
+    try:
+        ca = batched.lower(batch).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", float("nan")))
+    except Exception as exc:
+        print(f"cost_analysis unavailable: {exc!r}", file=sys.stderr)
+    # (b) Per-call dispatch floor: round-trip of a trivial 1-op program
+    # through the same (axon-tunnelled) dispatch path.  CLAUDE.md
+    # benchmarking gotcha: the true protocol component scales with
+    # sequentially-dependent op count, so this is a LOWER bound.
+    one = jax.jit(lambda x: x + 1.0)
+    x0 = jnp.zeros(())
+    jax.block_until_ready(one(x0))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        jax.block_until_ready(one(x0))
+    dispatch_s = (time.perf_counter() - t0) / 10
+    on_chip_s = max(elapsed - dispatch_s, 0.0)
+    # (c) Achieved FLOP/s and an approximate MFU against the v5e bf16
+    # peak (197 TFLOP/s).  The pipeline pins its cancellation-sensitive
+    # matmuls to Precision.HIGHEST (multi-pass f32), so this understates
+    # true MXU occupancy — it is a conservative utilization floor.
+    peak = 197.0e12
+    achieved = flops / on_chip_s if on_chip_s > 0 else float("nan")
+    print(f"flops={flops:.3e} dispatch>={dispatch_s*1e3:.2f}ms "
+          f"achieved={achieved/1e12:.2f} TFLOP/s "
+          f"mfu~{achieved/peak*100:.2f}% (vs bf16 peak)", file=sys.stderr)
+
     print(json.dumps({
         "metric": "wtheta_lensing_clustering_s_per_cosmology",
         "value": s_per_cosmo,
         "unit": "s/cosmology",
         "vs_baseline": TARGET_S_PER_COSMO / s_per_cosmo,
+        "batch": N_COSMO,
+        "dispatch_ms_lower_bound": dispatch_s * 1e3,
+        "on_chip_ms_per_cosmology": on_chip_s / N_COSMO * 1e3,
+        "flops_per_cosmology": flops / N_COSMO,
+        "achieved_tflops": achieved / 1e12,
+        "approx_mfu_vs_bf16_peak": achieved / peak,
     }))
 
 

@@ -78,6 +78,28 @@ def main(batch_size: int = 100):
     full = make_pipeline(h, hod, dist)
     stage("full w+gamma_t pipeline", full)
 
+    # Joint covariance (VERDICT round-3 item 1: "covariance ms/cosmology
+    # recorded"): default production settings, vmapped over 16
+    # cosmologies — Gaussian blocks C_ell's via the gather-free lattice,
+    # trispectrum projection via static-weight einsums.
+    from chomp_tpu import covariance as cov_mod
+
+    d_src = projection.DNdzGaussian(
+        z_min=jnp.asarray(0.3), z_max=jnp.asarray(2.5),
+        z0=jnp.asarray(1.0), sigma_z=jnp.asarray(0.3))
+    edges = cov_mod.theta_bin_edges_deg(DEFAULT_GRID, n_bins=8)
+
+    def cov_fn(c):
+        model = halo.build_halo_model(c, h, hod)
+        return cov_mod.joint_wtheta_gammat_covariance(
+            c, h, model, dist, d_src, edges, 0.1, 3.0e7, 1.0e-9)
+
+    b_cov = min(b, 16)
+    batch_cov = jax.tree_util.tree_map(lambda x: x[:b_cov], batch)
+    f_cov = jax.jit(jax.vmap(cov_fn))
+    dt_cov = timed(f_cov, batch_cov, reps=2)
+    rows.append((f"joint (w,gt) covariance [{b_cov}]", dt_cov / b_cov * 1e3))
+
     print(f"{'stage':34s} ms/cosmology")
     for name, ms in rows:
         print(f"  {name:32s} {ms:8.3f}")

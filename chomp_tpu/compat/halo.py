@@ -6,6 +6,7 @@ upstream:halo.py (SURVEY.md §2 rows 6-7, §3.4).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from chomp_tpu import halo as halo_mod
 from chomp_tpu import profiles
@@ -37,6 +38,35 @@ class Halo:
         self.model = halo_mod.build_halo_model(
             self._epoch.cosmo, self.halo_params, self._hod, self._z,
             self._epoch.with_bao, self.grid, mass_tables=self._mass_tables)
+        # Mutation epoch for the bulk powers() memo: any mutator lands
+        # here, so bumping it invalidates every cached spectrum.
+        self._powers_gen = getattr(self, "_powers_gen", 0) + 1
+        self._powers_memo = {}
+
+    def _powers_all(self, k):
+        """ALL spectra at ``k`` in one halo evaluation, memoized per
+        (mutation epoch, k array).
+
+        chomp's Halo lazily caches its splines per epoch; the round-2
+        port recomputed the full powers() dict on EVERY power_* call
+        (4 of 5 spectra thrown away — VERDICT round-2 missing #4, ~5x
+        the functional-core cost through an MCMC loop).  One entry is
+        kept (the compat access pattern is many kinds at one k grid);
+        traced ``k`` (inside jit) falls through uncached."""
+        try:
+            key = (self._powers_gen, np.asarray(k).tobytes())
+        except Exception:       # traced k: no host-side key possible
+            return self._powers_impl(k)
+        hit = self._powers_memo.get(key)
+        if hit is None:
+            hit = self._powers_impl(jnp.asarray(k))
+            self._powers_memo = {key: hit}
+        return hit
+
+    def _powers_impl(self, k):
+        return halo_mod.powers(self._epoch.cosmo, self.halo_params,
+                               self.model, k, self._epoch.with_bao,
+                               self.grid)
 
     # -- mutators ----------------------------------------------------------
     def set_cosmology(self, cosmo_dict):
@@ -65,21 +95,15 @@ class Halo:
                                      self._epoch.with_bao, self.grid)
 
     def power_mm(self, k):
-        return halo_mod.power_mm(self._epoch.cosmo, self.halo_params,
-                                 self.model, k, self._epoch.with_bao,
-                                 self.grid)
+        return self._powers_all(k)["power_mm"]
 
     def power_gm(self, k):
-        return halo_mod.power_gm(self._epoch.cosmo, self.halo_params,
-                                 self.model, k, self._epoch.with_bao,
-                                 self.grid)
+        return self._powers_all(k)["power_gm"]
 
     power_mg = power_gm
 
     def power_gg(self, k):
-        return halo_mod.power_gg(self._epoch.cosmo, self.halo_params,
-                                 self.model, k, self._epoch.with_bao,
-                                 self.grid)
+        return self._powers_all(k)["power_gg"]
 
     # -- internals exposed by chomp ----------------------------------------
     def y(self, ln_k, mass):
@@ -110,20 +134,10 @@ class Halo:
 class HaloExclusion(Halo):
     """2-halo term with halo-exclusion correction (chomp
     ``HaloExclusion(Halo)``; see chomp_tpu.halo.powers_with_exclusion for
-    the documented model)."""
+    the documented model).  Shares the base class's per-epoch bulk memo —
+    only the underlying evaluation differs."""
 
-    def _powers(self, k):
+    def _powers_impl(self, k):
         return halo_mod.powers_with_exclusion(
             self._epoch.cosmo, self.halo_params, self.model, k,
             self._epoch.with_bao, self.grid)
-
-    def power_mm(self, k):
-        return self._powers(k)["power_mm"]
-
-    def power_gm(self, k):
-        return self._powers(k)["power_gm"]
-
-    power_mg = power_gm
-
-    def power_gg(self, k):
-        return self._powers(k)["power_gg"]

@@ -126,7 +126,10 @@ def gaussian_covariance(cl_fn, theta_edges_deg, n2d, omega_s_sr,
     w = jnp.asarray(w_np)
     edges_rad = np.radians(np.asarray(theta_edges_deg))
     b = bin_averaged_j0(ells, edges_rad)                  # (nb, nl)
-    cl = cl_fn(ells)
+    # cl_fn receives the STATIC numpy ells: lattice-route callables
+    # (limber_fft.limber_cl_fft) need concrete values for their static
+    # interpolation weights; jnp-based callables accept numpy fine.
+    cl = jnp.asarray(cl_fn(ells_np))
     import jax
 
     g = (2.0 / omega_s_sr) * ells**2 * w / (2.0 * jnp.pi) * (
@@ -166,7 +169,15 @@ def gaussian_block(cl_ac, cl_bd, cl_ad, cl_bc, theta_edges_deg_i,
     identical edges).  For mu_i != mu_j the closure does not apply and
     the constant is dropped — exact whenever at least one pairing factor
     in each product is noiseless (the gg x gt cross block:
-    N_ad = N_bc = 0)."""
+    N_ad = N_bc = 0).
+
+    Noise levels are STATIC survey constants: jnp scalars are coerced to
+    Python floats at entry (the nn branch below is Python control flow —
+    a traced noise under jit would raise TracerBoolConversionError)."""
+    noise_ac = float(noise_ac)
+    noise_bd = float(noise_bd)
+    noise_ad = float(noise_ad)
+    noise_bc = float(noise_bc)
     ells_np, w_np = _log_ell_weights(n_ell_cov, ell_lo, ell_hi)
     ells = jnp.asarray(ells_np)
     w = jnp.asarray(w_np)
@@ -174,10 +185,11 @@ def gaussian_block(cl_ac, cl_bd, cl_ad, cl_bc, theta_edges_deg_i,
     edges_j = np.radians(np.asarray(theta_edges_deg_j))
     b_i = bin_averaged_bessel(ells, edges_i, mu_i)        # (nbi, nl)
     b_j = bin_averaged_bessel(ells, edges_j, mu_j)        # (nbj, nl)
-    ct_ac = cl_ac(ells) + noise_ac
-    ct_bd = cl_bd(ells) + noise_bd
-    ct_ad = cl_ad(ells) + noise_ad
-    ct_bc = cl_bc(ells) + noise_bc
+    # Static numpy ells into the callables (see gaussian_covariance).
+    ct_ac = jnp.asarray(cl_ac(ells_np)) + noise_ac
+    ct_bd = jnp.asarray(cl_bd(ells_np)) + noise_bd
+    ct_ad = jnp.asarray(cl_ad(ells_np)) + noise_ad
+    ct_bc = jnp.asarray(cl_bc(ells_np)) + noise_bc
     import jax
 
     nn = noise_ac * noise_bd + noise_ad * noise_bc
@@ -211,10 +223,11 @@ def projected_trispectrum(cosmo: CosmoParams, halo_p: HaloParams,
                           galaxy: bool = True, with_bao: bool = False,
                           grid: GridSpec = DEFAULT_GRID,
                           n_k_tri: int = 96, n_z_tri: int = 24,
-                          exact_z: bool = False, windows=None, tracers=None):
+                          exact_z: bool = False, windows=None, tracers=None,
+                          method: str | None = None, u_stride: int = 4):
     """T^{abcd}_proj(l, l') on a coarse ell grid: T̄ built on an
-    (n_k_tri)^2 log-k grid, bilinearly interpolated in (ln k, ln k') at
-    each projection node, contracted over chi.
+    (n_k_tri)^2 log-k grid, evaluated in (ln k, ln k') at each projection
+    node, contracted over chi.
 
     ``windows``/``tracers``: 4-tuples assigning each trispectrum leg its
     radial window and tracer field (module docstring) — the cross-probe
@@ -222,14 +235,40 @@ def projected_trispectrum(cosmo: CosmoParams, halo_p: HaloParams,
     four copies of the galaxy window built from ``dist`` with tracers set
     by the legacy ``galaxy`` flag (the w_gg auto-covariance).
 
+    ``method="lattice"`` (default, TPU-first): the chi projection runs on
+    a strided slice of the static ln-chi lattice (limber_fft), so every
+    T̄ query position ln k = ln(l+1/2) - u is STATIC — the sign-aware
+    log-bilinear interpolation becomes a precomputed 2-tap weight tensor
+    and the whole projection is three dense einsums on the MXU, with
+    ZERO dynamic gathers (VERDICT round-2 item 1; the table route's
+    per-node jnp-indexed bilinear was the banned TPU anti-pattern).
+    ``u_stride`` sets the trapezoid spacing u_stride*grid.lattice_dln.
+    ``method="table"``: the original Gauss-Legendre-in-z route with
+    dynamically gathered bilinear lookups — kept as the referee path
+    (route equivalence is tested).
+
     ``exact_z=False`` (default): one T̄ table at the model's pivot
     redshift, scaled by the separable D^6(z) (exact for the tree-PT 4h
     term, leading order for 1h-3h — mirroring chomp's separable P
     treatment).  ``exact_z=True``: the FULL halo model and T̄ table are
-    rebuilt at every projection node (vmap over z of the same fused
-    program) — no growth approximation anywhere; ~n_z_tri x the cost."""
+    rebuilt at every projection node — no growth approximation anywhere;
+    ~n_nodes x the cost."""
     from chomp_tpu.projection import WindowGalaxy
 
+    if method is None:
+        # Lattice (gather-free) for the separable default; the table/GL
+        # route for exact_z, where per-node halo rebuilds dominate and
+        # the dense-lattice node count (~200 at u_stride=4) would
+        # multiply that cost ~30x for no accuracy gain.  Both accept an
+        # explicit override.
+        method = "table" if exact_z else "lattice"
+    if method == "lattice":
+        return _projected_trispectrum_lattice(
+            cosmo, halo_p, model, dist, ells_cov, galaxy, with_bao, grid,
+            n_k_tri, exact_z, windows, tracers, u_stride)
+    if method != "table":
+        raise ValueError(f"method must be 'lattice' or 'table', got "
+                         f"{method!r}")
     ells_cov = jnp.asarray(ells_cov)
     if tracers is None:
         tracers = ("g",) * 4 if galaxy else ("m",) * 4
@@ -342,6 +381,200 @@ def projected_trispectrum(cosmo: CosmoParams, halo_p: HaloParams,
     return out
 
 
+def _tri_lattice_indices(windows, grid: GridSpec, u_stride: int):
+    """Static strided chi-lattice indices covering the windows' support.
+
+    Uses CONCRETE window supports (padded x[1/2, 2] in chi through the
+    static fiducial chi(z) map — actual per-cosmology distances differ
+    by far less, and the windows themselves vanish outside their true
+    support, so padding is safe).  Falls back to the full lattice when a
+    support is traced.  Returns (idx, trapezoid u-weights), both numpy."""
+    from chomp_tpu import limber_fft
+
+    _, ln_chi = limber_fft._lattices(grid)
+    n_chi = len(ln_chi)
+    lo_idx, hi_idx = 0, n_chi
+    try:
+        z_lo = max(max(float(np.asarray(w.support()[0])) for w in windows),
+                   1e-3)
+        z_hi = max(min(float(np.asarray(w.support()[1])) for w in windows),
+                   z_lo)
+        chi_lo = max(0.5 * float(limber_fft.fiducial_chi_np(z_lo)),
+                     np.exp(ln_chi[0]))
+        chi_hi = min(2.0 * float(limber_fft.fiducial_chi_np(z_hi)),
+                     np.exp(ln_chi[-1]))
+        lo_idx = int(np.searchsorted(ln_chi, np.log(chi_lo)))
+        hi_idx = min(int(np.searchsorted(ln_chi, np.log(chi_hi))) + 1, n_chi)
+        hi_idx = max(hi_idx, lo_idx + 2)
+    except Exception:
+        pass  # traced support: integrate the whole lattice
+    n_sel = len(range(lo_idx, hi_idx, u_stride))
+    # Plain trapezoid: for a smooth integrand decaying to ~0 at both ends
+    # (the padded support), equal-weight trapezoid is superconvergent
+    # (Euler-Maclaurin boundary terms vanish); the accuracy limit is the
+    # W^4 window's width in u (~0.08 for a sigma_z=0.2 kernel), so the
+    # spacing u_stride*lattice_dln must stay below it — measured:
+    # stride 4 (du=0.032) is within 4e-4 of the doubly-refined table
+    # route; stride 16 (du=0.128) aliases the window at the % level.
+    # Returned as slice BOUNDS: traced arrays are sliced with
+    # lax.slice_in_dim (emits the static XLA slice primitive) — both
+    # x[np_index_array] and even x[::stride] basic indexing lower to
+    # gather in jnp, the op this whole route exists to avoid.
+    du = grid.lattice_dln * u_stride
+    wu = np.full(n_sel, du)
+    wu[0] *= 0.5
+    wu[-1] *= 0.5
+    return (lo_idx, hi_idx, u_stride), wu
+
+
+def _tri_query_weights(ells_np, u_nodes, ln_k0: float, dln: float,
+                       n_k_tri: int):
+    """Static 2-tap linear interpolation tensor W[m, a, i]: row (m, a)
+    interpolates a length-n_k_tri table at fractional position
+    (ln(ell_a + 1/2) - u_m - ln_k0)/dln, clipped exactly like the table
+    route's ``_bilinear`` (numpy, trace-time)."""
+    s_ell = np.log(np.asarray(ells_np, dtype=np.float64) + 0.5)
+    t = (s_ell[None, :] - np.asarray(u_nodes)[:, None] - ln_k0) / dln
+    t = np.clip(t, 0.0, n_k_tri - 1.001)
+    i = np.floor(t).astype(int)
+    f = t - i
+    n_m, n_a = t.shape
+    w = np.zeros((n_m, n_a, n_k_tri))
+    mm, aa = np.meshgrid(np.arange(n_m), np.arange(n_a), indexing="ij")
+    w[mm, aa, i] = 1.0 - f
+    w[mm, aa, i + 1] = f
+    return w
+
+
+def _projected_trispectrum_lattice(cosmo, halo_p, model, dist, ells_cov,
+                                   galaxy, with_bao, grid: GridSpec,
+                                   n_k_tri: int, exact_z: bool, windows,
+                                   tracers, u_stride: int):
+    """Gather-free T^{abcd}_proj (projected_trispectrum method="lattice").
+
+    The chi integral runs on static strided ln-chi lattice nodes u_m, so
+    every T̄ query ln k = ln(l+1/2) - u_m is static: the sign-aware
+    log-bilinear table lookup of the table route becomes, EXACTLY
+    (same 2-tap weights, same clipping),
+
+        lnT_q[m,a,b] = W[m,a,:] ln|T̄| W[m,b,:]^T     (two einsums)
+        T_proj[a,b]  = sum_m wgt_m sign_q exp(lnT_q)  (one contraction)
+
+    — dense static-weight linear algebra end to end (no jnp indexing
+    anywhere; verified by the jaxpr-has-no-gather test)."""
+    import jax
+
+    from chomp_tpu import limber_fft
+    from chomp_tpu.projection import WindowGalaxy
+
+    ells_np = np.asarray(ells_cov, dtype=np.float64)  # must be concrete
+    if tracers is None:
+        tracers = ("g",) * 4 if galaxy else ("m",) * 4
+    if windows is None:
+        windows = (WindowGalaxy(dist=dist),) * 4
+
+    # T̄ query table grid (static).
+    k_lo, k_hi = grid.k_table_min, grid.k_table_max
+    ln_k_np = np.linspace(np.log(k_lo), np.log(k_hi), n_k_tri)
+    kk = jnp.asarray(np.exp(ln_k_np))
+    k1g, k2g = jnp.meshgrid(kk, kk, indexing="ij")
+    dln = ln_k_np[1] - ln_k_np[0]
+
+    def tri_table(model_):
+        t = trispectrum.trispectrum_parallelogram_tracers(
+            cosmo, halo_p, model_, k1g.ravel(), k2g.ravel(), tracers,
+            with_bao, grid).reshape(n_k_tri, n_k_tri)
+        sgn = jnp.where(t < 0.0, -1.0, 1.0)
+        return sgn, jnp.log(jnp.maximum(jnp.abs(t), 1e-300))
+
+    # Static projection nodes + static query weights.
+    (u_lo, u_hi, u_step), wu = _tri_lattice_indices(windows, grid, u_stride)
+    _, ln_chi_full = limber_fft._lattices(grid)
+    w_q = _tri_query_weights(ells_np, ln_chi_full[u_lo:u_hi:u_step],
+                             ln_k_np[0], dln, n_k_tri)    # (m, a, i)
+
+    # Geometry + windows on the full lattice (the cumulative lensing
+    # window needs all nodes), then static strided slicing.
+    chi_f, z_f, z_mid_f = limber_fft._lattice_z(cosmo, grid)
+    w_prod_f = limber_fft._window_on_lattice(cosmo, windows[0], z_f, chi_f,
+                                             grid, z_mid_f)
+    for w_ in windows[1:]:
+        w_prod_f = w_prod_f * limber_fft._window_on_lattice(
+            cosmo, w_, z_f, chi_f, grid, z_mid_f)
+    def _sel(x):
+        return jax.lax.slice_in_dim(x, u_lo, u_hi, stride=u_step)
+
+    chi = _sel(chi_f)
+    z = _sel(z_f)
+    w_prod = _sel(w_prod_f)
+    # Same integration range as the table route: z in
+    # [max(supports, 1e-3), min(supports)] (traced comparison, not a
+    # gather).  This is NOT redundant with the windows' own support
+    # zeroing: W_galaxy is finite down to z=0 when dist.z_min=0, and the
+    # 1/chi^6 projection weight diverges there — the 1e-3 floor is a
+    # physical cutoff both routes must share (measured: a window with
+    # non-negligible p(z~0) is otherwise cutoff-dominated, factor-6
+    # route differences).
+    import functools
+
+    sups = [w_.support() for w_ in windows]
+    z_cut_lo = functools.reduce(jnp.maximum,
+                                [jnp.asarray(s[0]) for s in sups],
+                                jnp.asarray(1e-3))
+    z_cut_hi = jnp.maximum(functools.reduce(
+        jnp.minimum, [jnp.asarray(s[1]) for s in sups]), z_cut_lo)
+    # Fractional-cell edge weights, not a binary node mask: each node's
+    # weight is scaled by the overlap of its trapezoid cell
+    # [u - du/2, u + du/2] with [u(z_cut_lo), u(z_cut_hi)] — a binary
+    # mask costs O(du * f_edge) and is non-monotone in the stride when
+    # the edge integrand is non-negligible (measured on a dist with
+    # p(z~0) ~ 4e-3); the ramp restores O(du^2).
+    du = grid.lattice_dln * u_step
+    u_nodes = jnp.asarray(ln_chi_full[u_lo:u_hi:u_step])
+    u_cut_lo = jnp.log(background.comoving_distance(cosmo, z_cut_lo,
+                                                    grid.n_dist))
+    u_cut_hi = jnp.log(background.comoving_distance(cosmo, z_cut_hi,
+                                                    grid.n_dist))
+    ramp = (jnp.clip((u_nodes - u_cut_lo) / du + 0.5, 0.0, 1.0)
+            * jnp.clip((u_cut_hi - u_nodes) / du + 0.5, 0.0, 1.0))
+    # d chi = chi du on the log lattice.
+    base_wgt = w_prod / chi**6 * chi * jnp.asarray(wu) * ramp
+
+    hp = jax.lax.Precision.HIGHEST
+    w_jnp = jnp.asarray(w_q)
+
+    if exact_z:
+        def body(carry, xs):
+            z_m, wgt_m, w_m = xs
+            from chomp_tpu import halo as halo_mod
+
+            model_z = halo_mod.build_halo_model(cosmo, halo_p, model.hod,
+                                                z_m, with_bao, grid)
+            sgn_tb, ln_tb = tri_table(model_z)
+            ln_q = jnp.matmul(jnp.matmul(w_m, ln_tb, precision=hp),
+                              w_m.T, precision=hp)
+            sg_q = jnp.matmul(jnp.matmul(w_m, sgn_tb, precision=hp),
+                              w_m.T, precision=hp)
+            mag = jnp.exp(ln_q)
+            return carry + wgt_m * jnp.where(sg_q >= 0.0, mag, -mag), None
+
+        out0 = jnp.zeros((len(ells_np), len(ells_np)))
+        out, _ = jax.lax.scan(body, out0, (z, base_wgt, w_jnp))
+        return out
+
+    d = (background.growth_factor(cosmo, z, grid.n_growth)
+         / model.mass.growth)
+    weight = base_wgt * d**6
+    sgn_tbar, ln_tbar = tri_table(model)
+    ln_q = jnp.einsum("mai,ij,mbj->mab", w_jnp, ln_tbar, w_jnp,
+                      precision=hp)
+    sg_q = jnp.einsum("mai,ij,mbj->mab", w_jnp, sgn_tbar, w_jnp,
+                      precision=hp)
+    mag = jnp.exp(ln_q)
+    t_q = jnp.where(sg_q >= 0.0, mag, -mag)
+    return jnp.einsum("m,mab->ab", weight, t_q, precision=hp)
+
+
 def nongaussian_covariance(cosmo: CosmoParams, halo_p: HaloParams,
                            model: HaloModel, dist, theta_edges_deg,
                            omega_s_sr, galaxy: bool = True,
@@ -352,26 +585,29 @@ def nongaussian_covariance(cosmo: CosmoParams, halo_p: HaloParams,
                            exact_z: bool = False, windows=None,
                            tracers=None, mu_i: int = 0, mu_j: int = 0,
                            theta_edges_deg_j=None,
-                           n_k_tri: int = 96, n_z_tri: int = 24):
+                           n_k_tri: int = 96, n_z_tri: int = 24,
+                           method: str | None = None, u_stride: int = 4):
     """Non-Gaussian (connected trispectrum) covariance block.
 
     Defaults reproduce the w_gg auto-block; ``windows``/``tracers`` +
     ``mu_i``/``mu_j`` (and optionally distinct j-side bin edges) select
     any cross-probe block, e.g. gg x gt: tracers ("g","g","g","m"),
-    windows (W_g, W_g, W_g, W_kappa), mu_j = 2."""
+    windows (W_g, W_g, W_g, W_kappa), mu_j = 2.  ``method``: see
+    :func:`projected_trispectrum` ("lattice" = gather-free default)."""
     ells_np, w_np = _log_ell_weights(n_ell_cov, ell_lo, ell_hi)
-    ells = jnp.asarray(ells_np)
     w = jnp.asarray(w_np)
     edges_i = np.radians(np.asarray(theta_edges_deg))
     edges_j = np.radians(np.asarray(
         theta_edges_deg if theta_edges_deg_j is None else theta_edges_deg_j))
+    ells = jnp.asarray(ells_np)
     b_i = bin_averaged_bessel(ells, edges_i, mu_i)        # (nbi, nl)
     b_j = bin_averaged_bessel(ells, edges_j, mu_j)        # (nbj, nl)
-    t_proj = projected_trispectrum(cosmo, halo_p, model, dist, ells,
+    t_proj = projected_trispectrum(cosmo, halo_p, model, dist, ells_np,
                                    galaxy, with_bao, grid,
                                    n_k_tri=n_k_tri, n_z_tri=n_z_tri,
                                    exact_z=exact_z, windows=windows,
-                                   tracers=tracers)
+                                   tracers=tracers, method=method,
+                                   u_stride=u_stride)
     meas = ells**2 * w / (2.0 * jnp.pi)                   # l dl/(2 pi)
     import jax
 
@@ -391,7 +627,10 @@ def joint_wtheta_gammat_covariance(cosmo: CosmoParams, halo_p: HaloParams,
                                    exact_z: bool = False,
                                    n_k_tri: int = 96, n_z_tri: int = 24,
                                    n_ell_cov_ng: int = 96,
-                                   n_ell_cov_g: int = 4096):
+                                   n_ell_cov_g: int = 4096,
+                                   cl_method: str = "lattice",
+                                   tri_method: str | None = None,
+                                   u_stride: int = 4):
     """Joint covariance of the stacked data vector [w_gg bins, gamma_t
     bins] — the full Morrison & Schneider 2013 clustering + g-g lensing
     program (upstream:covariance.py; SURVEY.md §2 row 13).
@@ -399,8 +638,18 @@ def joint_wtheta_gammat_covariance(cosmo: CosmoParams, halo_p: HaloParams,
     ``n2d_lens``: lens galaxies per steradian (shot noise N_gg = 1/n2d).
     ``shape_noise``: the white shear-noise level N_kk = sigma_eps^2 /
     n2d_src (sigma_eps per component; caller computes).  Returns a
-    (2 nb, 2 nb) matrix ordered [ww, w-gt; gt-w, gt-gt]."""
-    from chomp_tpu import projection
+    (2 nb, 2 nb) matrix ordered [ww, w-gt; gt-w, gt-gt].
+
+    ``cl_method="lattice"`` (default) feeds every Gaussian block its
+    C_ell's through the gather-free log-convolution lattice
+    (limber_fft.limber_cl_fft — the flagship fast path; the ell grids
+    here are static numpy, so the lattice interpolation weights fold in
+    at trace time).  ``tri_method="lattice"`` runs the trispectrum
+    projection as static-weight einsums (projected_trispectrum).  With
+    both set (default) the ENTIRE joint matrix contains zero dynamic
+    gathers — VERDICT round-2 item 1; "table" on either knob restores
+    the original gathered referee route."""
+    from chomp_tpu import limber_fft, projection
     from chomp_tpu.projection import WindowConvergence, WindowGalaxy
 
     from chomp_tpu import halo as halo_mod
@@ -408,33 +657,58 @@ def joint_wtheta_gammat_covariance(cosmo: CosmoParams, halo_p: HaloParams,
 
     win_g = WindowGalaxy(dist=dist_lens)
     win_k = WindowConvergence(dist=dist_src)
-    # ONE halo evaluation feeds all three tables (the y-matrices are
-    # shared across mm/gm/gg inside halo.powers; three separate
-    # power_table_halo calls would triple the dominant setup cost).
-    ln_k_np, dln = loggrid(grid.k_table_min, grid.k_table_max,
-                           grid.n_k_table)
-    ln_k = jnp.asarray(ln_k_np)
-    p_all = halo_mod.powers(cosmo, halo_p, model, jnp.exp(ln_k), with_bao,
-                            grid)
+    if cl_method == "lattice":
+        # ONE halo evaluation on the conv lattice feeds all three C_ell
+        # routes (y-matrices shared across mm/gm/gg).
+        p_lat = limber_fft.p_lattice_halo_all(cosmo, halo_p, model,
+                                              with_bao, grid)
+        piv = model.mass.growth
 
-    def _table(kind):
-        return projection.PowerTable(
-            ln_k0=ln_k[0], dln=jnp.asarray(dln),
-            ln_p=jnp.log(jnp.maximum(p_all[kind], 1e-300)),
-            growth_pivot=model.mass.growth)
+        def cl_gg(ells_np):
+            return limber_fft.limber_cl_fft(cosmo, win_g, win_g, ells_np,
+                                            p_lat["power_gg"], grid,
+                                            growth_pivot=piv)
 
-    pt_gg = _table("power_gg")
-    pt_gm = _table("power_gm")
-    pt_mm = _table("power_mm")
+        def cl_gk(ells_np):
+            return limber_fft.limber_cl_fft(cosmo, win_g, win_k, ells_np,
+                                            p_lat["power_gm"], grid,
+                                            growth_pivot=piv)
 
-    def cl_gg(ells):
-        return projection.limber_cl(cosmo, win_g, win_g, ells, pt_gg, grid)
+        def cl_kk(ells_np):
+            return limber_fft.limber_cl_fft(cosmo, win_k, win_k, ells_np,
+                                            p_lat["power_mm"], grid,
+                                            growth_pivot=piv)
+    elif cl_method == "table":
+        ln_k_np, dln = loggrid(grid.k_table_min, grid.k_table_max,
+                               grid.n_k_table)
+        ln_k = jnp.asarray(ln_k_np)
+        p_all = halo_mod.powers(cosmo, halo_p, model, jnp.exp(ln_k),
+                                with_bao, grid)
 
-    def cl_gk(ells):
-        return projection.limber_cl(cosmo, win_g, win_k, ells, pt_gm, grid)
+        def _table(kind):
+            return projection.PowerTable(
+                ln_k0=ln_k[0], dln=jnp.asarray(dln),
+                ln_p=jnp.log(jnp.maximum(p_all[kind], 1e-300)),
+                growth_pivot=model.mass.growth)
 
-    def cl_kk(ells):
-        return projection.limber_cl(cosmo, win_k, win_k, ells, pt_mm, grid)
+        pt_gg = _table("power_gg")
+        pt_gm = _table("power_gm")
+        pt_mm = _table("power_mm")
+
+        def cl_gg(ells):
+            return projection.limber_cl(cosmo, win_g, win_g, ells, pt_gg,
+                                        grid)
+
+        def cl_gk(ells):
+            return projection.limber_cl(cosmo, win_g, win_k, ells, pt_gm,
+                                        grid)
+
+        def cl_kk(ells):
+            return projection.limber_cl(cosmo, win_k, win_k, ells, pt_mm,
+                                        grid)
+    else:
+        raise ValueError(f"cl_method must be 'lattice' or 'table', got "
+                         f"{cl_method!r}")
 
     edges = theta_edges_deg
     n_g = 1.0 / n2d_lens
@@ -453,7 +727,8 @@ def joint_wtheta_gammat_covariance(cosmo: CosmoParams, halo_p: HaloParams,
     if include_nongaussian:
         common = dict(with_bao=with_bao, grid=grid, exact_z=exact_z,
                       n_ell_cov=n_ell_cov_ng, n_k_tri=n_k_tri,
-                      n_z_tri=n_z_tri)
+                      n_z_tri=n_z_tri, method=tri_method,
+                      u_stride=u_stride)
         cov_ww = cov_ww + nongaussian_covariance(
             cosmo, halo_p, model, dist_lens, edges, omega_s_sr,
             windows=(win_g,) * 4, tracers=("g", "g", "g", "g"),

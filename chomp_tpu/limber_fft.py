@@ -68,6 +68,27 @@ def _lattices(grid: GridSpec = DEFAULT_GRID):
 
 
 @lru_cache(maxsize=None)
+def _fiducial_chi_table():
+    """Dense fiducial flat-LCDM (z, chi(z)) table (numpy, static)."""
+    z_dense = np.linspace(0.0, 25.0, 20001)
+    ez = np.sqrt(0.278 * (1.0 + z_dense) ** 3 + 0.722)
+    dz = z_dense[1] - z_dense[0]
+    integrand = 1.0 / ez
+    chi_dense = C_OVER_H0 * dz * (np.cumsum(integrand) - 0.5 * integrand
+                                  - 0.5 * integrand[0])
+    return z_dense, chi_dense
+
+
+def fiducial_chi_np(z):
+    """Static fiducial chi(z) (numpy; trace-time only).  Used to size
+    static lattice sub-ranges from concrete window supports — actual
+    per-cosmology distances stay exact (the windows themselves vanish
+    outside their true support, so a padded static range is safe)."""
+    z_dense, chi_dense = _fiducial_chi_table()
+    return np.interp(np.asarray(z), z_dense, chi_dense)
+
+
+@lru_cache(maxsize=None)
 def _fiducial_z_seed(lattice_key, mid: bool = False):
     """Static Newton seed z_fid(chi) at the (static) lattice nodes: the
     fiducial flat-LCDM inverse, computed in numpy at trace time.  With
@@ -77,12 +98,7 @@ def _fiducial_z_seed(lattice_key, mid: bool = False):
     dln = lattice_key[0]
     _, ln_chi = _lattices_from_key(lattice_key)
     chi = np.exp(ln_chi + (0.5 * dln if mid else 0.0))
-    z_dense = np.linspace(0.0, 25.0, 20001)
-    ez = np.sqrt(0.278 * (1.0 + z_dense) ** 3 + 0.722)
-    dz = z_dense[1] - z_dense[0]
-    integrand = 1.0 / ez
-    chi_dense = C_OVER_H0 * dz * (np.cumsum(integrand) - 0.5 * integrand
-                                  - 0.5 * integrand[0])
+    z_dense, chi_dense = _fiducial_chi_table()
     return np.interp(chi, chi_dense, z_dense)
 
 

@@ -258,3 +258,46 @@ class TestLensingCorrelation:
         assert np.all(np.isfinite(gt)) and np.all(gt > 0)
         # Tangential shear decreases outward over this range.
         assert gt[0] > gt[-1]
+
+
+def test_compat_halo_bulk_powers_memo(monkeypatch):
+    """One halo evaluation per (mutation epoch, k grid): power_gg +
+    power_gm + power_mm on the same k must hit halo.powers ONCE; a
+    mutator invalidates; a different k grid re-evaluates (chomp's lazy
+    per-epoch spline semantics — VERDICT round-2 missing #4)."""
+    import numpy as np
+
+    from chomp_tpu import halo as halo_mod
+    from chomp_tpu.compat.halo import Halo
+    from chomp_tpu.params import GridSpec
+
+    g = GridSpec(n_k=32, n_k_table=128, sigma_panels=4, sigma_n_per_panel=16,
+                 n_growth=16, n_dist=16, n_mass=64, n_z_proj=8, n_z_lens=8,
+                 n_ell=32, n_theta=4, n_z_dndz=16, n_mu=8)
+    h = Halo(redshift=0.3, grid=g)
+    calls = {"n": 0}
+    real = halo_mod.powers
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(halo_mod, "powers", counting)
+    k = np.logspace(-2, 1, 16)
+    p_gg = np.asarray(h.power_gg(k))
+    p_gm = np.asarray(h.power_gm(k))
+    p_mm = np.asarray(h.power_mm(k))
+    assert calls["n"] == 1, calls
+    # Same answers as the uncached functional core.
+    np.testing.assert_allclose(
+        p_gg, np.asarray(real(h._epoch.cosmo, h.halo_params, h.model,
+                              k, False, g)["power_gg"]), rtol=1e-12)
+    # Mutation invalidates.
+    h.set_redshift(0.5)
+    h.power_gg(k)
+    assert calls["n"] == 2, calls
+    assert not np.allclose(p_gg, np.asarray(h.power_gg(k)))
+    assert calls["n"] == 2, calls      # repeat still cached
+    # New k grid re-evaluates.
+    h.power_gg(np.logspace(-2, 1, 17))
+    assert calls["n"] == 3, calls

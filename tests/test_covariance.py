@@ -284,19 +284,25 @@ def test_projected_trispectrum_exact_z(fiducial, setup):
     g = GridSpec(n_mass=128, n_mu=8, sigma_panels=8, sigma_n_per_panel=32,
                  n_growth=32, n_dist=32)
     ells = np.logspace(1, 3.5, 6)
+    # Both legs pinned to the SAME (table) projection quadrature: this
+    # test isolates the exact-z PHYSICS against the separable D^6, so
+    # the two must not differ in quadrature too (the lattice default
+    # for separable is far better converged than n_z_tri=6 GL).
     # z~0 kernel: paths agree to tens of percent.
     d0 = projection.DNdzGaussian(
         z_min=jnp.asarray(0.0), z_max=jnp.asarray(0.15),
         z0=jnp.asarray(0.05), sigma_z=jnp.asarray(0.02))
     sep = np.asarray(covariance.projected_trispectrum(
-        fiducial, h, model, d0, ells, grid=g, n_k_tri=32, n_z_tri=6))
+        fiducial, h, model, d0, ells, grid=g, n_k_tri=32, n_z_tri=6,
+        method="table"))
     ex = np.asarray(covariance.projected_trispectrum(
         fiducial, h, model, d0, ells, grid=g, n_k_tri=32, n_z_tri=6,
         exact_z=True))
     assert np.median(np.abs(ex / sep - 1)) < 0.3
     # z~1 kernel: exact is substantially larger (evolution is real).
     sep1 = np.asarray(covariance.projected_trispectrum(
-        fiducial, h, model, dist, ells, grid=g, n_k_tri=32, n_z_tri=6))
+        fiducial, h, model, dist, ells, grid=g, n_k_tri=32, n_z_tri=6,
+        method="table"))
     ex1 = np.asarray(covariance.projected_trispectrum(
         fiducial, h, model, dist, ells, grid=g, n_k_tri=32, n_z_tri=6,
         exact_z=True))
@@ -385,3 +391,146 @@ def test_disjoint_window_supports_give_zero(fiducial, setup):
         windows=(win_lo, win_lo, win_hi, win_hi),
         tracers=("g", "g", "g", "g")))
     assert np.all(np.abs(t) < 1e-30), t
+
+
+def test_gaussian_block_accepts_jnp_noise():
+    """Noise levels are static survey constants, but jnp scalars are the
+    natural spelling in a jax-first API — coerced at entry (advisor
+    round-2: they previously raised TracerBoolConversionError-adjacent
+    Python-bool failures in the nn branch)."""
+    edges = covariance.theta_bin_edges_deg(n_bins=4)
+
+    def cl(ells):
+        return 1e-7 * (jnp.asarray(ells) / 100.0) ** -1.2
+
+    a = covariance.gaussian_block(cl, cl, cl, cl, edges, edges, 1.0, 0, 0,
+                                  jnp.asarray(1e-8), jnp.asarray(1e-8),
+                                  jnp.asarray(1e-8), jnp.asarray(1e-8),
+                                  n_ell_cov=512)
+    b = covariance.gaussian_block(cl, cl, cl, cl, edges, edges, 1.0, 0, 0,
+                                  1e-8, 1e-8, 1e-8, 1e-8, n_ell_cov=512)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-13)
+
+
+def test_projected_trispectrum_lattice_matches_table(fiducial, setup):
+    """The gather-free lattice projection (static strided ln-chi nodes +
+    static 2-tap interpolation einsums) equals the GL-in-z gathered
+    referee route.  Both integrate the SAME piecewise-bilinear T̄
+    interpolant over the same z range, so agreement is limited by the
+    quadratures: measured stride-4 vs table(96) = 7e-4 on the deep
+    kernel, both converging to a common limit (VERDICT round-3 item 1)."""
+    from chomp_tpu.params import GridSpec
+
+    h, model, dist, cl_fn = setup
+    g = GridSpec(n_mass=128, n_mu=8, sigma_panels=8, sigma_n_per_panel=32,
+                 n_growth=32, n_dist=32)
+    ells, _ = covariance._log_ell_weights(24, 1.0, 1.0e5)
+    t_tab = np.asarray(covariance.projected_trispectrum(
+        fiducial, h, model, dist, ells, grid=g, n_k_tri=48, n_z_tri=96,
+        method="table"))
+    t_lat4 = np.asarray(covariance.projected_trispectrum(
+        fiducial, h, model, dist, ells, grid=g, n_k_tri=48,
+        method="lattice", u_stride=4))
+    den = np.max(np.abs(t_tab))
+    assert np.max(np.abs(t_lat4 - t_tab)) / den < 2e-3
+    # Refining the lattice stride moves it TOWARD the refined table
+    # route (they share a limit).
+    t_lat2 = np.asarray(covariance.projected_trispectrum(
+        fiducial, h, model, dist, ells, grid=g, n_k_tri=48,
+        method="lattice", u_stride=2))
+    assert (np.max(np.abs(t_lat2 - t_tab)) / den
+            < np.max(np.abs(t_lat4 - t_tab)) / den + 1e-5)
+
+
+@pytest.mark.slow
+def test_joint_covariance_lattice_matches_table(fiducial, setup):
+    """Full joint (w_gg, gamma_t) matrix: the default gather-free routes
+    (cl_method/tri_method = lattice) vs the original gathered table
+    routes, normalized by sqrt(diag_i diag_j) — measured 8.5e-5."""
+    from chomp_tpu.params import GridSpec
+
+    h, model, dist, cl_fn = setup
+    g = GridSpec(n_mass=128, n_mu=8, sigma_panels=8, sigma_n_per_panel=32,
+                 n_growth=32, n_dist=32)
+    d_src = projection.DNdzGaussian(
+        z_min=jnp.asarray(0.3), z_max=jnp.asarray(2.5),
+        z0=jnp.asarray(1.0), sigma_z=jnp.asarray(0.3))
+    edges = covariance.theta_bin_edges_deg(DEFAULT_GRID, n_bins=6)
+    kw = dict(grid=g, n_k_tri=48, n_z_tri=24, n_ell_cov_ng=32,
+              n_ell_cov_g=1024)
+    c_lat = np.asarray(covariance.joint_wtheta_gammat_covariance(
+        fiducial, h, model, gauss_dist(), d_src, edges, OMEGA_S, N2D,
+        1e-9, **kw))
+    c_tab = np.asarray(covariance.joint_wtheta_gammat_covariance(
+        fiducial, h, model, gauss_dist(), d_src, edges, OMEGA_S, N2D,
+        1e-9, cl_method="table", tri_method="table", **kw))
+    norm = np.sqrt(np.outer(np.diag(c_tab), np.diag(c_tab)))
+    assert np.max(np.abs(c_lat - c_tab) / norm) < 1e-3
+    np.testing.assert_allclose(c_lat, c_lat.T, rtol=1e-8)
+
+
+def test_joint_covariance_lattice_gather_free(fiducial, setup):
+    """The done-criterion of VERDICT round-3 item 1: the jaxpr of the
+    default joint covariance (as a function of cosmology) contains NO
+    gather primitive — every table lookup is a static-weight
+    contraction.  (dynamic_slice from scan internals would be fine, but
+    the separable route has none either.)"""
+    import re
+
+    import jax
+
+    from chomp_tpu.params import GridSpec
+
+    h, model, dist, cl_fn = setup
+    g = GridSpec(n_mass=64, n_mu=8, sigma_panels=8, sigma_n_per_panel=32,
+                 n_growth=32, n_dist=32)
+    d_src = projection.DNdzGaussian(
+        z_min=jnp.asarray(0.3), z_max=jnp.asarray(2.5),
+        z0=jnp.asarray(1.0), sigma_z=jnp.asarray(0.3))
+    edges = covariance.theta_bin_edges_deg(DEFAULT_GRID, n_bins=4)
+
+    def f(c):
+        return covariance.joint_wtheta_gammat_covariance(
+            c, h, model, gauss_dist(), d_src, edges, OMEGA_S, N2D, 1e-9,
+            grid=g, n_k_tri=24, n_ell_cov_ng=16, n_ell_cov_g=128)
+
+    txt = str(jax.make_jaxpr(f)(fiducial))
+    assert not re.findall(r"\bgather\b", txt), "dynamic gather in jaxpr"
+
+
+def test_joint_covariance_vmaps_over_cosmologies(fiducial, setup):
+    """The joint covariance is a pure function of CosmoParams: vmap over
+    a cosmology batch equals the per-cosmology loop (VERDICT round-2
+    weak #2 — the sweep axis must cover the covariance too)."""
+    import dataclasses
+
+    import jax
+
+    from chomp_tpu import halo as halo_mod
+    from chomp_tpu.hod import default_hod
+    from chomp_tpu.params import GridSpec
+    from chomp_tpu.parallel.sweep import broadcast_cosmo
+
+    h, model, dist, cl_fn = setup
+    g = GridSpec(n_mass=64, n_mu=8, sigma_panels=8, sigma_n_per_panel=32,
+                 n_growth=32, n_dist=32)
+    edges = covariance.theta_bin_edges_deg(DEFAULT_GRID, n_bins=4)
+    hod = default_hod()
+
+    def f(c):
+        m = halo_mod.build_halo_model(c, h, hod, 0.0, False, g)
+        return covariance.joint_wtheta_gammat_covariance(
+            c, h, m, gauss_dist(), gauss_dist(), edges, OMEGA_S, N2D,
+            1e-9, grid=g, n_k_tri=24, n_ell_cov_ng=16, n_ell_cov_g=128)
+
+    oms = jnp.asarray([0.26, 0.30])
+    batch = broadcast_cosmo(fiducial, omega_m0=oms, omega_l0=1.0 - oms)
+    vm = np.asarray(jax.jit(jax.vmap(f))(batch))
+    for i in range(2):
+        ci = dataclasses.replace(
+            fiducial, omega_m0=oms[i], omega_l0=1.0 - oms[i])
+        # vmap reassociates reductions vs the scalar program: fp-level
+        # (measured 4e-5 rel) differences only.
+        np.testing.assert_allclose(vm[i], np.asarray(f(ci)), rtol=3e-4,
+                                   atol=0.0)
+    assert vm.shape == (2, 8, 8)
