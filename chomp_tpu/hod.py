@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from chomp_tpu.special import erf
+from chomp_tpu.special import erfc
 from chomp_tpu.utils.tree import pytree_dataclass
 
 
@@ -45,7 +45,11 @@ class HODZheng:
 
     def central_moment(self, m):
         x = (jnp.log10(m) - self.log10_m_min) / self.sigma
-        return 0.5 * (1.0 + erf(x))
+        # erfc form, NOT 0.5*(1 + erf(x)): identical in exact arithmetic
+        # but float32-safe in the low-mass tail (see special.erfc — the
+        # 1+erf form's one-ulp floor biased n_g by 8e-5 at prior-corner
+        # cosmologies where sub-M_min halos dominate the abundance).
+        return 0.5 * erfc(-x)
 
     def satellite_moment(self, m):
         m0 = 10.0**self.log10_m_0

@@ -184,6 +184,18 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
                                       "power_gm", 2.0)
         return out
 
+    def _validate(cosmo_batch):
+        """Pipeline-aware host-side checks: this pipeline's own dist +
+        grid feed the lattice-coverage test (chi(z_max) inside
+        lattice_chi_hi; z_max within the Newton clamp) in addition to
+        the generic physicality checks.  ``sweep(validate=True)`` calls
+        this automatically when present."""
+        from chomp_tpu.utils.diagnostics import validate_params
+
+        return validate_params(cosmo=cosmo_batch, halo_params=halo_params,
+                               hod=hod, grid=grid, dist=dist)
+
+    fn.validate = _validate
     return fn
 
 
@@ -202,9 +214,13 @@ def sweep(fn, cosmo_batch: CosmoParams, mesh: jax.sharding.Mesh | None = None,
     silently (utils.diagnostics.validate_params).
     """
     if validate:
-        from chomp_tpu.utils.diagnostics import validate_params
+        validator = getattr(fn, "validate", None)
+        if validator is not None:
+            problems = validator(cosmo_batch)
+        else:
+            from chomp_tpu.utils.diagnostics import validate_params
 
-        problems = validate_params(cosmo=cosmo_batch)
+            problems = validate_params(cosmo=cosmo_batch)
         if problems:
             raise ValueError("unphysical sweep parameters:\n  - "
                              + "\n  - ".join(problems))

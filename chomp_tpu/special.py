@@ -248,3 +248,17 @@ def erf(x):
     import jax.scipy.special as jsp
 
     return jsp.erf(x)
+
+
+def erfc(x):
+    """Complementary error function — jax-native.
+
+    Float32-critical for occupation tails: 0.5*(1 + erf(x)) at x < -4
+    floors at one ulp of 1 (~6e-8) in float32 while the true value is
+    < 1e-8 — a spurious occupation floor that, multiplied by the large
+    low-mass halo abundance, biased n_g by +8e-5 at a low-Omega_m/low-
+    sigma_8 prior corner (measured round 3).  0.5*erfc(-x) represents
+    the tail down to the float32 denormal range instead."""
+    import jax.scipy.special as jsp
+
+    return jsp.erfc(x)

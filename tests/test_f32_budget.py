@@ -3,10 +3,13 @@
 The conftest pins this process to CPU float64; the float32 pipeline is
 exercised in a subprocess (float32 needs x64 disabled at jax import
 time) and compared against the in-process float64 result.  Budget: the
-TPU serving path tracks float64 to <=1e-4 on the worst w(theta) bin
-(measured 9.4e-5 worst, ~5e-5 median) since the fused-operator +
-two-float Hankel contraction (limber_wtheta_fft + ops.df32) removed the
-float32 C_ell intermediate that the Bessel cancellation amplified ~20x.
+TPU serving path tracks float64 to <=1e-5 on the worst w(theta) bin —
+ACROSS the prior corners, not just near fiducial (measured 1.6e-6 worst
+after round 3's erfc occupation-tail fix; the earlier 9.4e-5 was the
+float32 1+erf occupation floor, see special.erfc) — since the fused
+operator + two-float Hankel contraction (limber_wtheta_fft + ops.df32)
+removed the float32 C_ell intermediate that the Bessel cancellation
+amplified ~20x.
 The subprocess runs --xla_backend_optimization_level=0 so CPU codegen
 matches the TPU's faithful compilation of the error-free transforms
 (see ops/df32.py backend note).
@@ -37,9 +40,19 @@ from chomp_tpu.params import GridSpec
 grid = GridSpec(n_mass=256, lattice_dln=0.016, n_ell=512, n_theta=16)
 dist = projection.DNdzGaussian(z_min=jnp.asarray(0.0), z_max=jnp.asarray(2.0),
                                z0=jnp.asarray(1.0), sigma_z=jnp.asarray(0.2))
-fn = make_pipeline(default_halo(), default_hod(), dist, grid=grid)
-oms = jnp.asarray([0.25, 0.31])
-batch = broadcast_cosmo(default_cosmo(), omega_m0=oms, omega_l0=1.0 - oms)
+import warnings
+with warnings.catch_warnings():
+    warnings.simplefilter("ignore")
+    fn = make_pipeline(default_halo(), default_hod(), dist, grid=grid)
+# Near-fiducial plus the PRIOR CORNERS (VERDICT round-2 weak #1): low/
+# high omega_m x sigma_8, CPL corners, an open case.
+oms = jnp.asarray([0.25, 0.31, 0.18, 0.42, 0.278, 0.25])
+ols = jnp.asarray([0.75, 0.69, 0.82, 0.58, 0.722, 0.65])
+s8s = jnp.asarray([0.811, 0.811, 0.60, 1.00, 0.811, 0.811])
+w0s = jnp.asarray([-1.0, -1.0, -1.0, -1.0, -1.5, -1.0])
+was = jnp.asarray([0.0, 0.0, 0.0, 0.0, 0.5, 0.0])
+batch = broadcast_cosmo(default_cosmo(), omega_m0=oms, omega_l0=ols,
+                        sigma_8=s8s, w0=w0s, wa=was)
 out = jax.jit(jax.vmap(fn))(batch)
 assert out["w_theta"].dtype == jnp.float32, out["w_theta"].dtype
 np.save({out_path!r}, np.asarray(out["w_theta"], np.float64))
@@ -57,9 +70,18 @@ def test_f32_tracks_f64_within_budget(fiducial):
     dist = projection.DNdzGaussian(
         z_min=jnp.asarray(0.0), z_max=jnp.asarray(2.0),
         z0=jnp.asarray(1.0), sigma_z=jnp.asarray(0.2))
-    fn = make_pipeline(default_halo(), default_hod(), dist, grid=grid)
-    oms = jnp.asarray([0.25, 0.31])
-    batch = broadcast_cosmo(fiducial, omega_m0=oms, omega_l0=1.0 - oms)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        fn = make_pipeline(default_halo(), default_hod(), dist, grid=grid)
+    oms = jnp.asarray([0.25, 0.31, 0.18, 0.42, 0.278, 0.25])
+    ols = jnp.asarray([0.75, 0.69, 0.82, 0.58, 0.722, 0.65])
+    s8s = jnp.asarray([0.811, 0.811, 0.60, 1.00, 0.811, 0.811])
+    w0s = jnp.asarray([-1.0, -1.0, -1.0, -1.0, -1.5, -1.0])
+    was = jnp.asarray([0.0, 0.0, 0.0, 0.0, 0.5, 0.0])
+    batch = broadcast_cosmo(fiducial, omega_m0=oms, omega_l0=ols,
+                            sigma_8=s8s, w0=w0s, wa=was)
     w64 = np.asarray(jax.jit(jax.vmap(fn))(batch)["w_theta"])
     assert w64.dtype == np.float64
 
@@ -75,5 +97,9 @@ def test_f32_tracks_f64_within_budget(fiducial):
         w32 = np.load(out_path)
 
     rel = np.abs(w32 / w64 - 1.0)
-    assert np.max(rel) < 1e-4, f"f32 budget blown: max rel {np.max(rel)}"
-    assert np.median(rel) < 6e-5
+    # Round-3 budget after the erfc occupation-tail fix (special.erfc):
+    # measured worst bin 1.6e-6 ACROSS the prior corners (was 9.4e-5
+    # near-fiducial / 1.6e-4 at the low-omega_m corner with the 1+erf
+    # form — the spurious f32 occupation floor dominated the budget).
+    assert np.max(rel) < 1e-5, f"f32 budget blown: max rel {np.max(rel)}"
+    assert np.median(rel) < 2e-6

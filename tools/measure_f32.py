@@ -6,6 +6,7 @@ needs it on), same pipeline, default GridSpec, a 5-cosmology spread:
 
     python tools/measure_f32.py            # f32 on the default backend
     python tools/measure_f32.py --cpu-f32  # force the f32 leg onto CPU
+    python tools/measure_f32.py --corners  # prior-corner cosmology set
 
 Prints worst/median relative error per observable.  (The pytest budget
 check, tests/test_f32_budget.py, runs a trimmed grid for wall-clock;
@@ -33,9 +34,23 @@ from chomp_tpu.parallel.sweep import broadcast_cosmo, make_pipeline
 
 dist = projection.DNdzGaussian(z_min=jnp.asarray(0.0), z_max=jnp.asarray(2.0),
                                z0=jnp.asarray(1.0), sigma_z=jnp.asarray(0.2))
-fn = make_pipeline(default_halo(), default_hod(), dist, z_pivot=0.0)
-oms = jnp.asarray([0.24, 0.26, 0.278, 0.30, 0.32])
-batch = broadcast_cosmo(default_cosmo(), omega_m0=oms, omega_l0=1.0 - oms)
+import warnings
+with warnings.catch_warnings():
+    warnings.simplefilter("ignore")
+    fn = make_pipeline(default_halo(), default_hod(), dist, z_pivot=0.0)
+if {corners!r}:
+    # Prior-corner certification set (VERDICT round-2 weak #1).
+    oms = jnp.asarray([0.18, 0.42, 0.278, 0.278, 0.25])
+    ols = jnp.asarray([0.82, 0.58, 0.722, 0.722, 0.65])
+    s8s = jnp.asarray([0.60, 1.00, 0.811, 0.811, 0.811])
+    w0s = jnp.asarray([-1.0, -1.0, -1.5, -0.5, -1.0])
+    was = jnp.asarray([0.0, 0.0, 0.5, -0.5, 0.0])
+    batch = broadcast_cosmo(default_cosmo(), omega_m0=oms, omega_l0=ols,
+                            sigma_8=s8s, w0=w0s, wa=was)
+else:
+    oms = jnp.asarray([0.24, 0.26, 0.278, 0.30, 0.32])
+    batch = broadcast_cosmo(default_cosmo(), omega_m0=oms,
+                            omega_l0=1.0 - oms)
 out = jax.jit(jax.vmap(fn))(batch)
 np.savez({out_path!r},
          w=np.asarray(out["w_theta"], np.float64),
@@ -44,24 +59,25 @@ print("leg done:", jax.devices()[0], out["w_theta"].dtype)
 """
 
 
-def run_leg(out_path, f32: bool, force_cpu: bool):
+def run_leg(out_path, f32: bool, force_cpu: bool, corners: bool):
     platform = ('jax.config.update("jax_platforms", "cpu")'
                 if (force_cpu or not f32) else "pass")
     x64 = ("pass" if f32 else 'jax.config.update("jax_enable_x64", True)')
     code = _LEG.format(repo=str(REPO), platform=platform, x64=x64,
-                       out_path=str(out_path))
+                       out_path=str(out_path), corners=corners)
     subprocess.run([sys.executable, "-c", code], check=True)
 
 
 def main():
     force_cpu = "--cpu-f32" in sys.argv
+    corners = "--corners" in sys.argv
     import numpy as np
 
     with tempfile.TemporaryDirectory() as td:
         p32 = Path(td) / "f32.npz"
         p64 = Path(td) / "f64.npz"
-        run_leg(p32, f32=True, force_cpu=force_cpu)
-        run_leg(p64, f32=False, force_cpu=True)
+        run_leg(p32, f32=True, force_cpu=force_cpu, corners=corners)
+        run_leg(p64, f32=False, force_cpu=True, corners=corners)
         a = np.load(p32)
         b = np.load(p64)
         report = {}
