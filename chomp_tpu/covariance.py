@@ -255,13 +255,25 @@ def projected_trispectrum(cosmo: CosmoParams, halo_p: HaloParams,
     ~n_nodes x the cost."""
     from chomp_tpu.projection import WindowGalaxy
 
+    import jax
+
+    traced_ells = isinstance(ells_cov, jax.core.Tracer)
     if method is None:
         # Lattice (gather-free) for the separable default; the table/GL
         # route for exact_z, where per-node halo rebuilds dominate and
         # the dense-lattice node count (~200 at u_stride=4) would
         # multiply that cost ~30x for no accuracy gain.  Both accept an
-        # explicit override.
-        method = "table" if exact_z else "lattice"
+        # explicit override.  TRACED ells also fall back to the table
+        # route: the lattice's static query weights need concrete ell
+        # values (callers jitting over an ells argument keep working,
+        # at the pre-round-3 behavior).
+        method = "table" if (exact_z or traced_ells) else "lattice"
+    elif method == "lattice" and traced_ells:
+        raise ValueError(
+            "projected_trispectrum(method='lattice') needs CONCRETE "
+            "(numpy) ells — its interpolation weights are built at "
+            "trace time.  Pass static ells, or method='table' to "
+            "trace over the ell argument.")
     if method == "lattice":
         return _projected_trispectrum_lattice(
             cosmo, halo_p, model, dist, ells_cov, galaxy, with_bao, grid,
@@ -289,9 +301,14 @@ def projected_trispectrum(cosmo: CosmoParams, halo_p: HaloParams,
     def _sign_lnabs(t):
         """(sign, ln|t|) tables: bilinear in ln|T̄| with a separately
         interpolated sign preserves regions where the negative K13/P13
-        star term dominates (plain ln(max(T,0)) would clamp them to 0)."""
+        star term dominates (plain ln(max(T,0)) would clamp them to 0).
+        Floor at the dtype's smallest normal (1e-300 underflows to 0 in
+        float32, and a single -inf entry would poison downstream
+        arithmetic): a t==0 node (exact f32 cancellation on the sign-
+        change curve) stays finite."""
+        tiny = jnp.finfo(jnp.result_type(t)).tiny
         return jnp.where(t < 0.0, -1.0, 1.0), jnp.log(
-            jnp.maximum(jnp.abs(t), 1e-300))
+            jnp.maximum(jnp.abs(t), tiny))
 
     def _bilinear(tbl, lnk1, lnk2):
         def idx(lnk):
@@ -485,7 +502,11 @@ def _projected_trispectrum_lattice(cosmo, halo_p, model, dist, ells_cov,
             cosmo, halo_p, model_, k1g.ravel(), k2g.ravel(), tracers,
             with_bao, grid).reshape(n_k_tri, n_k_tri)
         sgn = jnp.where(t < 0.0, -1.0, 1.0)
-        return sgn, jnp.log(jnp.maximum(jnp.abs(t), 1e-300))
+        # Dtype-aware floor: 1e-300 underflows to 0 in float32 and the
+        # dense einsums would propagate a single ln(0) = -inf into NaN
+        # across the whole T_proj matrix (0 * -inf).
+        return sgn, jnp.log(jnp.maximum(jnp.abs(t),
+                                        jnp.finfo(jnp.result_type(t)).tiny))
 
     # Static projection nodes + static query weights.
     (u_lo, u_hi, u_step), wu = _tri_lattice_indices(windows, grid, u_stride)

@@ -137,21 +137,45 @@ def pair_normalization(mask, edges_rad, n_theta: int = 512):
     return d
 
 
-@lru_cache(maxsize=8)
-def _coupling_matrix(mask, lnq_key, n_phi: int):
+def _coupling_matrix_impl(mask, lnq_key, n_phi: int):
     """K(q, q') = (1/2π) ∫ dφ |W̃₂(Δ)|² on the static low-q grid
-    (numpy, cached per mask + grid — survey geometry never traces)."""
+    (numpy — survey geometry never traces).  Accumulated in φ chunks:
+    one (nq, nq, n_phi) tensor would reach ~6 GB at survey-scale
+    defaults (nq ~ 1800, n_phi ~ 230) before wtilde2_sq's temporaries
+    triple it; chunking caps peak memory at a few (nq, nq) panels."""
     qg = np.exp(np.asarray(lnq_key))
     phi = (np.arange(n_phi) + 0.5) * np.pi / n_phi   # [0, π], even in φ
-    delta = np.sqrt(qg[:, None, None] ** 2 + qg[None, :, None] ** 2
-                    - 2.0 * qg[:, None, None] * qg[None, :, None]
-                    * np.cos(phi)[None, None, :])
-    return np.ascontiguousarray(mask.wtilde2_sq(delta).mean(axis=2))
+    q2 = qg[:, None] ** 2 + qg[None, :] ** 2
+    qq2 = 2.0 * qg[:, None] * qg[None, :]
+    out = np.zeros((len(qg), len(qg)))
+    chunk = max(1, int(2e7) // max(len(qg) ** 2, 1))
+    for s in range(0, n_phi, chunk):
+        c = np.cos(phi[s:s + chunk])
+        delta = np.sqrt(np.maximum(
+            q2[:, :, None] - qq2[:, :, None] * c[None, None, :], 0.0))
+        out += mask.wtilde2_sq(delta).sum(axis=2)
+    return np.ascontiguousarray(out / n_phi)
+
+
+@lru_cache(maxsize=8)
+def _coupling_matrix_cached(mask, lnq_key, n_phi: int):
+    return _coupling_matrix_impl(mask, lnq_key, n_phi)
+
+
+def _coupling_matrix(mask, lnq_key, n_phi: int):
+    """Cached when the mask is hashable (the frozen dataclasses here
+    are); a user mask carrying e.g. a numpy map falls back to direct
+    computation instead of crashing in the lru_cache key."""
+    try:
+        return _coupling_matrix_cached(mask, lnq_key, n_phi)
+    except TypeError:
+        return _coupling_matrix_impl(mask, lnq_key, n_phi)
 
 
 def masked_gaussian_covariance(cl_fn, theta_edges_deg, n2d, mask,
                                n_ell_cov: int = 4096, ell_lo: float = 1.0,
-                               ell_hi: float = 1.0e6, n_phi: int = 128,
+                               ell_hi: float = 1.0e6,
+                               n_phi: int | None = None,
                                resolve_factor: float = 4.0):
     """Gaussian + shot-noise covariance of w(theta) bins on a masked
     survey (module docstring).
@@ -168,6 +192,11 @@ def masked_gaussian_covariance(cl_fn, theta_edges_deg, n2d, mask,
     covers the rest.  The pure noise x noise term uses the EXACT
     masked pair-count closure 2 N² D₂_ij / (D_i D_j) (binary masks:
     D₂ = D, i.e. 2 N²/D_i on the diagonal).
+
+    ``n_phi`` (default auto): the azimuthal integrand of K peaks near
+    φ=0 with width ~1/(q R); resolving it up to q* needs
+    n_phi ≳ π q* R = π/(resolve_factor · dlnq) — INDEPENDENT of the
+    mask scale — so the default scales with the grid density.
     """
     import jax
 
@@ -193,6 +222,8 @@ def masked_gaussian_covariance(cl_fn, theta_edges_deg, n2d, mask,
     else:
         n_low = 0
     n_low = min(n_low, n_ell_cov)
+    if n_phi is None:
+        n_phi = max(96, int(np.pi / (resolve_factor * dln)))
 
     hp = jax.lax.Precision.HIGHEST
     pref = jnp.asarray(2.0 * np.outer(a_i, a_i) / np.outer(d_i, d_i))

@@ -189,11 +189,15 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
         grid feed the lattice-coverage test (chi(z_max) inside
         lattice_chi_hi; z_max within the Newton clamp) in addition to
         the generic physicality checks.  ``sweep(validate=True)`` calls
-        this automatically when present."""
+        this automatically when present.  The lattice checks only apply
+        to the fft route — a method="table" pipeline never touches the
+        conv lattice, so flagging its bounds there would be a spurious
+        hard error."""
         from chomp_tpu.utils.diagnostics import validate_params
 
         return validate_params(cosmo=cosmo_batch, halo_params=halo_params,
-                               hod=hod, grid=grid, dist=dist)
+                               hod=hod, grid=grid,
+                               dist=dist if method == "fft" else None)
 
     fn.validate = _validate
     return fn

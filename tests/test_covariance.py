@@ -534,3 +534,30 @@ def test_joint_covariance_vmaps_over_cosmologies(fiducial, setup):
         np.testing.assert_allclose(vm[i], np.asarray(f(ci)), rtol=3e-4,
                                    atol=0.0)
     assert vm.shape == (2, 8, 8)
+
+
+def test_projected_trispectrum_traced_ells_falls_back(fiducial, setup):
+    """Round-3 review finding: traced ells (callers jitting over the
+    ell argument) must keep working — the default falls back to the
+    table route; an explicit lattice request raises a clear error."""
+    import jax
+
+    from chomp_tpu.params import GridSpec
+
+    h, model, dist, cl_fn = setup
+    g = GridSpec(n_mass=64, n_mu=8, sigma_panels=8, sigma_n_per_panel=32,
+                 n_growth=32, n_dist=32)
+    ells = jnp.asarray(np.logspace(1, 3, 4))
+
+    @jax.jit
+    def f(e):
+        return covariance.projected_trispectrum(
+            fiducial, h, model, dist, e, grid=g, n_k_tri=16, n_z_tri=4)
+
+    out = np.asarray(f(ells))
+    assert out.shape == (4, 4) and np.all(np.isfinite(out))
+
+    with pytest.raises(ValueError, match="method='table'"):
+        jax.jit(lambda e: covariance.projected_trispectrum(
+            fiducial, h, model, dist, e, grid=g, n_k_tri=16,
+            method="lattice"))(ells)

@@ -33,13 +33,13 @@ GRID = GridSpec(n_mass=256, lattice_dln=0.016, n_ell=512, n_theta=16)
 
 
 def corner_batch(fiducial):
-    oms = jnp.asarray([0.18, 0.42, 0.278, 0.278, 0.25])
-    ols = jnp.asarray([0.82, 0.58, 0.722, 0.722, 0.65])
-    s8s = jnp.asarray([0.60, 1.00, 0.811, 0.811, 0.811])
-    w0s = jnp.asarray([-1.0, -1.0, -1.5, -0.5, -1.0])
-    was = jnp.asarray([0.0, 0.0, 0.5, -0.5, 0.0])
-    return broadcast_cosmo(fiducial, omega_m0=oms, omega_l0=ols,
-                           sigma_8=s8s, w0=w0s, wa=was)
+    from chomp_tpu.utils.corners import corner_arrays
+
+    om, ol, s8, w0, wa = corner_arrays()
+    return broadcast_cosmo(fiducial, omega_m0=jnp.asarray(om),
+                           omega_l0=jnp.asarray(ol),
+                           sigma_8=jnp.asarray(s8),
+                           w0=jnp.asarray(w0), wa=jnp.asarray(wa))
 
 
 def dist():
@@ -97,3 +97,19 @@ def test_lattice_coverage_loud_error(fiducial):
         fn_deep = make_pipeline(default_halo(), default_hod(), deep,
                                 grid=GRID, include_lensing=False)
     assert any("z=25" in p for p in fn_deep.validate(batch))
+
+
+def test_table_route_skips_lattice_coverage_check(fiducial):
+    """Round-3 review finding: a method="table" pipeline never touches
+    the conv lattice, so its fn.validate must NOT flag lattice bounds
+    (previously a spurious hard error on a correct configuration)."""
+    small = GRID.replace(lattice_chi_hi=3.0e3)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        fn = make_pipeline(default_halo(), default_hod(), dist(),
+                           grid=small, include_lensing=False,
+                           method="table")
+    batch = broadcast_cosmo(fiducial, omega_m0=jnp.asarray([0.278]),
+                            omega_l0=jnp.asarray([0.722]))
+    assert fn.validate(batch) == []
+    sweep(fn, batch, validate=True)   # must not raise

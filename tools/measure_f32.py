@@ -39,14 +39,14 @@ with warnings.catch_warnings():
     warnings.simplefilter("ignore")
     fn = make_pipeline(default_halo(), default_hod(), dist, z_pivot=0.0)
 if {corners!r}:
-    # Prior-corner certification set (VERDICT round-2 weak #1).
-    oms = jnp.asarray([0.18, 0.42, 0.278, 0.278, 0.25])
-    ols = jnp.asarray([0.82, 0.58, 0.722, 0.722, 0.65])
-    s8s = jnp.asarray([0.60, 1.00, 0.811, 0.811, 0.811])
-    w0s = jnp.asarray([-1.0, -1.0, -1.5, -0.5, -1.0])
-    was = jnp.asarray([0.0, 0.0, 0.5, -0.5, 0.0])
-    batch = broadcast_cosmo(default_cosmo(), omega_m0=oms, omega_l0=ols,
-                            sigma_8=s8s, w0=w0s, wa=was)
+    # Prior-corner certification set (single source:
+    # chomp_tpu.utils.corners).
+    from chomp_tpu.utils.corners import corner_arrays
+    om_, ol_, s8_, w0_, wa_ = corner_arrays()
+    batch = broadcast_cosmo(default_cosmo(), omega_m0=jnp.asarray(om_),
+                            omega_l0=jnp.asarray(ol_),
+                            sigma_8=jnp.asarray(s8_),
+                            w0=jnp.asarray(w0_), wa=jnp.asarray(wa_))
 else:
     oms = jnp.asarray([0.24, 0.26, 0.278, 0.30, 0.32])
     batch = broadcast_cosmo(default_cosmo(), omega_m0=oms,
