@@ -150,7 +150,8 @@ def gaussian_block(cl_ac, cl_bd, cl_ad, cl_bc, theta_edges_deg_i,
                    mu_j: int = 0, noise_ac: float = 0.0,
                    noise_bd: float = 0.0, noise_ad: float = 0.0,
                    noise_bc: float = 0.0, n_ell_cov: int = 4096,
-                   ell_lo: float = 1.0, ell_hi: float = 1.0e6):
+                   ell_lo: float = 1.0, ell_hi: float = 1.0e6,
+                   mask=None):
     """Generic Gaussian covariance block Cov[w^(ab)_i, w^(cd)_j] (module
     docstring): (1/Omega_s) ∫ l dl/2pi Jbar^{mu_i}_i Jbar^{mu_j}_j
     [Ct_ac Ct_bd + Ct_ad Ct_bc].
@@ -173,7 +174,19 @@ def gaussian_block(cl_ac, cl_bd, cl_ad, cl_bc, theta_edges_deg_i,
 
     Noise levels are STATIC survey constants: jnp scalars are coerced to
     Python floats at entry (the nn branch below is Python control flow —
-    a traced noise under jit would raise TracerBoolConversionError)."""
+    a traced noise under jit would raise TracerBoolConversionError).
+
+    ``mask`` (optional, chomp_tpu.mask surface — DiscMask etc.):
+    survey-footprint treatment at the fsky/pair-count level for ANY
+    (mu_i, mu_j) block: 1/Omega_s is replaced per (i, j) by
+    A4 A_i A_j / (D_i D_j) (effective area Omega_eff = A2^2/A4 plus the
+    exact pair-count bin normalization D_i, which carries the
+    footprint-edge correction), and the pure-noise closure uses the
+    masked pair counts over the annulus overlap.  ``omega_s_sr`` is
+    then ignored.  The J0 auto-block additionally has the full low-ell
+    mode-coupling treatment in mask.masked_gaussian_covariance; the
+    spin-2 coupling matrix (E/B mixing) is not modeled — at the fsky
+    level this is the standard approximation."""
     noise_ac = float(noise_ac)
     noise_bd = float(noise_bd)
     noise_ad = float(noise_ad)
@@ -201,21 +214,56 @@ def gaussian_block(cl_ac, cl_bd, cl_ad, cl_bc, theta_edges_deg_i,
             "w x gamma_t with the SAME sample as lens and source) is "
             "not supported; split the noisy pairing out explicitly.")
     integrand = (ct_ac * ct_bd + ct_ad * ct_bc - nn)
-    g = (1.0 / omega_s_sr) * ells**2 * w / (2.0 * jnp.pi) * integrand
-    cov = jnp.matmul(b_i * g[None, :], b_j.T,
-                     precision=jax.lax.Precision.HIGHEST)
+    if mask is None:
+        pref = jnp.asarray(1.0 / omega_s_sr)
+    else:
+        from chomp_tpu.mask import pair_normalization
+
+        ann_i = np.pi * (edges_i[1:] ** 2 - edges_i[:-1] ** 2)
+        ann_j = np.pi * (edges_j[1:] ** 2 - edges_j[:-1] ** 2)
+        d_i = pair_normalization(mask, edges_i)
+        d_j = pair_normalization(mask, edges_j)
+        pref = jnp.asarray(mask.area4 * np.outer(ann_i, ann_j)
+                           / np.outer(d_i, d_j))
+    g = ells**2 * w / (2.0 * jnp.pi) * integrand
+    cov = pref * jnp.matmul(b_i * g[None, :], b_j.T,
+                            precision=jax.lax.Precision.HIGHEST)
     if nn != 0.0 and mu_i == mu_j:
         # General annulus-overlap closure (docstring): numpy, static.
         lo_i, hi_i = edges_i[:-1], edges_i[1:]
         lo_j, hi_j = edges_j[:-1], edges_j[1:]
         a_i = hi_i**2 - lo_i**2
         a_j = hi_j**2 - lo_j**2
-        ovl = np.maximum(
-            np.minimum(hi_i[:, None], hi_j[None, :]) ** 2
-            - np.maximum(lo_i[:, None], lo_j[None, :]) ** 2, 0.0)
-        cov = cov + jnp.asarray(
-            nn * ovl / (np.pi * omega_s_sr * a_i[:, None] * a_j[None, :]))
+        if mask is None:
+            cov = cov + jnp.asarray(
+                nn * ovl_closure(edges_i, edges_j)
+                / (np.pi * omega_s_sr * a_i[:, None] * a_j[None, :]))
+        else:
+            # Masked pair counts over the annulus overlaps: the exact
+            # noise closure 2 N^2 D2_ovl / (D_i D_j) (nn carries the
+            # pairing 2; binary masks: D2 = D).
+            from chomp_tpu.mask import pair_normalization
+
+            d2_ovl = np.zeros((len(a_i), len(a_j)))
+            for ii in range(len(a_i)):
+                for jj in range(len(a_j)):
+                    lo = max(lo_i[ii], lo_j[jj])
+                    hi = min(hi_i[ii], hi_j[jj])
+                    if hi > lo:
+                        d2_ovl[ii, jj] = pair_normalization(
+                            mask, np.array([lo, hi]))[0]
+            cov = cov + jnp.asarray(nn * d2_ovl
+                                    / np.outer(d_i, d_j))
     return cov
+
+
+def ovl_closure(edges_i, edges_j):
+    """(theta_ovl+^2 - theta_ovl-^2)_+ of every annulus pair (numpy)."""
+    lo_i, hi_i = edges_i[:-1], edges_i[1:]
+    lo_j, hi_j = edges_j[:-1], edges_j[1:]
+    return np.maximum(
+        np.minimum(hi_i[:, None], hi_j[None, :]) ** 2
+        - np.maximum(lo_i[:, None], lo_j[None, :]) ** 2, 0.0)
 
 
 def projected_trispectrum(cosmo: CosmoParams, halo_p: HaloParams,
@@ -607,7 +655,8 @@ def nongaussian_covariance(cosmo: CosmoParams, halo_p: HaloParams,
                            tracers=None, mu_i: int = 0, mu_j: int = 0,
                            theta_edges_deg_j=None,
                            n_k_tri: int = 96, n_z_tri: int = 24,
-                           method: str | None = None, u_stride: int = 4):
+                           method: str | None = None, u_stride: int = 4,
+                           mask=None):
     """Non-Gaussian (connected trispectrum) covariance block.
 
     Defaults reproduce the w_gg auto-block; ``windows``/``tracers`` +
@@ -633,9 +682,19 @@ def nongaussian_covariance(cosmo: CosmoParams, halo_p: HaloParams,
     import jax
 
     hp = jax.lax.Precision.HIGHEST
-    return jnp.matmul(
+    core = jnp.matmul(
         jnp.matmul(b_i * meas[None, :], t_proj, precision=hp),
-        (b_j * meas[None, :]).T, precision=hp) / omega_s_sr
+        (b_j * meas[None, :]).T, precision=hp)
+    if mask is None:
+        return core / omega_s_sr
+    from chomp_tpu.mask import pair_normalization
+
+    ann_i = np.pi * (edges_i[1:] ** 2 - edges_i[:-1] ** 2)
+    ann_j = np.pi * (edges_j[1:] ** 2 - edges_j[:-1] ** 2)
+    d_i = pair_normalization(mask, edges_i)
+    d_j = pair_normalization(mask, edges_j)
+    return core * jnp.asarray(mask.area4 * np.outer(ann_i, ann_j)
+                              / np.outer(d_i, d_j))
 
 
 def joint_wtheta_gammat_covariance(cosmo: CosmoParams, halo_p: HaloParams,
@@ -651,7 +710,7 @@ def joint_wtheta_gammat_covariance(cosmo: CosmoParams, halo_p: HaloParams,
                                    n_ell_cov_g: int = 4096,
                                    cl_method: str = "lattice",
                                    tri_method: str | None = None,
-                                   u_stride: int = 4):
+                                   u_stride: int = 4, mask=None):
     """Joint covariance of the stacked data vector [w_gg bins, gamma_t
     bins] — the full Morrison & Schneider 2013 clustering + g-g lensing
     program (upstream:covariance.py; SURVEY.md §2 row 13).
@@ -669,7 +728,11 @@ def joint_wtheta_gammat_covariance(cosmo: CosmoParams, halo_p: HaloParams,
     projection as static-weight einsums (projected_trispectrum).  With
     both set (default) the ENTIRE joint matrix contains zero dynamic
     gathers — VERDICT round-2 item 1; "table" on either knob restores
-    the original gathered referee route."""
+    the original gathered referee route.
+
+    ``mask`` (chomp_tpu.mask surface): footprint treatment at the
+    fsky/pair-count level for EVERY block (see gaussian_block);
+    ``omega_s_sr`` is then ignored."""
     from chomp_tpu import limber_fft, projection
     from chomp_tpu.projection import WindowConvergence, WindowGalaxy
 
@@ -738,18 +801,18 @@ def joint_wtheta_gammat_covariance(cosmo: CosmoParams, halo_p: HaloParams,
     # gt-gt: (gk)x(gk).
     cov_ww = gaussian_block(cl_gg, cl_gg, cl_gg, cl_gg, edges, edges,
                             omega_s_sr, 0, 0, n_g, n_g, n_g, n_g,
-                            n_ell_cov=n_ell_cov_g)
+                            n_ell_cov=n_ell_cov_g, mask=mask)
     cov_wg = gaussian_block(cl_gg, cl_gk, cl_gk, cl_gg, edges, edges,
                             omega_s_sr, 0, 2, n_g, 0.0, 0.0, n_g,
-                            n_ell_cov=n_ell_cov_g)
+                            n_ell_cov=n_ell_cov_g, mask=mask)
     cov_gg = gaussian_block(cl_gg, cl_kk, cl_gk, cl_gk, edges, edges,
                             omega_s_sr, 2, 2, n_g, shape_noise, 0.0, 0.0,
-                            n_ell_cov=n_ell_cov_g)
+                            n_ell_cov=n_ell_cov_g, mask=mask)
     if include_nongaussian:
         common = dict(with_bao=with_bao, grid=grid, exact_z=exact_z,
                       n_ell_cov=n_ell_cov_ng, n_k_tri=n_k_tri,
                       n_z_tri=n_z_tri, method=tri_method,
-                      u_stride=u_stride)
+                      u_stride=u_stride, mask=mask)
         cov_ww = cov_ww + nongaussian_covariance(
             cosmo, halo_p, model, dist_lens, edges, omega_s_sr,
             windows=(win_g,) * 4, tracers=("g", "g", "g", "g"),

@@ -482,17 +482,21 @@ def test_joint_covariance_lattice_gather_free(fiducial, setup):
     from chomp_tpu.params import GridSpec
 
     h, model, dist, cl_fn = setup
-    g = GridSpec(n_mass=64, n_mu=8, sigma_panels=8, sigma_n_per_panel=32,
-                 n_growth=32, n_dist=32)
+    # Tracing cost only (no execution): the smallest grid that still
+    # routes through every lattice path keeps this jaxpr audit under
+    # ~15 s (it was 51 s at n_k_tri=24 / n_mass=64).
+    g = GridSpec(n_mass=32, n_mu=4, sigma_panels=4, sigma_n_per_panel=16,
+                 n_growth=16, n_dist=16)
     d_src = projection.DNdzGaussian(
         z_min=jnp.asarray(0.3), z_max=jnp.asarray(2.5),
         z0=jnp.asarray(1.0), sigma_z=jnp.asarray(0.3))
-    edges = covariance.theta_bin_edges_deg(DEFAULT_GRID, n_bins=4)
+    edges = covariance.theta_bin_edges_deg(DEFAULT_GRID, n_bins=3)
 
     def f(c):
         return covariance.joint_wtheta_gammat_covariance(
             c, h, model, gauss_dist(), d_src, edges, OMEGA_S, N2D, 1e-9,
-            grid=g, n_k_tri=24, n_ell_cov_ng=16, n_ell_cov_g=128)
+            grid=g, n_k_tri=12, n_ell_cov_ng=8, n_ell_cov_g=64,
+            u_stride=16)
 
     txt = str(jax.make_jaxpr(f)(fiducial))
     assert not re.findall(r"\bgather\b", txt), "dynamic gather in jaxpr"
@@ -512,16 +516,17 @@ def test_joint_covariance_vmaps_over_cosmologies(fiducial, setup):
     from chomp_tpu.parallel.sweep import broadcast_cosmo
 
     h, model, dist, cl_fn = setup
-    g = GridSpec(n_mass=64, n_mu=8, sigma_panels=8, sigma_n_per_panel=32,
-                 n_growth=32, n_dist=32)
-    edges = covariance.theta_bin_edges_deg(DEFAULT_GRID, n_bins=4)
+    g = GridSpec(n_mass=48, n_mu=8, sigma_panels=6, sigma_n_per_panel=24,
+                 n_growth=24, n_dist=24)
+    edges = covariance.theta_bin_edges_deg(DEFAULT_GRID, n_bins=3)
     hod = default_hod()
 
     def f(c):
         m = halo_mod.build_halo_model(c, h, hod, 0.0, False, g)
         return covariance.joint_wtheta_gammat_covariance(
             c, h, m, gauss_dist(), gauss_dist(), edges, OMEGA_S, N2D,
-            1e-9, grid=g, n_k_tri=24, n_ell_cov_ng=16, n_ell_cov_g=128)
+            1e-9, grid=g, n_k_tri=16, n_ell_cov_ng=12, n_ell_cov_g=96,
+            u_stride=8)
 
     oms = jnp.asarray([0.26, 0.30])
     batch = broadcast_cosmo(fiducial, omega_m0=oms, omega_l0=1.0 - oms)
@@ -533,7 +538,7 @@ def test_joint_covariance_vmaps_over_cosmologies(fiducial, setup):
         # (measured 4e-5 rel) differences only.
         np.testing.assert_allclose(vm[i], np.asarray(f(ci)), rtol=3e-4,
                                    atol=0.0)
-    assert vm.shape == (2, 8, 8)
+    assert vm.shape == (2, 6, 6)
 
 
 def test_projected_trispectrum_traced_ells_falls_back(fiducial, setup):
@@ -561,3 +566,37 @@ def test_projected_trispectrum_traced_ells_falls_back(fiducial, setup):
         jax.jit(lambda e: covariance.projected_trispectrum(
             fiducial, h, model, dist, e, grid=g, n_k_tri=16,
             method="lattice"))(ells)
+
+
+@pytest.mark.slow
+def test_joint_covariance_with_mask(fiducial, setup):
+    """joint_wtheta_gammat_covariance(mask=...): footprint treatment
+    through every block (Gaussian ww/wgt/gtgt + all NG blocks).
+    UniformMask(Omega_s) must reproduce the unmasked matrix exactly."""
+    from chomp_tpu.mask import DiscMask, UniformMask
+    from chomp_tpu.params import GridSpec
+
+    h, model, dist, cl_fn = setup
+    g = GridSpec(n_mass=48, n_mu=8, sigma_panels=6, sigma_n_per_panel=24,
+                 n_growth=24, n_dist=24)
+    edges = covariance.theta_bin_edges_deg(DEFAULT_GRID, n_bins=3)
+    kw = dict(grid=g, n_k_tri=16, n_ell_cov_ng=12, n_ell_cov_g=96,
+              u_stride=8)
+    base = np.asarray(covariance.joint_wtheta_gammat_covariance(
+        fiducial, h, model, gauss_dist(), gauss_dist(), edges, OMEGA_S,
+        N2D, 1e-9, **kw))
+    uni = np.asarray(covariance.joint_wtheta_gammat_covariance(
+        fiducial, h, model, gauss_dist(), gauss_dist(), edges, 999.0,
+        N2D, 1e-9, mask=UniformMask(OMEGA_S), **kw))
+    np.testing.assert_allclose(uni, base, rtol=1e-9)
+    disc = np.asarray(covariance.joint_wtheta_gammat_covariance(
+        fiducial, h, model, gauss_dist(), gauss_dist(), edges, 0.0,
+        N2D, 1e-9, mask=DiscMask(float(np.sqrt(OMEGA_S / np.pi))), **kw))
+    assert disc.shape == base.shape
+    np.testing.assert_allclose(disc, disc.T, rtol=1e-8)
+    ev = np.linalg.eigvalsh(0.5 * (disc + disc.T))
+    assert np.all(ev > 0)
+    # Same-area disc: pair-count deficit near the footprint scale makes
+    # the largest-bin variances strictly larger.
+    assert np.diag(disc)[2] > np.diag(base)[2]
+    assert np.diag(disc)[5] > np.diag(base)[5]

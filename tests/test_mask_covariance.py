@@ -97,17 +97,24 @@ def _mc_setup():
     return n, a, w, qq, edges, binm, d_grid, radius
 
 
-def _mc_run(field_amp, n_mc, seed):
+def _mc_run(field_amp, n_mc, seed, batch: int = 48):
+    """Batched over realizations (one (B, N, N) FFT stack per step):
+    ~6x faster than the realization-at-a-time loop that made this the
+    single slowest test in the suite (268 s -> well under a minute)."""
     n, a, w, qq, edges, binm, d_grid, radius = _mc_setup()
     rng = np.random.default_rng(seed)
+    binm_f = binm.astype(float)
     nb = binm.shape[0]
     west = np.empty((n_mc, nb))
-    for t in range(n_mc):
-        wn = rng.standard_normal((n, n))
-        d = np.real(np.fft.ifft2(np.fft.fft2(wn) * field_amp))
-        f = np.fft.fft2(w * d)
-        cw = (np.real(np.fft.ifft2(np.abs(f) ** 2)) * a * a).ravel()
-        west[t] = (binm @ cw) * a * a / d_grid
+    for s in range(0, n_mc, batch):
+        b = min(batch, n_mc - s)
+        wn = rng.standard_normal((b, n, n))
+        d = np.real(np.fft.ifft2(np.fft.fft2(wn, axes=(-2, -1))
+                                 * field_amp, axes=(-2, -1)))
+        f = np.fft.fft2(w * d, axes=(-2, -1))
+        cw = (np.real(np.fft.ifft2(np.abs(f) ** 2, axes=(-2, -1)))
+              * a * a).reshape(b, -1)
+        west[s:s + b] = (cw @ binm_f.T) * a * a / d_grid
     return np.cov(west.T)
 
 
@@ -157,3 +164,42 @@ def test_disc_mask_mc_referee_noise():
     bound = 5.0 * np.sqrt(2.0 * np.outer(dg, dg) / 800)
     off = np.abs(cov_mc - np.diag(dg))
     assert np.all(off <= bound), (off / bound)
+
+
+def test_gaussian_block_mask_parameter():
+    """gaussian_block(mask=...) (the VERDICT-letter API): UniformMask
+    equals the unmasked formula exactly; DiscMask in the pure
+    delta-limit equals masked_gaussian_covariance with the coupling
+    disabled; works for the J2 block too."""
+    edges = covariance.theta_bin_edges_deg(n_bins=5)
+
+    def cl(e):
+        return jnp.asarray(cl_powerlaw(e))
+
+    n = 1.0 / N2D
+    ref = np.asarray(covariance.gaussian_block(
+        cl, cl, cl, cl, edges, edges, OMEGA_S, 0, 0, n, n, n, n,
+        n_ell_cov=512))
+    uni = np.asarray(covariance.gaussian_block(
+        cl, cl, cl, cl, edges, edges, 12345.0, 0, 0, n, n, n, n,
+        n_ell_cov=512, mask=UniformMask(OMEGA_S)))
+    np.testing.assert_allclose(uni, ref, rtol=1e-10)
+
+    disc = DiscMask(0.17)
+    blk = np.asarray(covariance.gaussian_block(
+        cl, cl, cl, cl, edges, edges, 0.0, 0, 0, n, n, n, n,
+        n_ell_cov=512, mask=disc))
+    # masked_gaussian_covariance in the pure delta limit (resolve factor
+    # pushes q* below the grid) must coincide: same prefactors, same
+    # masked noise closure.  Note its cl_fn form computes Ct^2 - N^2
+    # with N = 1/n2d while the 4-leg block with all noises=n gives
+    # nn = 2 N^2 — identical algebra.
+    mg = np.asarray(masked_gaussian_covariance(
+        cl, edges, N2D, disc, n_ell_cov=512, resolve_factor=1e12))
+    np.testing.assert_allclose(blk, mg, rtol=1e-9)
+    # J2 block with a mask: runs, symmetric, positive diagonal.
+    blk2 = np.asarray(covariance.gaussian_block(
+        cl, cl, cl, cl, edges, edges, 0.0, 2, 2, n, 1e-9, 0.0, 0.0,
+        n_ell_cov=512, mask=disc))
+    np.testing.assert_allclose(blk2, blk2.T, rtol=1e-8)
+    assert np.all(np.diag(blk2) > 0)

@@ -25,6 +25,13 @@ WORKER = textwrap.dedent("""
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+    # Share the suite's persistent compile cache: the flagship-pipeline
+    # compile dominated this test's 200+ s wall-clock otherwise.
+    import chomp_tpu as _pkg
+    _cache = os.path.join(os.path.dirname(os.path.dirname(_pkg.__file__)),
+                          "tests", ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from chomp_tpu.parallel import multihost
     from chomp_tpu.parallel.sweep import broadcast_cosmo
     multihost.initialize_distributed(f"localhost:{port}",
