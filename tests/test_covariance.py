@@ -502,6 +502,7 @@ def test_joint_covariance_lattice_gather_free(fiducial, setup):
     assert not re.findall(r"\bgather\b", txt), "dynamic gather in jaxpr"
 
 
+@pytest.mark.slow
 def test_joint_covariance_vmaps_over_cosmologies(fiducial, setup):
     """The joint covariance is a pure function of CosmoParams: vmap over
     a cosmology batch equals the per-cosmology loop (VERDICT round-2
