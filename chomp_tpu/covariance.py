@@ -214,6 +214,7 @@ def gaussian_block(cl_ac, cl_bd, cl_ad, cl_bc, theta_edges_deg_i,
             "w x gamma_t with the SAME sample as lens and source) is "
             "not supported; split the noisy pairing out explicitly.")
     integrand = (ct_ac * ct_bd + ct_ad * ct_bc - nn)
+    hp = jax.lax.Precision.HIGHEST
     if mask is None:
         pref = jnp.asarray(1.0 / omega_s_sr)
     else:
@@ -223,11 +224,68 @@ def gaussian_block(cl_ac, cl_bd, cl_ad, cl_bc, theta_edges_deg_i,
         ann_j = np.pi * (edges_j[1:] ** 2 - edges_j[:-1] ** 2)
         d_i = pair_normalization(mask, edges_i)
         d_j = pair_normalization(mask, edges_j)
-        pref = jnp.asarray(mask.area4 * np.outer(ann_i, ann_j)
-                           / np.outer(d_i, d_j))
+        pref0_np = np.outer(ann_i, ann_j) / np.outer(d_i, d_j)
+        pref = jnp.asarray(mask.area4 * pref0_np)
     g = ells**2 * w / (2.0 * jnp.pi) * integrand
     cov = pref * jnp.matmul(b_i * g[None, :], b_j.T,
-                            precision=jax.lax.Precision.HIGHEST)
+                            precision=hp)
+    if mask is not None and mask.coupling_width > 0.0:
+        # Full low-ell mode coupling for EVERY (mu_i, mu_j) block:
+        # replace the delta-limit piece below q* (where the log grid
+        # resolves the mask kernel's ~1/R width) with the coupled
+        # double integral.  Spin-2 estimator phases survive as
+        # azimuthal moments of the kernel (φ = relative azimuth of q
+        # and q'): the mixed w x γt block couples through
+        # K₂ = <|W̃₂|² cos 2φ>, the γt x γt block through ½(K₀+K₄)
+        # (the Re[] projection of the complex tangential estimator) —
+        # both reduce to K₀ (and hence the delta limit) at q ≫ 1/R.
+        # MC-validated (tests/test_mask_covariance.py joint spin-2
+        # referee): w-block and cross entries at MC accuracy; the γt
+        # auto block retains a measured CONSERVATIVE overprediction
+        # growing to ~1.6x for bins at the footprint radius (partial-
+        # annulus wedge coupling beyond these leading moments).
+        from chomp_tpu.mask import _coupling_matrix
+
+        dln = float(np.log(ells_np[1] / ells_np[0]))
+        q_star = mask.coupling_width / (4.0 * dln)
+        n_low = min(int(np.searchsorted(ells_np, q_star)), n_ell_cov)
+        if n_low >= 2:
+            n_phi = max(96, int(np.pi / (4.0 * dln)))
+            lnq_key = tuple(np.log(ells_np[:n_low]))
+            spin_pair = mu_i + mu_j
+            if spin_pair == 0:
+                k_np = _coupling_matrix(mask, lnq_key, n_phi)
+            elif spin_pair == 2:
+                k_np = _coupling_matrix(mask, lnq_key, n_phi, moment=2)
+            else:
+                k_np = 0.5 * (_coupling_matrix(mask, lnq_key, n_phi)
+                              + _coupling_matrix(mask, lnq_key, n_phi,
+                                                 moment=4))
+            k_jnp = jnp.asarray(k_np)
+            wq = jnp.asarray(ells_np**2 * w_np)
+
+            def m_of(b, vec):
+                return b[:, :n_low] * (vec[:n_low] * wq[:n_low])[None, :]
+
+            def quad(vec_l, vec_r):
+                return jnp.matmul(
+                    jnp.matmul(m_of(b_i, vec_l), k_jnp, precision=hp),
+                    m_of(b_j, vec_r).T, precision=hp)
+
+            ones = jnp.ones_like(ct_ac)
+            # Symmetrized (q, q') spectrum assignment: the kernel is
+            # near-diagonal, so ordering only matters at the already-
+            # neglected narrow-kernel order — but the unsymmetrized
+            # form breaks auto-block symmetry at the ~5e-8 level.
+            coupled = (0.5 * (quad(ct_ac, ct_bd) + quad(ct_bd, ct_ac)
+                              + quad(ct_ad, ct_bc) + quad(ct_bc, ct_ad))
+                       - nn * quad(ones, ones)) / (2.0 * jnp.pi) ** 2
+            g_low = (ells[:n_low] ** 2 * w[:n_low] / (2.0 * jnp.pi)
+                     * integrand[:n_low])
+            delta_low = mask.area4 * jnp.matmul(
+                b_i[:, :n_low] * g_low[None, :], b_j[:, :n_low].T,
+                precision=hp)
+            cov = cov + jnp.asarray(pref0_np) * (coupled - delta_low)
     if nn != 0.0 and mu_i == mu_j:
         # General annulus-overlap closure (docstring): numpy, static.
         lo_i, hi_i = edges_i[:-1], edges_i[1:]
@@ -251,7 +309,7 @@ def gaussian_block(cl_ac, cl_bd, cl_ad, cl_bc, theta_edges_deg_i,
                     hi = min(hi_i[ii], hi_j[jj])
                     if hi > lo:
                         d2_ovl[ii, jj] = pair_normalization(
-                            mask, np.array([lo, hi]))[0]
+                            mask, np.array([lo, hi]), squared=True)[0]
             cov = cov + jnp.asarray(nn * d2_ovl
                                     / np.outer(d_i, d_j))
     return cov
