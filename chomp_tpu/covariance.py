@@ -330,7 +330,8 @@ def projected_trispectrum(cosmo: CosmoParams, halo_p: HaloParams,
                           grid: GridSpec = DEFAULT_GRID,
                           n_k_tri: int = 96, n_z_tri: int = 24,
                           exact_z: bool = False, windows=None, tracers=None,
-                          method: str | None = None, u_stride: int = 4):
+                          method: str | None = None, u_stride: int = 4,
+                          exact_z_anchors: int | None = None):
     """T^{abcd}_proj(l, l') on a coarse ell grid: T̄ built on an
     (n_k_tri)^2 log-k grid, evaluated in (ln k, ln k') at each projection
     node, contracted over chi.
@@ -358,11 +359,21 @@ def projected_trispectrum(cosmo: CosmoParams, halo_p: HaloParams,
     term, leading order for 1h-3h — mirroring chomp's separable P
     treatment).  ``exact_z=True``: the FULL halo model and T̄ table are
     rebuilt at every projection node — no growth approximation anywhere;
-    ~n_nodes x the cost."""
+    ~n_nodes x the cost.  ``exact_z_anchors`` (lattice route only):
+    exact evolution via a J-anchor Chebyshev expansion of T̄/D⁶ — the
+    gather-free exact-z path at ~J halo builds (mirrors
+    limber_fft.limber_cl_fft_exact_z; agreement with exact_z=True
+    tested)."""
     from chomp_tpu.projection import WindowGalaxy
 
     import jax
 
+    if exact_z and exact_z_anchors:
+        raise ValueError("pass either exact_z=True (per-node rebuilds) "
+                         "or exact_z_anchors=J (Chebyshev), not both")
+    if exact_z_anchors and method == "table":
+        raise ValueError("exact_z_anchors is a lattice-route feature; "
+                         "the table route uses exact_z=True instead")
     traced_ells = isinstance(ells_cov, jax.core.Tracer)
     if method is None:
         # Lattice (gather-free) for the separable default; the table/GL
@@ -373,7 +384,8 @@ def projected_trispectrum(cosmo: CosmoParams, halo_p: HaloParams,
         # route: the lattice's static query weights need concrete ell
         # values (callers jitting over an ells argument keep working,
         # at the pre-round-3 behavior).
-        method = "table" if (exact_z or traced_ells) else "lattice"
+        method = ("table" if ((exact_z or traced_ells)
+                              and not exact_z_anchors) else "lattice")
     elif method == "lattice" and traced_ells:
         raise ValueError(
             "projected_trispectrum(method='lattice') needs CONCRETE "
@@ -383,7 +395,8 @@ def projected_trispectrum(cosmo: CosmoParams, halo_p: HaloParams,
     if method == "lattice":
         return _projected_trispectrum_lattice(
             cosmo, halo_p, model, dist, ells_cov, galaxy, with_bao, grid,
-            n_k_tri, exact_z, windows, tracers, u_stride)
+            n_k_tri, exact_z, windows, tracers, u_stride,
+            exact_z_anchors)
     if method != "table":
         raise ValueError(f"method must be 'lattice' or 'table', got "
                          f"{method!r}")
@@ -572,7 +585,8 @@ def _tri_query_weights(ells_np, u_nodes, ln_k0: float, dln: float,
 def _projected_trispectrum_lattice(cosmo, halo_p, model, dist, ells_cov,
                                    galaxy, with_bao, grid: GridSpec,
                                    n_k_tri: int, exact_z: bool, windows,
-                                   tracers, u_stride: int):
+                                   tracers, u_stride: int,
+                                   exact_z_anchors: int | None = None):
     """Gather-free T^{abcd}_proj (projected_trispectrum method="lattice").
 
     The chi integral runs on static strided ln-chi lattice nodes u_m, so
@@ -689,6 +703,57 @@ def _projected_trispectrum_lattice(cosmo, halo_p, model, dist, ells_cov,
         out, _ = jax.lax.scan(body, out0, (z, base_wgt, w_jnp))
         return out
 
+    if exact_z_anchors:
+        # EXACT redshift evolution, gather-free, at ~J halo builds
+        # instead of one per lattice node: expand the slowly-varying
+        # T̃(k, k', z) = T̄/D⁶ over J static Chebyshev anchors
+        # (mirroring limber_fft.limber_cl_fft_exact_z's treatment of
+        # P/D²), combine the anchor tables per node with barycentric
+        # Lagrange rows, and run the same static-weight einsums on the
+        # per-node tables.  Needs CONCRETE window supports for the
+        # static anchor span (like the lattice node range).
+        from chomp_tpu import halo as halo_mod
+        from chomp_tpu.limber_fft import _barycentric_rows, _cheb_nodes
+
+        try:
+            z_lo_c = max(max(float(np.asarray(w_.support()[0]))
+                             for w_ in windows), 1e-3)
+            z_hi_c = max(min(float(np.asarray(w_.support()[1]))
+                             for w_ in windows), z_lo_c + 0.05)
+        except Exception as exc:
+            raise ValueError(
+                "exact_z_anchors needs concrete window supports for "
+                "the static Chebyshev anchor span") from exc
+        z_nodes, w_bary = _cheb_nodes(z_lo_c, z_hi_c, exact_z_anchors)
+
+        def t_at(z_j):
+            model_j = halo_mod.build_halo_model(cosmo, halo_p, model.hod,
+                                                z_j, with_bao, grid)
+            t = trispectrum.trispectrum_parallelogram_tracers(
+                cosmo, halo_p, model_j, k1g.ravel(), k2g.ravel(),
+                tracers, with_bao, grid).reshape(n_k_tri, n_k_tri)
+            return t / model_j.mass.growth**6
+
+        # lax.map (sequential anchors): each anchor's halo build carries
+        # large y matrices; batching them across anchors spills HBM
+        # (same finding as limber_fft.exact_z_anchor_spectra).
+        t_j = jax.lax.map(t_at, jnp.asarray(z_nodes))     # (J, nk, nk)
+        d_u = background.growth_factor(cosmo, z, grid.n_growth)
+        lag = _barycentric_rows(jnp.clip(z, z_lo_c, z_hi_c), z_nodes,
+                                w_bary)                    # (m, J)
+        t_m = (jnp.einsum("mj,jab->mab", lag, t_j, precision=hp)
+               * (d_u**6)[:, None, None])                  # (m, nk, nk)
+        sgn_m = jnp.where(t_m < 0.0, -1.0, 1.0)
+        ln_m = jnp.log(jnp.maximum(jnp.abs(t_m),
+                                   jnp.finfo(jnp.result_type(t_m)).tiny))
+        ln_q = jnp.einsum("mai,mij,mbj->mab", w_jnp, ln_m, w_jnp,
+                          precision=hp)
+        sg_q = jnp.einsum("mai,mij,mbj->mab", w_jnp, sgn_m, w_jnp,
+                          precision=hp)
+        mag = jnp.exp(ln_q)
+        return jnp.einsum("m,mab->ab", base_wgt,
+                          jnp.where(sg_q >= 0.0, mag, -mag), precision=hp)
+
     d = (background.growth_factor(cosmo, z, grid.n_growth)
          / model.mass.growth)
     weight = base_wgt * d**6
@@ -714,7 +779,7 @@ def nongaussian_covariance(cosmo: CosmoParams, halo_p: HaloParams,
                            theta_edges_deg_j=None,
                            n_k_tri: int = 96, n_z_tri: int = 24,
                            method: str | None = None, u_stride: int = 4,
-                           mask=None):
+                           mask=None, exact_z_anchors: int | None = None):
     """Non-Gaussian (connected trispectrum) covariance block.
 
     Defaults reproduce the w_gg auto-block; ``windows``/``tracers`` +
@@ -735,7 +800,8 @@ def nongaussian_covariance(cosmo: CosmoParams, halo_p: HaloParams,
                                    n_k_tri=n_k_tri, n_z_tri=n_z_tri,
                                    exact_z=exact_z, windows=windows,
                                    tracers=tracers, method=method,
-                                   u_stride=u_stride)
+                                   u_stride=u_stride,
+                                   exact_z_anchors=exact_z_anchors)
     meas = ells**2 * w / (2.0 * jnp.pi)                   # l dl/(2 pi)
     import jax
 
@@ -768,7 +834,8 @@ def joint_wtheta_gammat_covariance(cosmo: CosmoParams, halo_p: HaloParams,
                                    n_ell_cov_g: int = 4096,
                                    cl_method: str = "lattice",
                                    tri_method: str | None = None,
-                                   u_stride: int = 4, mask=None):
+                                   u_stride: int = 4, mask=None,
+                                   exact_z_anchors: int | None = None):
     """Joint covariance of the stacked data vector [w_gg bins, gamma_t
     bins] — the full Morrison & Schneider 2013 clustering + g-g lensing
     program (upstream:covariance.py; SURVEY.md §2 row 13).
@@ -870,7 +937,8 @@ def joint_wtheta_gammat_covariance(cosmo: CosmoParams, halo_p: HaloParams,
         common = dict(with_bao=with_bao, grid=grid, exact_z=exact_z,
                       n_ell_cov=n_ell_cov_ng, n_k_tri=n_k_tri,
                       n_z_tri=n_z_tri, method=tri_method,
-                      u_stride=u_stride, mask=mask)
+                      u_stride=u_stride, mask=mask,
+                      exact_z_anchors=exact_z_anchors)
         cov_ww = cov_ww + nongaussian_covariance(
             cosmo, halo_p, model, dist_lens, edges, omega_s_sr,
             windows=(win_g,) * 4, tracers=("g", "g", "g", "g"),

@@ -601,3 +601,39 @@ def test_joint_covariance_with_mask(fiducial, setup):
     # the largest-bin variances strictly larger.
     assert np.diag(disc)[2] > np.diag(base)[2]
     assert np.diag(disc)[5] > np.diag(base)[5]
+
+
+@pytest.mark.slow
+def test_projected_trispectrum_exact_z_anchors(fiducial, setup):
+    """Chebyshev-anchored EXACT-z on the gather-free lattice route
+    (exact_z_anchors=J): agrees with the per-node exact_z table route
+    (measured 1.6e-3 at J=6, near the lattice-vs-GL route floor) at
+    ~J halo builds instead of one per node, and its jaxpr has no
+    gather."""
+    import re
+
+    import jax
+
+    from chomp_tpu.params import GridSpec
+
+    h, model, dist, cl_fn = setup
+    g = GridSpec(n_mass=128, n_mu=8, sigma_panels=8, sigma_n_per_panel=32,
+                 n_growth=32, n_dist=32)
+    ells = np.logspace(1, 3.5, 8)
+    ex_tab = np.asarray(covariance.projected_trispectrum(
+        fiducial, h, model, dist, ells, grid=g, n_k_tri=32, n_z_tri=24,
+        exact_z=True))
+    ex_anc = np.asarray(covariance.projected_trispectrum(
+        fiducial, h, model, dist, ells, grid=g, n_k_tri=32,
+        exact_z_anchors=6))
+    den = np.max(np.abs(ex_tab))
+    assert np.max(np.abs(ex_anc - ex_tab)) / den < 5e-3
+    txt = str(jax.make_jaxpr(lambda c: covariance.projected_trispectrum(
+        c, h, model, dist, ells, grid=g, n_k_tri=16,
+        exact_z_anchors=4))(fiducial))
+    assert not re.findall(r"\bgather\b", txt)
+    # Mutually exclusive flags fail loudly.
+    with pytest.raises(ValueError, match="not both"):
+        covariance.projected_trispectrum(
+            fiducial, h, model, dist, ells, grid=g, n_k_tri=16,
+            exact_z=True, exact_z_anchors=4)
