@@ -23,6 +23,8 @@ Layer map (mirrors SURVEY.md §1, reimagined TPU-first):
     correlation   ->  correlation.Correlation
     trispectrum   ->  halo_trispectrum.py
     covariance    ->  covariance.py
+    mask/curved   ->  (new) survey-footprint mode-coupling covariance,
+                      flat-sky (mask.py) and curved-sky (curved.py)
     compat        ->  object API mirroring the reference's classes
 """
 

@@ -1,0 +1,582 @@
+"""Curved-sky survey-mask Gaussian covariance for w(theta) / gamma_t.
+
+Extends the flat-sky masked covariance (chomp_tpu.mask, SURVEY.md §2
+row 13 "for a survey area" — depth beyond chomp, which assumed a
+uniform flat Omega_s everywhere) to the SPHERE: wide footprints
+(cap radius tens of degrees, fsky up to ~0.5) where the flat-sky
+coupling matrix and the flat annulus geometry are no longer valid.
+
+Estimator and derivation.  For the pair-normalized estimator over
+annulus bins Theta_i on the sphere,
+
+    w_hat_i = F_i / D_i,
+    F_i = ∫∫ W(x)W(y) f(x)f(y) Theta_i(x·y) dΩ_x dΩ_y,
+    D_i = ∫∫ W(x)W(y) Theta_i(x·y) = 2π ∫_bin R̄(θ) sinθ dθ,
+
+expanding Theta_i(μ) = Σ_ℓ ((2ℓ+1)/2) t^i_ℓ P_ℓ(μ) with
+t^i_ℓ = ∫_bin P_ℓ dμ and using the addition theorem gives
+F_i = 2π Σ_ℓ t^i_ℓ P̃_ℓ with P̃_ℓ = Σ_m |ã_ℓm|² the pseudo-power of
+the masked field.  The narrow-kernel (NKA) Gaussian covariance of
+pseudo-powers is the standard mode-coupling result
+
+    Cov[P̃_ℓ, P̃_ℓ'] ≈ 2 Ct_ℓ Ct_ℓ' (2ℓ+1)(2ℓ'+1) Ξ_{ℓℓ'},
+    Ξ_{ℓℓ'} = (1/4π) Σ_L (2L+1) C^{W²}_L (3j(ℓ ℓ' L; 0 0 0))²,
+
+with C^{W²}_L the angular power of the W² map.  Spin-2 (gamma_t) legs
+replace the scalar 3j by the spin families: 3j(ℓℓ'L;2,-2,0)·3j(000)
+for a single spin-2 leg pair (the w x gamma_t block) and the
+even-parity (E-mode) square ½(1+(-1)^{ℓ+ℓ'+L})(3j(2,-2,0))² for the
+gamma_t auto block — the iNKA kernels whose flat-sky limits are the
+K₂ = <|W̃₂|²cos2φ> and ½(K₀+K₄) = <|W̃₂|²cos²2φ> kernels of
+chomp_tpu.covariance.gaussian_block(mask=...) (tested against it on a
+small cap, which is in turn MC-validated).
+
+No 3j recursions: every coupling matrix is a Gauss-Legendre matmul.
+The identity ∫ d^ℓ_{m1 n1} d^ℓ'_{m2 n2} d^L_{m3 n3} dμ =
+2·3j(m-row)·3j(n-row) collapses the L sums against
+ξ_{W²}(μ) = Σ_L ((2L+1)/4π) C^{W²}_L P_L(μ) — the correlation
+function of the W² map, known in closed form from the mask pair
+function — into single quadratures over products of Wigner-d
+functions:
+
+    Xi0_{ℓℓ'} = ½ ∫ P_ℓ P_ℓ'               ξ_{W²}(μ) dμ
+    Xi2_{ℓℓ'} = ½ ∫ d^ℓ_{20} d^ℓ'_{20}     ξ_{W²}(μ) dμ
+    XiP_{ℓℓ'} = ¼ ∫ (d^ℓ_{22} d^ℓ'_{22} + d^ℓ_{2-2} d^ℓ'_{2-2}) ξ dμ
+
+(the parity projection is redundant for Xi2: 3j(000) vanishes for odd
+ℓ+ℓ'+L).  Uniform full sky: ξ_{W²} ≡ 1 and d-orthogonality gives
+Ξ = δ_{ℓℓ'}/(2ℓ+1) exactly; the high-ℓ delta limit follows the exact
+row sum Σ_ℓ' (2ℓ'+1) Ξ_{ℓℓ'} = ξ_{W²}(1) = A₄/4π, i.e. the fsky-level
+prefactor A₄ A_i A_j / (D_i D_j) with the exact pair counts — the
+same structure as the flat module, so curved_gaussian_block mirrors
+gaussian_block: delta-limit everywhere + a dense coupled correction
+for ℓ ≤ ell_split.  The pure noise x noise closure
+2 N² D₂_ovl / (D_i D_j) is pair-count exact on any geometry and is
+reused unchanged.
+
+Bin factors are closed-form: t^i_ℓ = [P_{ℓ+1} - P_{ℓ-1}]/(2ℓ+1) at
+the bin endpoints (spin-0) and, for the curved J2 analog
+d^ℓ_{20} = P²_ℓ/√((ℓ-1)ℓ(ℓ+1)(ℓ+2)) (gamma_t(θ) =
+Σ_ℓ ((2ℓ+1)/4π) C^{gE}_ℓ d^ℓ_{20}(cosθ), flat limit J₂(ℓθ)),
+
+    ∫_a^b d^ℓ_{20} dμ = [ℓ(P_{ℓ-1} - μ P_ℓ) + 2 μ P_ℓ
+                         - 2 (P_{ℓ+1} - P_{ℓ-1})/(2ℓ+1)]_a^b
+                        / √((ℓ-1)ℓ(ℓ+1)(ℓ+2))
+
+from P²_ℓ = (1-μ²) P_ℓ'' and Legendre's equation.
+
+All geometry (masks, Ξ, bin factors) is static numpy built once and
+cached; the cosmology-dependent C_ℓ vectors contract against them in
+dense HIGHEST-precision matmuls — the TPU-first pattern of the rest
+of the covariance stack (zero gathers in the traced graph).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "SphericalCapMask",
+    "ProfileCurvedMask",
+    "UniformSphereMask",
+    "legendre_bin_factors",
+    "legendre_bin_factors_spin2",
+    "curved_pair_normalization",
+    "curved_gaussian_block",
+    "curved_gaussian_covariance",
+]
+
+
+# ---------------------------------------------------------------------------
+# Wigner-d evaluation (fixed (m, n), all ℓ, vectorized over μ nodes)
+# ---------------------------------------------------------------------------
+
+def _wigner_d_matrix(m: int, n: int, lmax: int, mu):
+    """d^ℓ_{mn}(μ) for ℓ = 0..lmax on nodes ``mu`` — (lmax+1, n_mu).
+
+    Three-term upward recursion in ℓ (stable for the small |m|, |n| ≤ 2
+    used here; float64):
+
+      ℓ √((ℓ+1)²-m²) √((ℓ+1)²-n²) d^{ℓ+1}
+        = (2ℓ+1) [ℓ(ℓ+1)μ - mn] d^ℓ - (ℓ+1) √(ℓ²-m²) √(ℓ²-n²) d^{ℓ-1}
+
+    seeded at ℓ = max(|m|,|n|) with the closed ℓ=2 forms; rows below
+    the seed are zero.  Validated against sympy's exact Rotation.d and
+    the orthogonality ∫ d d dμ = 2δ/(2ℓ+1) (tests/test_curved.py).
+    """
+    mu = np.asarray(mu, dtype=float)
+    if (m, n) == (0, 0):
+        return _legendre_all(lmax, mu)     # a(ℓ=0) = 0 in the general
+    out = np.zeros((lmax + 1, mu.size))    # recursion; Bonnet instead
+    lmin = max(abs(m), abs(n))
+    if lmax < lmin:
+        return out
+    if (m, n) == (2, 0):
+        seed = np.sqrt(6.0) / 4.0 * (1.0 - mu**2)
+    elif (m, n) == (2, 2):
+        seed = (1.0 + mu) ** 2 / 4.0
+    elif (m, n) == (2, -2):
+        seed = (1.0 - mu) ** 2 / 4.0
+    else:  # pragma: no cover - only the four cases above are used
+        raise NotImplementedError((m, n))
+    out[lmin] = seed
+    prev = np.zeros_like(mu)
+    for ell in range(lmin, lmax):
+        a = ell * np.sqrt(((ell + 1.0) ** 2 - m * m)
+                          * ((ell + 1.0) ** 2 - n * n))
+        b = (2 * ell + 1.0) * (ell * (ell + 1.0) * mu - m * n)
+        c = (ell + 1.0) * np.sqrt(max(ell * ell - m * m, 0.0)
+                                  * max(ell * ell - n * n, 0.0))
+        nxt = (b * out[ell] - c * prev) / a
+        prev = out[ell]
+        out[ell + 1] = nxt
+    return out
+
+
+def _legendre_all(lmax: int, mu):
+    """P_ℓ(μ) for ℓ = 0..lmax — (lmax+1, n_mu) Bonnet recursion."""
+    mu = np.asarray(mu, dtype=float)
+    p = np.zeros((lmax + 1, mu.size))
+    p[0] = 1.0
+    if lmax >= 1:
+        p[1] = mu
+    for ell in range(1, lmax):
+        p[ell + 1] = ((2 * ell + 1) * mu * p[ell] - ell * p[ell - 1]) \
+            / (ell + 1)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Closed-form bin factors
+# ---------------------------------------------------------------------------
+
+def _legendre_endpoints(lmax: int, mu):
+    """P_ℓ(μ) at a few endpoint values, ℓ = 0..lmax+1 — (lmax+2, n)."""
+    return _legendre_all(lmax + 1, mu)
+
+
+def legendre_bin_factors(lmax: int, theta_edges_rad):
+    """Bin-averaged Legendre P̄^i_ℓ = ∫_bin P_ℓ dμ / Δμ_i — (nb, lmax+1).
+
+    Closed form ∫_a^b P_ℓ dμ = [P_{ℓ+1} - P_{ℓ-1}]_a^b / (2ℓ+1)
+    (ℓ = 0 row: 1).  The curved analog of covariance.bin_averaged_j0;
+    flat limit P̄_ℓ(bin) → J̄₀ for θ ≪ 1 (tested)."""
+    edges = np.asarray(theta_edges_rad, dtype=float)
+    mu_e = np.cos(edges)                       # decreasing in θ
+    p = _legendre_endpoints(lmax, mu_e)        # (lmax+2, ne)
+    ell = np.arange(lmax + 1)
+    # ∫ P_ℓ dμ antiderivative at each edge: (lmax+1, ne)
+    anti = np.empty((lmax + 1, mu_e.size))
+    anti[0] = mu_e
+    anti[1:] = (p[2:lmax + 2] - p[0:lmax]) / (2.0 * ell[1:, None] + 1.0)
+    dmu = mu_e[:-1] - mu_e[1:]                 # Δμ_i > 0
+    val = anti[:, :-1] - anti[:, 1:]           # ∫_{μ_hi}^{μ_lo} = bin
+    return (val / dmu[None, :]).T              # (nb, lmax+1)
+
+
+def legendre_bin_factors_spin2(lmax: int, theta_edges_rad):
+    """Bin-averaged tangential kernel d̄^i_ℓ = ∫_bin d^ℓ_{20} dμ / Δμ_i
+    — (nb, lmax+1), rows ℓ < 2 zero.  Closed form (module docstring);
+    the curved analog of covariance.bin_averaged_j2 (flat limit J̄₂,
+    tested)."""
+    edges = np.asarray(theta_edges_rad, dtype=float)
+    mu_e = np.cos(edges)
+    p = _legendre_endpoints(lmax, mu_e)        # rows 0..lmax+1
+    ell = np.arange(2, lmax + 1, dtype=float)
+    pl = p[2:lmax + 1]                         # P_ℓ
+    plm1 = p[1:lmax]                           # P_{ℓ-1}
+    plp1 = p[3:lmax + 2]                       # P_{ℓ+1}
+    # antiderivative of P²_ℓ: (1-μ²)P'_ℓ + 2μP_ℓ - 2∫P_ℓ,
+    # with (1-μ²)P'_ℓ = ℓ(P_{ℓ-1} - μ P_ℓ).
+    anti = (ell[:, None] * (plm1 - mu_e[None, :] * pl)
+            + 2.0 * mu_e[None, :] * pl
+            - 2.0 * (plp1 - plm1) / (2.0 * ell[:, None] + 1.0))
+    norm = np.sqrt((ell - 1.0) * ell * (ell + 1.0) * (ell + 2.0))
+    anti = anti / norm[:, None]
+    dmu = mu_e[:-1] - mu_e[1:]
+    val = anti[:, :-1] - anti[:, 1:]
+    out = np.zeros((mu_e.size - 1, lmax + 1))
+    out[:, 2:] = (val / dmu[None, :]).T
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Curved masks
+# ---------------------------------------------------------------------------
+
+def _cap_overlap(alpha: float, theta):
+    """Solid angle of the overlap of two spherical caps of radius
+    ``alpha`` whose centers are separated by ``theta`` (vectorized):
+    Ω(θ) = 2 ∫₀^α φ_half(u) sin u du with φ_half the azimuthal
+    half-width of cap 2 at colatitude u from cap 1's center.  Exact to
+    quadrature; Ω(0) = 2π(1-cos α), Ω(θ ≥ 2α) = 0."""
+    theta = np.atleast_1d(np.asarray(theta, dtype=float))
+    n_u = 512
+    # Gauss-Legendre in u over [0, alpha]
+    x, wq = np.polynomial.legendre.leggauss(n_u)
+    u = 0.5 * alpha * (x + 1.0)
+    wu = 0.5 * alpha * wq
+    cu, su = np.cos(u), np.sin(u)
+    ct, st = np.cos(theta), np.sin(theta)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        carg = (np.cos(alpha) - cu[None, :] * ct[:, None]) \
+            / np.maximum(su[None, :] * st[:, None], 1e-300)
+    phi_half = np.arccos(np.clip(carg, -1.0, 1.0))
+    # θ = 0 column: φ_half = π wherever u ≤ α (carg -> -inf clipped).
+    omega = 2.0 * np.sum(phi_half * (su * wu)[None, :], axis=1)
+    return np.where(theta >= 2.0 * alpha, 0.0, omega)
+
+
+@dataclasses.dataclass(frozen=True)
+class SphericalCapMask:
+    """Binary polar cap of angular radius ``radius_rad`` — the curved
+    analog of mask.DiscMask (every ingredient from the exact spherical
+    cap-overlap integral).  Small radius reproduces the flat disc
+    treatment (tested)."""
+
+    radius_rad: float
+
+    @property
+    def area2(self) -> float:
+        """A₂ = ∫ W² dΩ (binary: the cap solid angle)."""
+        return float(2.0 * np.pi * (1.0 - np.cos(self.radius_rad)))
+
+    @property
+    def area4(self) -> float:
+        return self.area2
+
+    def pair_function(self, theta):
+        """R̄(θ) = ∫ W(x̂)W(ŷ) azimuth-avg at separation θ: the
+        two-cap overlap solid angle."""
+        return _cap_overlap(self.radius_rad, theta)
+
+    pair_function2 = pair_function      # binary: W² = W
+
+    def xi_w2(self, mu):
+        """ξ_{W²}(μ) = R̄₂(θ)/(4π), θ = arccos μ — the correlation
+        function of the W² map entering every coupling kernel."""
+        theta = np.arccos(np.clip(np.asarray(mu, dtype=float), -1.0, 1.0))
+        return _cap_overlap(self.radius_rad, theta) / (4.0 * np.pi)
+
+    @property
+    def coupling_ell(self) -> float:
+        """Characteristic multipole width of the coupling kernel."""
+        return np.pi / self.radius_rad
+
+
+@dataclasses.dataclass(frozen=True)
+class UniformSphereMask:
+    """W ≡ 1 over the full sphere — the degenerate no-mask case;
+    curved_gaussian_block then reduces to the exact full-sky
+    Σ_ℓ (2ℓ+1) P̄_i P̄_j 2Ct²/(16π²) formula (tested)."""
+
+    @property
+    def area2(self) -> float:
+        return float(4.0 * np.pi)
+
+    @property
+    def area4(self) -> float:
+        return float(4.0 * np.pi)
+
+    def pair_function(self, theta):
+        return np.full_like(np.atleast_1d(np.asarray(theta, float)),
+                            4.0 * np.pi)
+
+    pair_function2 = pair_function
+
+    def xi_w2(self, mu):
+        return np.ones_like(np.atleast_1d(np.asarray(mu, float)))
+
+    @property
+    def coupling_ell(self) -> float:
+        return 0.0
+
+
+class ProfileCurvedMask:
+    """Azimuthally symmetric curved mask from a radial weight profile
+    W(θ) in [0, 1] given on ``theta_nodes_rad`` (linearly interpolated,
+    0 beyond the last node) — tapered caps, ring footprints, etc.
+
+    Ingredients via the Legendre route: g_L = ∫ V P_L dμ for
+    V ∈ {W, W²} by Gauss-Legendre quadrature, then
+    ξ_V(μ) = ¼ Σ_L (2L+1) g_L² P_L(μ) and R̄ = 4π ξ.  ``lmax_mask``
+    bounds the mask band-limit (profiles with a hard edge converge in
+    the L² sense; the Parseval row-sum identity is restored exactly by
+    rescaling ξ_{W²}(1) to ⟨W⁴⟩ — same spirit as the flat PixelMask's
+    count-corrected shells)."""
+
+    def __init__(self, theta_nodes_rad, w_values, lmax_mask: int = 512):
+        th = np.asarray(theta_nodes_rad, dtype=float)
+        wv = np.asarray(w_values, dtype=float)
+        if th.ndim != 1 or th.shape != wv.shape:
+            raise ValueError("theta_nodes_rad / w_values shape mismatch")
+        self._theta = th
+        self._w = wv
+        x, wq = np.polynomial.legendre.leggauss(max(4 * lmax_mask, 2048))
+        theta_q = np.arccos(x)                  # μ-quadrature nodes
+        wprof = np.interp(theta_q, th, wv, left=wv[0], right=0.0)
+        p = _legendre_all(lmax_mask, x)
+        self._g_w = p @ (wq * wprof)            # ∫ W P_L dμ
+        self._g_w2 = p @ (wq * wprof**2)
+        self._g_w4 = float(np.sum(wq * wprof**4))
+        self.area2 = float(2.0 * np.pi * np.sum(wq * wprof**2))
+        self.area4 = float(2.0 * np.pi * self._g_w4)
+        self._lmax_mask = lmax_mask
+        twol = 2.0 * np.arange(lmax_mask + 1) + 1.0
+        self._xi_w_c = 0.25 * twol * self._g_w**2
+        self._xi_w2_c = 0.25 * twol * self._g_w2**2
+        # Parseval repair for the truncated series (hard-edge Gibbs):
+        # ξ_{W²}(1) must equal <W⁴> = A₄/4π exactly for the delta-limit
+        # row sum to hold.
+        xi1 = float(np.sum(self._xi_w2_c))
+        target = self.area4 / (4.0 * np.pi)
+        self._xi_w2_scale = target / xi1 if xi1 > 0 else 1.0
+        self._hash = hash((th.tobytes(), wv.tobytes(), lmax_mask))
+
+    def __hash__(self):
+        return self._hash
+
+    def __eq__(self, other):
+        return (isinstance(other, ProfileCurvedMask)
+                and self._hash == other._hash)
+
+    def _xi(self, mu, coeff):
+        mu = np.clip(np.atleast_1d(np.asarray(mu, float)), -1.0, 1.0)
+        p = _legendre_all(self._lmax_mask, mu)
+        return coeff @ p
+
+    def xi_w2(self, mu):
+        return self._xi_w2_scale * self._xi(mu, self._xi_w2_c)
+
+    def pair_function(self, theta):
+        mu = np.cos(np.atleast_1d(np.asarray(theta, float)))
+        return 4.0 * np.pi * self._xi(mu, self._xi_w_c)
+
+    def pair_function2(self, theta):
+        mu = np.cos(np.atleast_1d(np.asarray(theta, float)))
+        return 4.0 * np.pi * self.xi_w2(mu)
+
+    @property
+    def coupling_ell(self) -> float:
+        support = self._theta[self._w > 1e-12]
+        width = float(support.max()) if support.size else np.pi
+        return np.pi / max(width, 1e-6)
+
+
+def curved_pair_normalization(mask, theta_edges_rad, n_theta: int = 512,
+                              squared: bool = False):
+    """D_i = 2π ∫_bin R̄(θ) sinθ dθ per bin (static numpy) — the
+    spherical pair counts normalizing the estimator.  ``squared=True``
+    uses the W² pair function (exact noise closure)."""
+    pf = mask.pair_function2 if squared else mask.pair_function
+    edges = np.asarray(theta_edges_rad, dtype=float)
+    d = np.empty(len(edges) - 1)
+    for i, (lo, hi) in enumerate(zip(edges[:-1], edges[1:])):
+        th = np.linspace(lo, hi, n_theta)
+        d[i] = 2.0 * np.pi * np.trapezoid(np.sin(th) * pf(th), th)
+    return d
+
+
+# ---------------------------------------------------------------------------
+# Coupling matrices (static, cached per mask geometry)
+# ---------------------------------------------------------------------------
+
+def _xi_matrices_impl(mask, ell_split: int, kinds: tuple):
+    """The requested Ξ matrices on ℓ, ℓ' ≤ ell_split (module
+    docstring), via one Gauss-Legendre quadrature shared by all
+    kernels.  The quadrature runs in θ (μ = cosθ, dμ = sinθ dθ):
+    cap-overlap correlation functions are LINEAR in θ near zero
+    separation, i.e. √(1-μ)-singular in μ, which stalls a μ-space
+    rule at the ~0.5% level (measured via the Parseval row sum);
+    in θ the integrand is piecewise smooth.  Node count: ≥4 per
+    half-oscillation of P_ℓ P_ℓ' at ℓ = ell_split."""
+    n = 4 * ell_split + 1024
+    t, wq = np.polynomial.legendre.leggauss(n)
+    theta = 0.5 * np.pi * (t + 1.0)
+    x = np.cos(theta)
+    xi = np.asarray(mask.xi_w2(x), dtype=float)
+    wxi = 0.5 * np.pi * wq * np.sin(theta) * xi
+    out = {}
+    if "0" in kinds:
+        p = _legendre_all(ell_split, x)
+        out["0"] = 0.5 * ((p * wxi[None, :]) @ p.T)
+    if "2" in kinds:
+        d20 = _wigner_d_matrix(2, 0, ell_split, x)
+        out["2"] = 0.5 * ((d20 * wxi[None, :]) @ d20.T)
+    if "P" in kinds or "Q" in kinds:
+        d22 = _wigner_d_matrix(2, 2, ell_split, x)
+        q = 0.5 * ((d22 * wxi[None, :]) @ d22.T)
+        if "Q" in kinds:
+            # Unprojected Σ (2L+1) C^{W²}_L (3j(2,-2,0))² / 4π — kept
+            # for reference; measured 1.7x ABOVE the flat-limit
+            # ½(K₀+K₄) kernel on a small cap, i.e. it double-counts
+            # the parity-odd channel for the gamma_t estimator.
+            out["Q"] = q
+        if "P" in kinds:
+            # Even-parity (pseudo-E) projection: the gamma_t auto
+            # kernel.  Measured flat limit on a small cap:
+            # 0.998 ± 0.009 of the flat module's MC-validated
+            # ½(K₀+K₄) = <|W̃₂|² cos²2φ> kernel.
+            d2m2 = _wigner_d_matrix(2, -2, ell_split, x)
+            out["P"] = 0.5 * (q + 0.5 * ((d2m2 * wxi[None, :])
+                                         @ d2m2.T))
+    return out
+
+
+@lru_cache(maxsize=8)
+def _xi_matrices_cached(mask, ell_split: int, kinds: tuple):
+    return _xi_matrices_impl(mask, ell_split, kinds)
+
+
+def _xi_matrices(mask, ell_split: int, kinds: tuple):
+    try:
+        return _xi_matrices_cached(mask, ell_split, kinds)
+    except TypeError:        # unhashable user mask: compute directly
+        return _xi_matrices_impl(mask, ell_split, kinds)
+
+
+# ---------------------------------------------------------------------------
+# Covariance blocks
+# ---------------------------------------------------------------------------
+
+def _auto_ell_split(mask, ell_max: int) -> int:
+    """Dense-coupling extent: the delta limit errs by O(L_mask/ℓ), so
+    carry the full matrices out to ~24 kernel widths (beyond which the
+    correction is sub-0.5% of the local delta term), capped at
+    ell_max."""
+    width = mask.coupling_ell
+    if width <= 0.0:
+        return 0
+    return int(min(ell_max, max(64, 24.0 * width)))
+
+
+def curved_gaussian_block(cl_ac, cl_bd, cl_ad, cl_bc,
+                          theta_edges_deg_i, theta_edges_deg_j, mask,
+                          mu_i: int = 0, mu_j: int = 0,
+                          noise_ac: float = 0.0, noise_bd: float = 0.0,
+                          noise_ad: float = 0.0, noise_bc: float = 0.0,
+                          ell_max: int = 4096,
+                          ell_split: int | None = None):
+    """Curved-sky Gaussian covariance block Cov[w^(ab)_i, w^(cd)_j] on
+    a masked sphere — the curved analog of covariance.gaussian_block
+    (same four C_ℓ callables / noise-level signature; ``mask`` is a
+    SphericalCapMask / ProfileCurvedMask / UniformSphereMask;
+    ``mu_i``, ``mu_j`` ∈ {0, 2} select the P_ℓ vs d^ℓ_{20} bin factors
+    and the Ξ kernel family).
+
+    cl_xy receives a static integer numpy ℓ grid (2..ell_max) and may
+    return traced values; everything geometric is static numpy.  The
+    pure noise x noise term uses the pair-count-exact closure
+    2 N² D₂_ovl / (D_i D_j) on the spherical pair counts (the flat
+    module's closure is geometry-free)."""
+    noise_ac = float(noise_ac)
+    noise_bd = float(noise_bd)
+    noise_ad = float(noise_ad)
+    noise_bc = float(noise_bc)
+    if mu_i not in (0, 2) or mu_j not in (0, 2):
+        raise ValueError("curved_gaussian_block supports mu in {0, 2}")
+    edges_i = np.radians(np.asarray(theta_edges_deg_i, dtype=float))
+    edges_j = np.radians(np.asarray(theta_edges_deg_j, dtype=float))
+    ells_np = np.arange(0, ell_max + 1)
+    bf = {0: legendre_bin_factors, 2: legendre_bin_factors_spin2}
+    b_i = bf[mu_i](ell_max, edges_i)              # (nbi, nl)
+    b_j = bf[mu_j](ell_max, edges_j)
+    ct_ac = jnp.asarray(cl_ac(ells_np)) + noise_ac
+    ct_bd = jnp.asarray(cl_bd(ells_np)) + noise_bd
+    ct_ad = jnp.asarray(cl_ad(ells_np)) + noise_ad
+    ct_bc = jnp.asarray(cl_bc(ells_np)) + noise_bc
+
+    nn = noise_ac * noise_bd + noise_ad * noise_bc
+    if nn != 0.0 and mu_i != mu_j:
+        raise ValueError(
+            "curved_gaussian_block: pure noise x noise with mu_i != "
+            "mu_j is not closable analytically — split the noisy "
+            "pairing out (same restriction as gaussian_block).")
+
+    # Pair-count normalization and the delta-limit prefactor.
+    dmu_i = np.cos(edges_i[:-1]) - np.cos(edges_i[1:])
+    dmu_j = np.cos(edges_j[:-1]) - np.cos(edges_j[1:])
+    a_i = 2.0 * np.pi * dmu_i                      # annulus solid angle
+    a_j = 2.0 * np.pi * dmu_j
+    d_i = curved_pair_normalization(mask, edges_i)
+    d_j = curved_pair_normalization(mask, edges_j)
+    pref0_np = np.outer(a_i, a_j) / np.outer(d_i, d_j)
+    pref = jnp.asarray(mask.area4 * pref0_np)
+
+    # Master formula: Cov = (2π)²/(D_i D_j) Σ_{ℓℓ'} t_ℓ t'_ℓ'
+    # (2ℓ+1)(2ℓ'+1) [Ct_ac Ct_bd + Ct_ad Ct_bc]_sym Ξ_{ℓℓ'} with
+    # t_ℓ = b̄_ℓ Δμ.  Delta limit Ξ → (A₄/4π) δ_{ℓℓ'}/(2ℓ+1) gives
+    # Cov_Δ = (A₄ A_i A_j)/(4π D_i D_j) Σ_ℓ (2ℓ+1) b̄_i b̄_j [..]
+    # (uniform full sky: Σ (2ℓ+1) b̄ b̄' 2Ct²/(16π²), the exact
+    # Cov[Ĉ_ℓ] = 2Ct²/(2ℓ+1) result — tested).
+    hp = jax.lax.Precision.HIGHEST
+    twol = 2.0 * ells_np + 1.0
+    integrand = ct_ac * ct_bd + ct_ad * ct_bc - nn
+    g = jnp.asarray(twol / (4.0 * np.pi)) * integrand
+    cov = pref * jnp.matmul(jnp.asarray(b_i) * g[None, :],
+                            jnp.asarray(b_j).T, precision=hp)
+
+    if ell_split is None:
+        ell_split = _auto_ell_split(mask, ell_max)
+    ell_split = min(int(ell_split), ell_max)
+    if ell_split >= 2:
+        spin_pair = mu_i + mu_j
+        kind = {0: "0", 2: "2", 4: "P"}[spin_pair]
+        xi = _xi_matrices(mask, ell_split, (kind,))[kind]
+        nl = ell_split + 1                         # ℓ = 0..ell_split
+        tw = twol[:nl]
+        # m rows carry t_ℓ (2ℓ+1) = b̄ Δμ (2ℓ+1).
+        m_i = jnp.asarray(b_i[:, :nl] * dmu_i[:, None] * tw)
+        m_j = jnp.asarray(b_j[:, :nl] * dmu_j[:, None] * tw)
+        xi_j = jnp.asarray(xi)
+
+        def quad(vl, vr):
+            return jnp.matmul(
+                jnp.matmul(m_i * vl[:nl][None, :], xi_j, precision=hp),
+                (m_j * vr[:nl][None, :]).T, precision=hp)
+
+        ones = jnp.ones_like(ct_ac)
+        coupled = 0.5 * (quad(ct_ac, ct_bd) + quad(ct_bd, ct_ac)
+                         + quad(ct_ad, ct_bc) + quad(ct_bc, ct_ad)) \
+            - nn * quad(ones, ones)
+        coupled = (2.0 * np.pi) ** 2 * coupled \
+            / jnp.asarray(np.outer(d_i, d_j))
+        g_low = jnp.asarray(twol[:nl] / (4.0 * np.pi)) \
+            * integrand[:nl]
+        delta_low = pref * jnp.matmul(
+            jnp.asarray(b_i[:, :nl]) * g_low[None, :],
+            jnp.asarray(b_j[:, :nl]).T, precision=hp)
+        cov = cov + coupled - delta_low
+
+    if nn != 0.0 and mu_i == mu_j:
+        lo_i, hi_i = edges_i[:-1], edges_i[1:]
+        lo_j, hi_j = edges_j[:-1], edges_j[1:]
+        d2_ovl = np.zeros((len(lo_i), len(lo_j)))
+        for ii in range(len(lo_i)):
+            for jj in range(len(lo_j)):
+                lo = max(lo_i[ii], lo_j[jj])
+                hi = min(hi_i[ii], hi_j[jj])
+                if hi > lo:
+                    d2_ovl[ii, jj] = curved_pair_normalization(
+                        mask, np.array([lo, hi]), squared=True)[0]
+        cov = cov + jnp.asarray(nn * d2_ovl / np.outer(d_i, d_j))
+    return cov
+
+
+def curved_gaussian_covariance(cl_fn, theta_edges_deg, n2d, mask,
+                               ell_max: int = 4096,
+                               ell_split: int | None = None):
+    """Gaussian + shot-noise covariance of w(theta) bins on a masked
+    SPHERE — the curved analog of mask.masked_gaussian_covariance
+    (``cl_fn(ells_np) -> C_ℓ``, ``n2d`` galaxies/sr, shot noise
+    1/n2d)."""
+    noise = 1.0 / float(n2d)
+    return curved_gaussian_block(
+        cl_fn, cl_fn, cl_fn, cl_fn, theta_edges_deg, theta_edges_deg,
+        mask, 0, 0, noise, noise, noise, noise,
+        ell_max=ell_max, ell_split=ell_split)

@@ -268,7 +268,7 @@ def pair_normalization(mask, edges_rad, n_theta: int = 512,
     d = np.empty(len(edges) - 1)
     for i, (lo, hi) in enumerate(zip(edges[:-1], edges[1:])):
         th = np.linspace(lo, hi, n_theta)
-        d[i] = 2.0 * np.pi * np.trapz(th * pf(th), th)
+        d[i] = 2.0 * np.pi * np.trapezoid(th * pf(th), th)
     return d
 
 

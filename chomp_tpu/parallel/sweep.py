@@ -65,10 +65,10 @@ def _warn_if_separable_bias(dist, z_pivot: float, threshold: float = 0.5):
         z_hi = float(np.asarray(dist.z_max))
         zg = np.linspace(z_lo, z_hi, 257)
         p = np.asarray(jnp.asarray(dist.raw_dndz(jnp.asarray(zg))))
-        den = float(np.trapz(p, zg))
+        den = float(np.trapezoid(p, zg))
         if den <= 0.0:
             return
-        z_bar = float(np.trapz(p * zg, zg)) / den
+        z_bar = float(np.trapezoid(p * zg, zg)) / den
     except Exception:
         return  # traced dist: cannot check host-side
     if abs(z_bar - z_pivot) > threshold:

@@ -128,7 +128,7 @@ def validate_params(cosmo=None, halo_params=None, hod=None,
             if max(sizes) > 1:
                 zg = zg[:, None]            # broadcast over the batch
             e = np.sqrt(np.asarray(background.e2z(cosmo, zg)))
-            chi_hi = C_OVER_H0 * np.trapz(1.0 / e, np.linspace(
+            chi_hi = C_OVER_H0 * np.trapezoid(1.0 / e, np.linspace(
                 0.0, z_max, 513), axis=0)
             hi = float(getattr(grid, "lattice_chi_hi"))
             if np.any(chi_hi > hi):

@@ -228,8 +228,8 @@ def test_pixel_mask_matches_disc():
     # INTEGRAL against the analytic Airy (Parseval: both must carry
     # the same total mask power), not pointwise values.
     qg = np.linspace(0.0, 200.0, 4001)
-    ip = np.trapz(pm.wtilde2_sq(qg) * qg, qg)
-    idd = np.trapz(dm.wtilde2_sq(qg) * qg, qg)
+    ip = np.trapezoid(pm.wtilde2_sq(qg) * qg, qg)
+    idd = np.trapezoid(dm.wtilde2_sq(qg) * qg, qg)
     assert abs(ip / idd - 1.0) < 0.02, (ip, idd)
     assert abs(pm.coupling_width / dm.coupling_width - 1.0) < 5e-3
     # End-to-end masked covariance: pixel vs analytic disc.
