@@ -69,6 +69,18 @@ All geometry (masks, Ξ, bin factors) is static numpy built once and
 cached; the cosmology-dependent C_ℓ vectors contract against them in
 dense HIGHEST-precision matmuls — the TPU-first pattern of the rest
 of the covariance stack (zero gathers in the traced graph).
+
+This module also provides curved-sky OBSERVABLE predictions
+(curved_wtheta_fft / curved_wtheta_from_anchors /
+curved_lattice_operator; make_pipeline(geometry="curved")): the exact
+multipole sums w(θ) = Σ (2ℓ+1)/4π C_ℓ P_ℓ and
+γt = Σ (2ℓ+1)/4π C^{gE}_ℓ d^ℓ_{20} fused offline into one static
+operator against the lattice convolution — same runtime cost as the
+flat FFTLog route, exact sphere geometry.  The curved sum also
+referees the flat-transform convention: it matches the ν-aligned flat
+transform (ell_offset=0) to ≤1e-4 at sub-degree θ, pinning the flat
+default's C(ℓ+½)+J(ℓθ) pairing as a few×1e-3 half-step artifact
+(tests/test_curved.py::test_curved_flat_limit_and_convention).
 """
 
 from __future__ import annotations
@@ -89,6 +101,9 @@ __all__ = [
     "curved_pair_normalization",
     "curved_gaussian_block",
     "curved_gaussian_covariance",
+    "curved_lattice_operator",
+    "curved_wtheta_fft",
+    "curved_wtheta_from_anchors",
 ]
 
 
@@ -126,15 +141,19 @@ def _wigner_d_matrix(m: int, n: int, lmax: int, mu):
         raise NotImplementedError((m, n))
     out[lmin] = seed
     prev = np.zeros_like(mu)
-    for ell in range(lmin, lmax):
+    for ell_i in range(lmin, lmax):
+        # float coefficients: (ℓ²-m²)(ℓ²-n²) overflows int64 at
+        # ℓ ≳ 55000 (object-dtype np.sqrt error), and ℓ reaches 1e5+
+        # in the curved prediction operators.
+        ell = float(ell_i)
         a = ell * np.sqrt(((ell + 1.0) ** 2 - m * m)
                           * ((ell + 1.0) ** 2 - n * n))
         b = (2 * ell + 1.0) * (ell * (ell + 1.0) * mu - m * n)
         c = (ell + 1.0) * np.sqrt(max(ell * ell - m * m, 0.0)
                                   * max(ell * ell - n * n, 0.0))
-        nxt = (b * out[ell] - c * prev) / a
-        prev = out[ell]
-        out[ell + 1] = nxt
+        nxt = (b * out[ell_i] - c * prev) / a
+        prev = out[ell_i]
+        out[ell_i + 1] = nxt
     return out
 
 
@@ -566,6 +585,184 @@ def curved_gaussian_block(cl_ac, cl_bd, cl_ad, cl_bc,
                         mask, np.array([lo, hi]), squared=True)[0]
         cov = cov + jnp.asarray(nn * d2_ovl / np.outer(d_i, d_j))
     return cov
+
+
+# ---------------------------------------------------------------------------
+# Curved-sky observable predictions (exact multipole sums, fused
+# into one static lattice operator — beyond chomp, which is flat-only)
+# ---------------------------------------------------------------------------
+
+def _spin2_kappa_prefactor(lmax: int):
+    """√((ℓ+2)(ℓ-1)/(ℓ(ℓ+1))) for ℓ ≥ 2, zero below: converts the
+    Limber C^{gκ}_ℓ the pipeline computes into the spin-2 C^{gE}_ℓ
+    entering the exact d^ℓ_{20} tangential-shear sum
+    (a^E_ℓm = √((ℓ+2)!/(ℓ-2)!)/(ℓ(ℓ+1)) a^κ_ℓm; → 1 at high ℓ,
+    -0.2% at ℓ = 20)."""
+    ell = np.arange(lmax + 1, dtype=float)
+    out = np.zeros(lmax + 1)
+    out[2:] = np.sqrt((ell[2:] + 2.0) * (ell[2:] - 1.0)
+                      / (ell[2:] * (ell[2:] + 1.0)))
+    return out
+
+
+@lru_cache(maxsize=None)
+def curved_lattice_operator(theta_key, grid, mu: float = 0.0,
+                            ell_offset: float = 0.5,
+                            lmax: int | None = None,
+                            taper_frac: float = 0.15,
+                            bin_average: bool = False,
+                            kappa_prefactor: bool = True):
+    """(j_lo, j_hi, A): the exact curved-sky multipole sum
+    w(θ) = Σ_ℓ ((2ℓ+1)/4π) C_ℓ P_ℓ(cosθ) (``mu=0``) or
+    γt(θ) = Σ_ℓ ((2ℓ+1)/4π) C^{gE}_ℓ d^ℓ_{20}(cosθ) (``mu=2``) as ONE
+    static float64 matrix against the lattice convolution output — the
+    curved analog of limber_fft.wtheta_lattice_operator, at identical
+    runtime cost (conv + one matmul, zero gathers).
+
+    The integer-ℓ C's come from Catmull-Rom interpolation of the
+    log-lattice C(s) at s = ln(ℓ + ``ell_offset``) (the Limber ℓ+½
+    argument), composed offline: A[j, :] = Σ_ℓ B[j, ℓ] S[ℓ, :] with the
+    4-tap S rows scatter-accumulated (never densified — ℓ can reach
+    1e5+ for sub-arcminute bins).
+
+    ``theta_key``: θ points in degrees, or bin EDGES with
+    ``bin_average=True`` (closed-form bin-averaged factors — the same
+    ones the curved covariance uses, so prediction and covariance are
+    binned identically).  ``lmax`` (default auto ~16/θ_min, capped at
+    2^17) with a cosine taper over the top ``taper_frac`` of the range
+    suppressing truncation ringing; ``kappa_prefactor`` applies the
+    C^{gκ} → C^{gE} ℓ-factor for ``mu=2`` (exact; off reproduces the
+    naive d^ℓ_{20} sum)."""
+    from chomp_tpu.limber_fft import _lattices
+
+    theta_deg = np.asarray(theta_key, dtype=float)
+    theta_rad = np.radians(theta_deg)
+    if lmax is None:
+        # 64/θ_min: γt is an enclosed-mass statistic (sensitive to all
+        # ℓ ≳ 1/θ), and the tapered tail converges only ~(ℓθ)^-1/2 —
+        # 16/θ left a measured 1% γt shift on doubling at θ = 0.05°,
+        # 64/θ is stable at the 1e-3 level (test_curved_predictions).
+        lmax = int(min(1 << 18, max(2048, 64.0 / theta_rad.min())))
+        if 64.0 / theta_rad.min() > (1 << 18):
+            import warnings
+
+            warnings.warn(
+                f"curved_lattice_operator: theta_min = "
+                f"{theta_deg.min():.2e} deg needs lmax ~ "
+                f"{64.0 / theta_rad.min():.0f} for convergence but the "
+                f"auto cap is {1 << 18} — the smallest bins will be "
+                "truncation-limited.  Pass lmax explicitly, or use the "
+                "flat route for sub-arcminute separations (curvature "
+                "is negligible there anyway).", stacklevel=3)
+    if mu not in (0.0, 2.0, 0, 2):
+        raise ValueError("curved_lattice_operator supports mu in {0, 2}")
+    if bin_average:
+        bf = (legendre_bin_factors if mu == 0
+              else legendre_bin_factors_spin2)
+        b = bf(lmax, theta_rad)                        # (nb, lmax+1)
+    elif mu == 0:
+        b = _legendre_all(lmax, np.cos(theta_rad)).T   # (nt, lmax+1)
+    else:
+        b = _wigner_d_matrix(2, 0, lmax, np.cos(theta_rad)).T
+    ell = np.arange(lmax + 1, dtype=float)
+    wl = (2.0 * ell + 1.0) / (4.0 * np.pi)
+    if mu == 2 and kappa_prefactor:
+        wl = wl * _spin2_kappa_prefactor(lmax)
+    if taper_frac > 0.0:
+        l_t = (1.0 - taper_frac) * lmax
+        tap = np.where(ell <= l_t, 1.0, 0.5 * (1.0 + np.cos(
+            np.pi * np.clip((ell - l_t) / (lmax - l_t), 0.0, 1.0))))
+        wl = wl * tap
+    b = b * wl[None, :]
+
+    # Scatter-accumulate B @ S with the 4-tap Catmull-Rom rows of the
+    # s = ln(ℓ + offset) interpolation (grids.catmull_rom_weights_np
+    # stencil, never built dense: lmax ~ 1e5 × n_out ~ 1e3 won't fit).
+    ln_k, ln_chi = _lattices(grid)
+    dln = float(grid.lattice_dln)
+    s0 = ln_k[0] + ln_chi[0]
+    n_out = len(ln_k) + len(ln_chi) - 1
+    t = (np.log(ell + ell_offset) - s0) / dln
+    i = np.clip(np.floor(t).astype(int), 1, n_out - 3)
+    f = t - i
+    taps = (0.5 * (-f + 2 * f**2 - f**3),
+            0.5 * (2 - 5 * f**2 + 3 * f**3),
+            0.5 * (f + 4 * f**2 - 3 * f**3),
+            0.5 * (-(f**2) + f**3))
+    a = np.zeros((n_out, b.shape[0]))
+    for off, wk in zip((-1, 0, 1, 2), taps):
+        np.add.at(a, i + off, (b * wk[None, :]).T)
+    a = a.T                                             # (nt, n_out)
+    used = np.nonzero(np.any(a != 0.0, axis=0))[0]
+    j_lo, j_hi = int(used[0]), int(used[-1]) + 1
+    return j_lo, j_hi, np.ascontiguousarray(a[:, j_lo:j_hi])
+
+
+def curved_wtheta_fft(cosmo, win_a, win_b, theta_deg, p_lattice,
+                      grid=None, mu: float = 0.0,
+                      ell_offset: float = 0.5, growth_pivot=1.0,
+                      compensated: bool = True, lmax: int | None = None,
+                      taper_frac: float = 0.15,
+                      bin_average: bool = False,
+                      kappa_prefactor: bool = True):
+    """Curved-sky w(θ) (``mu=0``) or γt (``mu=2``) straight from the P
+    lattice — the curved analog of limber_fft.limber_wtheta_fft (same
+    signature shape, same runtime cost: direct lattice convolution →
+    one fused static operator; ``compensated`` uses the two-float
+    contraction for the float32 budget).  Sub-degree separations agree
+    with the flat FFTLog route to the curvature correction (tested);
+    wide-angle bins get the exact sphere geometry the flat route
+    cannot represent.  Separable growth (``growth_pivot``), matching
+    the flat fast path."""
+    import jax
+
+    from chomp_tpu.limber_fft import _conv_direct, _lattice_g
+    from chomp_tpu.ops.df32 import df_contract
+    from chomp_tpu.params import DEFAULT_GRID
+
+    if grid is None:
+        grid = DEFAULT_GRID
+    theta_key = tuple(np.asarray(theta_deg, dtype=float).tolist())
+    j_lo, j_hi, a_np = curved_lattice_operator(
+        theta_key, grid, mu, ell_offset, lmax, taper_frac, bin_average,
+        kappa_prefactor)
+    g = _lattice_g(cosmo, win_a, win_b, grid, growth_pivot)
+    conv = _conv_direct(p_lattice, g, j_lo, j_hi)
+    if compensated:
+        return df_contract(conv, a_np)
+    return jnp.matmul(conv, jnp.asarray(a_np).T,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def curved_wtheta_from_anchors(cosmo, anchors, win_a, win_b, theta_deg,
+                               kind: str, grid=None, mu: float = 0.0,
+                               ell_offset: float = 0.5,
+                               compensated: bool = True,
+                               lmax: int | None = None,
+                               taper_frac: float = 0.15,
+                               bin_average: bool = False,
+                               kappa_prefactor: bool = True):
+    """Exact-z curved-sky w(θ)/γt from prebuilt Chebyshev anchor
+    spectra — the curved analog of limber_fft.limber_wtheta_from_anchors
+    (same anchor convolution, curved multipole operator)."""
+    import jax
+
+    from chomp_tpu.limber_fft import exact_z_conv_from_anchors
+    from chomp_tpu.ops.df32 import df_contract
+    from chomp_tpu.params import DEFAULT_GRID
+
+    if grid is None:
+        grid = DEFAULT_GRID
+    theta_key = tuple(np.asarray(theta_deg, dtype=float).tolist())
+    j_lo, j_hi, a_np = curved_lattice_operator(
+        theta_key, grid, mu, ell_offset, lmax, taper_frac, bin_average,
+        kappa_prefactor)
+    conv = exact_z_conv_from_anchors(cosmo, anchors, win_a, win_b, kind,
+                                     grid, j_lo, j_hi)
+    if compensated:
+        return df_contract(conv, a_np)
+    return jnp.matmul(conv, jnp.asarray(a_np).T,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def curved_gaussian_covariance(cl_fn, theta_edges_deg, n2d, mask,

@@ -86,7 +86,8 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
                   theta_deg=None, z_pivot: float = 0.0,
                   with_bao: bool = False, grid: GridSpec = DEFAULT_GRID,
                   include_lensing: bool = True, method: str = "fft",
-                  exact_z_anchors: int | None = None):
+                  exact_z_anchors: int | None = None,
+                  geometry: str = "flat"):
     """Build the flagship single-cosmology program: halo model ->
     clustering w(theta) (+ lensing gamma_t) — the BASELINE.json configs[4]
     "batched w(theta) lensing+clustering pipeline".
@@ -105,6 +106,15 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
     ``dist.z_max`` at BUILD time, so exact-z mode needs a concrete
     (non-traced) ``dist.z_max`` — vmap the cosmology axis, not the dist.
 
+    ``geometry="curved"`` (fft routes only) swaps the flat FFTLog
+    Hankel for the EXACT curved-sky multipole sums
+    (curved.curved_wtheta_fft / curved_wtheta_from_anchors) at the same
+    runtime cost — one lattice convolution and one static-operator
+    matmul.  Sub-degree bins agree with the flat route to the
+    flat-sky approximation error (~1e-4..4e-3 depending on θ and the
+    ell_offset convention); wide-angle bins (≳ degrees) get the sphere
+    geometry the flat transform cannot represent.
+
     Returns ``fn(cosmo) -> dict`` (pure; jit/vmap/grad-able).
     ``halo_params``/``hod``/``dist`` are closed over but traced, so they
     can also carry batch axes via vmap in_axes if desired (except
@@ -114,6 +124,15 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
 
     from chomp_tpu import halo as halo_mod
     from chomp_tpu import limber_fft
+
+    if geometry not in ("flat", "curved"):
+        raise ValueError(f"geometry must be 'flat' or 'curved', got "
+                         f"{geometry!r}")
+    if geometry == "curved" and method != "fft":
+        raise ValueError(
+            "geometry='curved' requires method='fft' (the curved "
+            "multipole operators consume the lattice convolution; the "
+            "table route has no integer-ell surface)")
 
     if theta_deg is None:
         theta_deg = correlation.theta_bins_deg(grid)
@@ -138,12 +157,24 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
         if method == "fft" and exact_z_anchors:
             # p_kind_table carries the SHARED anchor spectra here (one
             # halo sweep for gg+gm; the y-matrices dominate).
+            if geometry == "curved":
+                from chomp_tpu.curved import curved_wtheta_from_anchors
+
+                return curved_wtheta_from_anchors(
+                    cosmo, p_kind_table, wa, wb, theta_key, kind, grid,
+                    mu=mu)
             return limber_fft.limber_wtheta_from_anchors(
                 cosmo, p_kind_table, wa, wb, theta_key, kind, grid, mu=mu)
         if method == "fft":
             # Fused lattice route: conv -> one f64-composed operator with
             # two-float accumulation (skips the f32 C_ell intermediate —
             # the dominant term of the f32 error budget, NUMERICS.md §6).
+            if geometry == "curved":
+                from chomp_tpu.curved import curved_wtheta_fft
+
+                return curved_wtheta_fft(
+                    cosmo, wa, wb, theta_key, p_kind_table[kind], grid,
+                    mu=mu, growth_pivot=model.mass.growth)
             return limber_fft.limber_wtheta_fft(
                 cosmo, wa, wb, theta_key, p_kind_table[kind], grid, mu=mu,
                 growth_pivot=model.mass.growth)

@@ -15,16 +15,36 @@ from chomp_tpu.curved import (
     SphericalCapMask,
     UniformSphereMask,
     _legendre_all,
+    _spin2_kappa_prefactor,
     _wigner_d_matrix,
     _xi_matrices_impl,
     curved_gaussian_block,
     curved_gaussian_covariance,
     curved_pair_normalization,
+    curved_wtheta_fft,
     legendre_bin_factors,
     legendre_bin_factors_spin2,
 )
 
 EDGES_DEG = np.array([0.05, 0.1, 0.2, 0.4])
+
+
+@pytest.fixture(scope="module")
+def pred_setup(fiducial):
+    """Shared window + linear-P lattice for the prediction tests."""
+    import jax.numpy as jnp
+
+    from chomp_tpu import limber_fft, linear, projection
+
+    dist = projection.DNdzGaussian(
+        z_min=jnp.asarray(0.0), z_max=jnp.asarray(2.0),
+        z0=jnp.asarray(1.0), sigma_z=jnp.asarray(0.2))
+    win = projection.WindowGalaxy(dist=dist)
+    from chomp_tpu.params import DEFAULT_GRID as grid
+
+    p = linear.linear_power(
+        fiducial, jnp.asarray(np.exp(limber_fft.k_lattice(grid))))
+    return fiducial, win, p, grid
 
 
 def cl_powerlaw(ells):
@@ -275,3 +295,129 @@ def test_wide_cap_structure():
     c1 = np.asarray(f(1.0))
     c2 = np.asarray(f(2.0))
     np.testing.assert_allclose(c2, 4.0 * c1, rtol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Curved-sky observable predictions
+# ---------------------------------------------------------------------------
+
+def test_curved_operator_exact_vs_direct(pred_setup):
+    """The fused operator path (scatter-composed Catmull-Rom + taper +
+    κ prefactor) equals a direct dense multipole sum over the SAME
+    interpolated integer-ℓ C's to float64 roundoff — for both spin
+    kernels."""
+    import jax.numpy as jnp
+
+    from chomp_tpu import limber_fft
+
+    cosmo, win, p, grid = pred_setup
+    theta = np.array([0.1, 0.5, 2.0])
+    lmax = 4000
+    ells_int = np.arange(lmax + 1, dtype=float)
+    cl = np.asarray(limber_fft.limber_cl_fft(
+        cosmo, win, win, ells_int, p, grid))      # applies its own +0.5
+    wl = (2.0 * ells_int + 1.0) / (4.0 * np.pi)
+    l_t = 0.85 * lmax
+    tap = np.where(ells_int <= l_t, 1.0, 0.5 * (1.0 + np.cos(
+        np.pi * (ells_int - l_t) / (lmax - l_t))))
+    x = np.cos(np.radians(theta))
+    direct0 = (wl * tap * cl) @ _legendre_all(lmax, x)
+    op0 = np.asarray(curved_wtheta_fft(cosmo, win, win, theta, p, grid,
+                                       mu=0.0, lmax=lmax))
+    np.testing.assert_allclose(op0, direct0, rtol=1e-12)
+    direct2 = (wl * tap * cl * _spin2_kappa_prefactor(lmax)) \
+        @ _wigner_d_matrix(2, 0, lmax, x)
+    op2 = np.asarray(curved_wtheta_fft(cosmo, win, win, theta, p, grid,
+                                       mu=2.0, lmax=lmax))
+    np.testing.assert_allclose(op2, direct2, rtol=1e-12)
+
+
+def test_curved_flat_limit_and_convention(pred_setup):
+    """At sub-degree θ the exact curved sums match the ν-ALIGNED flat
+    transform (flat route with ell_offset=0: C(k=ν/χ) paired with
+    J(νθ)) to ≤1e-4 — while the flat DEFAULT (C(ℓ+½) paired with
+    J(ℓθ)) differs by the documented few×1e-3 half-step convention
+    artifact.  The curved route referees the flat convention."""
+    from chomp_tpu import limber_fft
+
+    cosmo, win, p, grid = pred_setup
+    th = np.array([0.05, 0.1, 0.2, 0.5])
+    for mu in (0.0, 2.0):
+        wf0 = np.asarray(limber_fft.limber_wtheta_fft(
+            cosmo, win, win, tuple(th.tolist()), p, grid, mu=mu,
+            ell_offset=0.0))
+        wf5 = np.asarray(limber_fft.limber_wtheta_fft(
+            cosmo, win, win, tuple(th.tolist()), p, grid, mu=mu))
+        wc = np.asarray(curved_wtheta_fft(cosmo, win, win, th, p, grid,
+                                          mu=mu))
+        rel_aligned = np.max(np.abs(wc / wf0 - 1.0))
+        rel_default = np.max(np.abs(wc / wf5 - 1.0))
+        assert rel_aligned < 1e-4, (mu, rel_aligned)
+        assert 5e-4 < rel_default < 6e-3, (mu, rel_default)
+
+
+def test_curved_bin_average_and_stability(pred_setup):
+    """bin_average=True equals the μ-weighted quadrature average of the
+    point operator over each bin (same lmax/taper), and the auto-lmax
+    point values are stable under lmax doubling at ≤2e-4."""
+    cosmo, win, p, grid = pred_setup
+    edges = np.array([0.2, 0.4, 0.8, 1.6])
+    lmax = 12000
+    xq, wq = np.polynomial.legendre.leggauss(48)
+    for mu in (0.0, 2.0):
+        wb = np.asarray(curved_wtheta_fft(cosmo, win, win, edges, p,
+                                          grid, mu=mu, bin_average=True,
+                                          lmax=lmax))
+        mu_e = np.cos(np.radians(edges))
+        ref = np.empty(len(edges) - 1)
+        for i in range(len(edges) - 1):
+            lo, hi = mu_e[i + 1], mu_e[i]
+            mu_q = 0.5 * (hi - lo) * xq + 0.5 * (hi + lo)
+            th_q = np.degrees(np.arccos(mu_q))
+            wp = np.asarray(curved_wtheta_fft(
+                cosmo, win, win, th_q, p, grid, mu=mu, lmax=lmax))
+            ref[i] = np.sum(0.5 * wq * wp)
+        np.testing.assert_allclose(wb, ref, rtol=2e-6)
+        th = np.array([0.1, 0.5, 2.0])
+        lm_auto = int(max(2048, 64.0 / np.radians(th.min())))
+        w1 = np.asarray(curved_wtheta_fft(cosmo, win, win, th, p, grid,
+                                          mu=mu))
+        w2 = np.asarray(curved_wtheta_fft(cosmo, win, win, th, p, grid,
+                                          mu=mu, lmax=2 * lm_auto,
+                                          taper_frac=0.08))
+        assert np.max(np.abs(w2 / w1 - 1.0)) < 2e-4, mu
+
+
+def test_curved_pipeline_geometry(fiducial):
+    """make_pipeline(geometry='curved') runs end-to-end (separable AND
+    exact-z anchor routes) on wide bins and matches the flat pipeline
+    at the flat-sky-approximation level."""
+    import jax.numpy as jnp
+
+    from chomp_tpu.params import GridSpec, default_halo
+    from chomp_tpu.parallel.sweep import make_pipeline
+    from chomp_tpu.hod import default_hod
+    from chomp_tpu import projection
+
+    grid = GridSpec(n_mass=64, n_ell=64, n_theta=8,
+                    theta_min_deg=0.1, theta_max_deg=2.0)
+    dist = projection.DNdzGaussian(
+        z_min=jnp.asarray(0.2), z_max=jnp.asarray(1.2),
+        z0=jnp.asarray(0.6), sigma_z=jnp.asarray(0.15))
+    hod = default_hod()
+    kw = dict(z_pivot=0.6, grid=grid)
+    flat = make_pipeline(default_halo(), hod, dist, **kw)(fiducial)
+    curv = make_pipeline(default_halo(), hod, dist, geometry="curved",
+                         **kw)(fiducial)
+    for key in ("w_theta", "gamma_t"):
+        f = np.asarray(flat[key])
+        c = np.asarray(curv[key])
+        assert np.all(np.isfinite(c))
+        np.testing.assert_allclose(c, f, rtol=2e-2, err_msg=key)
+    curv_ez = make_pipeline(default_halo(), hod, dist, geometry="curved",
+                            exact_z_anchors=4, **kw)(fiducial)
+    assert np.all(np.isfinite(np.asarray(curv_ez["w_theta"])))
+    assert np.all(np.isfinite(np.asarray(curv_ez["gamma_t"])))
+    with pytest.raises(ValueError, match="geometry"):
+        make_pipeline(default_halo(), hod, dist, method="table",
+                      geometry="curved", **kw)
