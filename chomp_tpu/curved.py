@@ -65,6 +65,12 @@ d^ℓ_{20} = P²_ℓ/√((ℓ-1)ℓ(ℓ+1)(ℓ+2)) (gamma_t(θ) =
 
 from P²_ℓ = (1-μ²) P_ℓ'' and Legendre's equation.
 
+Masks: SphericalCapMask (analytic reference), ProfileCurvedMask
+(azimuthally symmetric radial profiles), PixelSphereMask (ANY
+footprint from an iso-latitude pixel weight map — ring-pair FFT pair
+counts with an exact discreteness-cancelling ratio estimator),
+UniformSphereMask (degenerate full sky).
+
 All geometry (masks, Ξ, bin factors) is static numpy built once and
 cached; the cosmology-dependent C_ℓ vectors contract against them in
 dense HIGHEST-precision matmuls — the TPU-first pattern of the rest
@@ -95,6 +101,7 @@ import numpy as np
 __all__ = [
     "SphericalCapMask",
     "ProfileCurvedMask",
+    "PixelSphereMask",
     "UniformSphereMask",
     "legendre_bin_factors",
     "legendre_bin_factors_spin2",
@@ -385,6 +392,128 @@ class ProfileCurvedMask:
         support = self._theta[self._w > 1e-12]
         width = float(support.max()) if support.size else np.pi
         return np.pi / max(width, 1e-6)
+
+
+class PixelSphereMask:
+    """General curved-sky footprint from a pixel weight map W in [0, 1]
+    on an iso-latitude grid — the sphere analog of mask.PixelMask
+    (arbitrary shapes, holes, weights; NO azimuthal symmetry required,
+    unlike SphericalCapMask / ProfileCurvedMask).
+
+    Grid convention: ``w_map[r, c]`` lives at colatitude
+    θ_r = (r+½)π/n_ring, azimuth φ_c = 2πc/n_phi, pixel solid angle
+    Ω_r = sinθ_r Δθ Δφ.  Every covariance ingredient reduces to the
+    azimuthally averaged pair functions, computed as exact pair sums
+    over the grid,
+
+        P_V[bin] = Σ_{pq} V_p V_q Ω_p Ω_q [θ_pq ∈ bin],  V ∈ {W, W²},
+
+    ring-pair by ring-pair with ONE circular FFT cross-correlation in
+    relative azimuth per ring (iso-latitude ⇒ the separation depends
+    on Δφ only; O(n_ring² n_phi) total, seconds at 256×512).  The
+    continuum pair function is the RATIO estimator
+
+        R̄_V(θ) = 4π · P_V[bin] / P_1[bin]
+
+    with P_1 the same histogram for W ≡ 1 over the FULL sphere (closed
+    form per (ring, ring′, Δφ): Ω_r Ω_r′ per azimuth offset — no FFT):
+    pixelization discreteness cancels exactly, so uniform weights
+    reproduce UniformSphereMask to machine precision — the curved
+    analog of the flat PixelMask's count-corrected shells.  The θ = 0
+    anchors are exact (R̄(0) = A₂, R̄₂(0) = A₄, so ξ_{W²}(1) = A₄/4π
+    and the delta-limit Parseval row sum holds by construction).
+
+    Resolution bounds the representable mask band-limit at
+    ~min(n_ring, n_phi/2); sub-pixel features are smoothed.  Hashes by
+    map content so the Ξ-matrix cache works."""
+
+    def __init__(self, w_map, n_sep_bins: int | None = None):
+        w = np.asarray(w_map, dtype=float)
+        if w.ndim != 2:
+            raise ValueError(
+                "PixelSphereMask needs a 2-D (n_ring, n_phi) weight map")
+        n_ring, n_phi = w.shape
+        if n_sep_bins is None:
+            # Separation bins ~2 pixel spacings: finer bins sample the
+            # sphere non-uniformly within a bin (same-ring neighbors
+            # dominate sub-pixel separations near the poles) and bias
+            # the ratio estimator catastrophically — measured ≲3%
+            # against the analytic cap at n_ring/2, ±30% at 2·n_ring.
+            n_sep_bins = max(64, n_ring // 2)
+        dth = np.pi / n_ring
+        dph = 2.0 * np.pi / n_phi
+        theta_r = (np.arange(n_ring) + 0.5) * dth
+        omega_r = np.sin(theta_r) * dth * dph
+        self.n_ring, self.n_phi = n_ring, n_phi
+        self.area2 = float(np.sum(w**2 * omega_r[:, None]))
+        self.area4 = float(np.sum(w**4 * omega_r[:, None]))
+        if self.area2 <= 0.0:
+            raise ValueError("PixelSphereMask: empty weight map")
+        ct, st = np.cos(theta_r), np.sin(theta_r)
+        cdphi = np.cos(np.arange(n_phi) * dph)
+        f_w = np.fft.fft(w * omega_r[:, None], axis=1)
+        f_w2 = np.fft.fft(w**2 * omega_r[:, None], axis=1)
+        h_w = np.zeros(n_sep_bins)
+        h_w2 = np.zeros(n_sep_bins)
+        h_1 = np.zeros(n_sep_bins)
+        scale = n_sep_bins / np.pi
+        for r in range(n_ring):
+            mu_sep = np.clip(ct[r] * ct[:, None]
+                             + st[r] * st[:, None] * cdphi[None, :],
+                             -1.0, 1.0)
+            idx = np.minimum((np.arccos(mu_sep) * scale).astype(int),
+                             n_sep_bins - 1).ravel()
+            # Circular correlation over relative azimuth (k ↔ n-k both
+            # carry the same cos Δφ, so the binning is convention-free).
+            c_w = np.real(np.fft.ifft(f_w[r][None, :] * np.conj(f_w),
+                                      axis=1)).ravel()
+            c_w2 = np.real(np.fft.ifft(f_w2[r][None, :] * np.conj(f_w2),
+                                       axis=1)).ravel()
+            # n_phi ordered pixel pairs share each azimuth offset k.
+            c_1 = np.broadcast_to(
+                (n_phi * omega_r[r] * omega_r)[:, None],
+                (n_ring, n_phi)).ravel()
+            h_w += np.bincount(idx, weights=c_w, minlength=n_sep_bins)
+            h_w2 += np.bincount(idx, weights=c_w2, minlength=n_sep_bins)
+            h_1 += np.bincount(idx, weights=c_1, minlength=n_sep_bins)
+        centers = (np.arange(n_sep_bins) + 0.5) * np.pi / n_sep_bins
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r_w = np.where(h_1 > 0, 4.0 * np.pi * h_w / h_1, 0.0)
+            r_w2 = np.where(h_1 > 0, 4.0 * np.pi * h_w2 / h_1, 0.0)
+        # Exact θ = 0 anchors (continuum limits; the first-bin ratios
+        # land within O(pixel) of these already).
+        self._nodes = np.concatenate(([0.0], centers, [np.pi]))
+        self._r_w = np.concatenate(([self.area2], r_w, [r_w[-1]]))
+        self._r_w2 = np.concatenate(([self.area4], r_w2, [r_w2[-1]]))
+        self._hash = hash((w.tobytes(), n_sep_bins))
+
+    def __hash__(self):
+        return self._hash
+
+    def __eq__(self, other):
+        return (isinstance(other, PixelSphereMask)
+                and self._hash == other._hash)
+
+    def pair_function(self, theta):
+        return np.interp(np.atleast_1d(np.asarray(theta, float)),
+                         self._nodes, self._r_w)
+
+    def pair_function2(self, theta):
+        return np.interp(np.atleast_1d(np.asarray(theta, float)),
+                         self._nodes, self._r_w2)
+
+    def xi_w2(self, mu):
+        theta = np.arccos(np.clip(
+            np.atleast_1d(np.asarray(mu, float)), -1.0, 1.0))
+        return self.pair_function2(theta) / (4.0 * np.pi)
+
+    @property
+    def coupling_ell(self) -> float:
+        """π over the cap-equivalent radius (exact cap inversion of
+        A₂, valid up to fsky → 1 where it tends to π/π = 1)."""
+        radius = np.arccos(np.clip(
+            1.0 - self.area2 / (2.0 * np.pi), -1.0, 1.0))
+        return float(np.pi / max(radius, 1e-6))
 
 
 def curved_pair_normalization(mask, theta_edges_rad, n_theta: int = 512,
