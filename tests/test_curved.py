@@ -530,3 +530,151 @@ def test_pixel_sphere_two_caps():
     assert np.all(m.pair_function2(gap) < 1e-3 * m.area2)
     bump = m.pair_function2(np.linspace(sep - 0.05, sep + 0.05, 11))
     assert np.all(bump > 0.01 * m.area2)
+
+
+# ---------------------------------------------------------------------------
+# Spherical-harmonic Monte Carlo referee (non-azimuthal mask)
+# ---------------------------------------------------------------------------
+
+def _sht_lambda_tables(lmax, x):
+    """Orthonormal associated Legendre λ_lm(x) = N_lm P_l^m, listed per
+    m as (lmax+1-m, len(x)) arrays (stable m-diagonal seed + upward ℓ
+    recursion; round-trip exact to 7e-12, asserted in the referee)."""
+    x = np.asarray(x, float)
+    sx = np.sqrt(np.maximum(1.0 - x * x, 0.0))
+    out = []
+    lam_mm = np.full_like(x, np.sqrt(1.0 / (4.0 * np.pi)))
+    for m in range(lmax + 1):
+        rows = np.zeros((lmax + 1 - m, x.size))
+        rows[0] = lam_mm
+        if m + 1 <= lmax:
+            rows[1] = x * np.sqrt(2.0 * m + 3.0) * lam_mm
+        for ell in range(m + 2, lmax + 1):
+            a = np.sqrt((4.0 * ell * ell - 1.0) / (ell * ell - m * m))
+            b = np.sqrt(((ell - 1.0) ** 2 - m * m)
+                        / (4.0 * (ell - 1.0) ** 2 - 1.0))
+            rows[ell - m] = a * (x * rows[ell - m - 1]
+                                 - b * rows[ell - m - 2])
+        out.append(rows)
+        lam_mm = -np.sqrt((2.0 * m + 3.0) / (2.0 * m + 2.0)) * sx * lam_mm
+    return out
+
+
+def _sht_synth(lams, a_re, a_im, n_phi):
+    """Batched synthesis: maps (n_real, n_lat, n_phi) from per-m
+    coefficient batches (FFT in azimuth)."""
+    n_real, n_lat = a_re[0].shape[0], lams[0].shape[1]
+    spec = np.zeros((n_real, n_lat, n_phi // 2 + 1), dtype=complex)
+    for m in range(len(lams)):
+        spec[:, :, m] = ((a_re[m] + 1j * a_im[m]) @ lams[m]).conj()
+    return np.fft.irfft(spec.conj(), n=n_phi, axis=2) * n_phi
+
+
+def _sht_pseudo_power(lams, maps, wq, n_phi):
+    """Pseudo-power P̃_ℓ = Σ_m |ã_ℓm|² of (n_real, n_lat, n_phi) maps
+    (GL quadrature in latitude, FFT in azimuth)."""
+    f = np.fft.rfft(maps, axis=2) * (2.0 * np.pi / n_phi)
+    lmax = len(lams) - 1
+    ps = np.zeros((maps.shape[0], lmax + 1))
+    for m in range(lmax + 1):
+        alm = (f[:, :, m] * wq[None, :]) @ lams[m].T
+        ps[:, m:] += (1.0 if m == 0 else 2.0) * np.abs(alm) ** 2
+    return ps
+
+
+def _two_cap_indicator(th, ph, rad, center2):
+    def mu_to(center):
+        ct0, st0 = np.cos(center[0]), np.sin(center[0])
+        return (ct0 * np.cos(th)[:, None] + st0 * np.sin(th)[:, None]
+                * np.cos(ph[None, :] - center[1]))
+    return ((mu_to((0.0, 0.0)) >= np.cos(rad))
+            | (mu_to(center2) >= np.cos(rad))).astype(float)
+
+
+def test_curved_block_mc_referee_nonazimuthal():
+    """End-to-end sphere Monte Carlo for a genuinely NON-azimuthal
+    footprint (two disjoint 25° caps): Gaussian a_ℓm realizations
+    synthesized on a GL×FFT grid, masked, pseudo-powers analyzed, the
+    pair-normalized estimator w_hat_i = 2π Σ t_ℓ P̃_ℓ / D_i accumulated
+    over 1024 realizations — against curved_gaussian_block driven by a
+    PixelSphereMask of the same footprint (full coupling,
+    ell_split=lmax).  Asserts: SHT round trip exact; diagonal within
+    [0.8, 1.3] of MC (NKA is measured ~+3..14% conservative here, MC
+    noise ~5%); correlation structure within 0.16 absolute; the naive
+    full-sky prediction is wrong by >5x (discrimination)."""
+    from chomp_tpu.curved import (PixelSphereMask, UniformSphereMask,
+                                  curved_gaussian_block)
+
+    lmax, n_lat, n_phi = 96, 128, 256
+    xg, wq = np.polynomial.legendre.leggauss(n_lat)
+    th_g = np.arccos(xg)
+    ph_g = np.arange(n_phi) * 2 * np.pi / n_phi
+    lams = _sht_lambda_tables(lmax, xg)
+
+    # SHT round trip (unmasked pseudo-power == Σ_m fac |a|² exactly)
+    rng = np.random.default_rng(1)
+    a_re = [rng.standard_normal((2, lmax + 1 - m)) for m in range(lmax + 1)]
+    a_im = [rng.standard_normal((2, lmax + 1 - m)) for m in range(lmax + 1)]
+    a_im[0][:] = 0.0
+    ps = _sht_pseudo_power(lams, _sht_synth(lams, a_re, a_im, n_phi),
+                           wq, n_phi)
+    ps_direct = np.zeros((2, lmax + 1))
+    for m in range(lmax + 1):
+        ps_direct[:, m:] += ((1.0 if m == 0 else 2.0)
+                             * (a_re[m] ** 2 + a_im[m] ** 2))
+    np.testing.assert_allclose(ps, ps_direct, rtol=1e-10)
+
+    rad = np.radians(25.0)
+    center2 = (2.2, 1.0)
+    w_gl = _two_cap_indicator(th_g, ph_g, rad, center2)
+    th_pix = (np.arange(256) + 0.5) * np.pi / 256
+    ph_pix = np.arange(512) * 2 * np.pi / 512
+    pixmask = PixelSphereMask(_two_cap_indicator(th_pix, ph_pix, rad,
+                                                 center2))
+
+    edges_deg = np.array([2.0, 4.0, 8.0, 16.0])
+    edges = np.radians(edges_deg)
+    dmu = np.cos(edges[:-1]) - np.cos(edges[1:])
+    t_l = legendre_bin_factors(lmax, edges) * dmu[:, None]
+    d_i = curved_pair_normalization(pixmask, edges)
+
+    ells = np.arange(lmax + 1, dtype=float)
+    cl_vec = 1.0e-6 / (1.0 + (ells / 20.0) ** 2.0)
+    rng = np.random.default_rng(7)
+    n_real, chunk = 1024, 128
+    w_hats = []
+    for _ in range(n_real // chunk):
+        a_re = [rng.standard_normal((chunk, lmax + 1 - m))
+                for m in range(lmax + 1)]
+        a_im = [rng.standard_normal((chunk, lmax + 1 - m))
+                for m in range(lmax + 1)]
+        for m in range(lmax + 1):
+            sig = np.sqrt(cl_vec[m:] / (1.0 if m == 0 else 2.0))
+            a_re[m] *= sig
+            a_im[m] *= sig
+        a_im[0][:] = 0.0
+        maps = _sht_synth(lams, a_re, a_im, n_phi)
+        ps = _sht_pseudo_power(lams, maps * w_gl[None, :, :], wq, n_phi)
+        w_hats.append((2.0 * np.pi * ps @ t_l.T) / d_i[None, :])
+    cov_mc = np.cov(np.concatenate(w_hats).T)
+
+    def cl_fn(e):
+        e = np.asarray(e, dtype=float)
+        return 1.0e-6 / (1.0 + (e / 20.0) ** 2.0)
+
+    cov_pred = np.asarray(curved_gaussian_block(
+        cl_fn, cl_fn, cl_fn, cl_fn, edges_deg, edges_deg, pixmask,
+        ell_max=lmax, ell_split=lmax))
+    ratio = np.diag(cov_pred) / np.diag(cov_mc)
+    assert np.all((ratio > 0.8) & (ratio < 1.3)), ratio
+    nrm = np.sqrt(np.outer(np.diag(cov_mc), np.diag(cov_mc)))
+    assert np.max(np.abs(cov_pred / nrm - cov_mc / nrm)) < 0.25
+    off = np.abs(cov_pred / np.sqrt(np.outer(np.diag(cov_pred),
+                                             np.diag(cov_pred)))
+                 - cov_mc / nrm)
+    assert np.max(off[~np.eye(3, dtype=bool)]) < 0.16, off
+
+    cov_full = np.asarray(curved_gaussian_block(
+        cl_fn, cl_fn, cl_fn, cl_fn, edges_deg, edges_deg,
+        UniformSphereMask(), ell_max=lmax))
+    assert np.all(np.diag(cov_full) / np.diag(cov_mc) < 0.2)
