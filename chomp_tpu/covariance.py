@@ -821,6 +821,42 @@ def nongaussian_covariance(cosmo: CosmoParams, halo_p: HaloParams,
                               / np.outer(d_i, d_j))
 
 
+def lattice_cl_callables(cosmo, halo_p, model, dist_lens, dist_src,
+                         with_bao: bool = False,
+                         grid: GridSpec = DEFAULT_GRID):
+    """(cl_gg, cl_gk, cl_kk) closures over static numpy ℓ grids, fed by
+    ONE halo evaluation on the gather-free log-convolution lattice
+    (limber_fft.limber_cl_fft — the flagship fast path; y-matrices
+    shared across mm/gm/gg).  The building block of the TPU-first joint
+    covariance, shared by the flat (joint_wtheta_gammat_covariance) and
+    curved (curved.curved_joint_wtheta_gammat_covariance) assemblies."""
+    from chomp_tpu import limber_fft
+    from chomp_tpu.projection import WindowConvergence, WindowGalaxy
+
+    win_g = WindowGalaxy(dist=dist_lens)
+    win_k = WindowConvergence(dist=dist_src)
+    p_lat = limber_fft.p_lattice_halo_all(cosmo, halo_p, model,
+                                          with_bao, grid)
+    piv = model.mass.growth
+
+    def cl_gg(ells_np):
+        return limber_fft.limber_cl_fft(cosmo, win_g, win_g, ells_np,
+                                        p_lat["power_gg"], grid,
+                                        growth_pivot=piv)
+
+    def cl_gk(ells_np):
+        return limber_fft.limber_cl_fft(cosmo, win_g, win_k, ells_np,
+                                        p_lat["power_gm"], grid,
+                                        growth_pivot=piv)
+
+    def cl_kk(ells_np):
+        return limber_fft.limber_cl_fft(cosmo, win_k, win_k, ells_np,
+                                        p_lat["power_mm"], grid,
+                                        growth_pivot=piv)
+
+    return cl_gg, cl_gk, cl_kk
+
+
 def joint_wtheta_gammat_covariance(cosmo: CosmoParams, halo_p: HaloParams,
                                    model, dist_lens, dist_src,
                                    theta_edges_deg, omega_s_sr,
@@ -858,7 +894,7 @@ def joint_wtheta_gammat_covariance(cosmo: CosmoParams, halo_p: HaloParams,
     ``mask`` (chomp_tpu.mask surface): footprint treatment at the
     fsky/pair-count level for EVERY block (see gaussian_block);
     ``omega_s_sr`` is then ignored."""
-    from chomp_tpu import limber_fft, projection
+    from chomp_tpu import projection
     from chomp_tpu.projection import WindowConvergence, WindowGalaxy
 
     from chomp_tpu import halo as halo_mod
@@ -867,26 +903,8 @@ def joint_wtheta_gammat_covariance(cosmo: CosmoParams, halo_p: HaloParams,
     win_g = WindowGalaxy(dist=dist_lens)
     win_k = WindowConvergence(dist=dist_src)
     if cl_method == "lattice":
-        # ONE halo evaluation on the conv lattice feeds all three C_ell
-        # routes (y-matrices shared across mm/gm/gg).
-        p_lat = limber_fft.p_lattice_halo_all(cosmo, halo_p, model,
-                                              with_bao, grid)
-        piv = model.mass.growth
-
-        def cl_gg(ells_np):
-            return limber_fft.limber_cl_fft(cosmo, win_g, win_g, ells_np,
-                                            p_lat["power_gg"], grid,
-                                            growth_pivot=piv)
-
-        def cl_gk(ells_np):
-            return limber_fft.limber_cl_fft(cosmo, win_g, win_k, ells_np,
-                                            p_lat["power_gm"], grid,
-                                            growth_pivot=piv)
-
-        def cl_kk(ells_np):
-            return limber_fft.limber_cl_fft(cosmo, win_k, win_k, ells_np,
-                                            p_lat["power_mm"], grid,
-                                            growth_pivot=piv)
+        cl_gg, cl_gk, cl_kk = lattice_cl_callables(
+            cosmo, halo_p, model, dist_lens, dist_src, with_bao, grid)
     elif cl_method == "table":
         ln_k_np, dln = loggrid(grid.k_table_min, grid.k_table_max,
                                grid.n_k_table)

@@ -108,6 +108,7 @@ __all__ = [
     "curved_pair_normalization",
     "curved_gaussian_block",
     "curved_gaussian_covariance",
+    "curved_joint_wtheta_gammat_covariance",
     "curved_lattice_operator",
     "curved_wtheta_fft",
     "curved_wtheta_from_anchors",
@@ -892,6 +893,77 @@ def curved_wtheta_from_anchors(cosmo, anchors, win_a, win_b, theta_deg,
         return df_contract(conv, a_np)
     return jnp.matmul(conv, jnp.asarray(a_np).T,
                       precision=jax.lax.Precision.HIGHEST)
+
+
+def curved_joint_wtheta_gammat_covariance(
+        cosmo, halo_p, model, dist_lens, dist_src, theta_edges_deg,
+        n2d_lens, shape_noise, mask, ell_max: int = 4096,
+        ell_split: int | None = None, with_bao: bool = False,
+        grid=None, include_nongaussian: bool = False, **ng_kwargs):
+    """Joint [w_gg, γt] covariance on a masked SPHERE — the curved
+    analog of covariance.joint_wtheta_gammat_covariance, with the same
+    TPU-first dataflow: the three C_ℓ's come from ONE halo evaluation
+    on the gather-free log-convolution lattice
+    (covariance.lattice_cl_callables), contracted against the static
+    curved geometry (Legendre / d^ℓ_{20} bin factors, Wigner-d Ξ
+    coupling kernels for ``mask``).  jit/vmap/grad-able over ``cosmo``.
+
+    ``mask`` is any curved-mask surface (SphericalCapMask /
+    ProfileCurvedMask / PixelSphereMask / UniformSphereMask).
+    ``shape_noise`` = σ_ε²/n2d_src, as in the flat builder.  ``ell_max``
+    truncates the multipole sums — use bins ≳ 10/ell_max radians.
+
+    ``include_nongaussian=True`` adds the connected (trispectrum)
+    blocks via the FLAT projected-trispectrum engine at the effective
+    uniform area Ω_eff = A₂²/A₄ (``ng_kwargs`` forwarded to
+    covariance.nongaussian_covariance): the cNG term is broadband and
+    footprint-coupling corrections to it are higher-order — the same
+    uniform-Ω treatment chomp applied to its entire covariance.  The
+    spin-2 legs use C^{gκ} directly (the C^{gκ}→C^{gE} ℓ-prefactor is
+    sub-0.2% at ℓ ≥ 20 and is applied exactly in the PREDICTION
+    operator, curved_lattice_operator)."""
+    from chomp_tpu.covariance import lattice_cl_callables
+    from chomp_tpu.params import DEFAULT_GRID
+
+    if grid is None:
+        grid = DEFAULT_GRID
+    cl_gg, cl_gk, cl_kk = lattice_cl_callables(
+        cosmo, halo_p, model, dist_lens, dist_src, with_bao, grid)
+    edges = theta_edges_deg
+    n_g = 1.0 / float(n2d_lens)
+    kw = dict(ell_max=ell_max, ell_split=ell_split)
+    cov_ww = curved_gaussian_block(cl_gg, cl_gg, cl_gg, cl_gg, edges,
+                                   edges, mask, 0, 0, n_g, n_g, n_g,
+                                   n_g, **kw)
+    cov_wg = curved_gaussian_block(cl_gg, cl_gk, cl_gk, cl_gg, edges,
+                                   edges, mask, 0, 2, n_g, 0.0, 0.0,
+                                   n_g, **kw)
+    cov_gg = curved_gaussian_block(cl_gg, cl_kk, cl_gk, cl_gk, edges,
+                                   edges, mask, 2, 2, n_g,
+                                   float(shape_noise), 0.0, 0.0, **kw)
+    if include_nongaussian:
+        from chomp_tpu.covariance import nongaussian_covariance
+        from chomp_tpu.projection import WindowConvergence, WindowGalaxy
+
+        omega_eff = mask.area2**2 / mask.area4
+        win_g = WindowGalaxy(dist=dist_lens)
+        win_k = WindowConvergence(dist=dist_src)
+        common = dict(with_bao=with_bao, grid=grid, **ng_kwargs)
+        cov_ww = cov_ww + nongaussian_covariance(
+            cosmo, halo_p, model, dist_lens, edges, omega_eff,
+            windows=(win_g,) * 4, tracers=("g",) * 4,
+            mu_i=0, mu_j=0, **common)
+        cov_wg = cov_wg + nongaussian_covariance(
+            cosmo, halo_p, model, dist_lens, edges, omega_eff,
+            windows=(win_g, win_g, win_g, win_k),
+            tracers=("g", "g", "g", "m"), mu_i=0, mu_j=2, **common)
+        cov_gg = cov_gg + nongaussian_covariance(
+            cosmo, halo_p, model, dist_lens, edges, omega_eff,
+            windows=(win_g, win_k, win_g, win_k),
+            tracers=("g", "m", "g", "m"), mu_i=2, mu_j=2, **common)
+    top = jnp.concatenate([cov_ww, cov_wg], axis=1)
+    bot = jnp.concatenate([cov_wg.T, cov_gg], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
 
 
 def curved_gaussian_covariance(cl_fn, theta_edges_deg, n2d, mask,
