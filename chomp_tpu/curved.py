@@ -570,7 +570,14 @@ def _xi_matrices_impl(mask, ell_split: int, kinds: tuple):
             # Even-parity (pseudo-E) projection: the gamma_t auto
             # kernel.  Measured flat limit on a small cap:
             # 0.998 ± 0.009 of the flat module's MC-validated
-            # ½(K₀+K₄) = <|W̃₂|² cos²2φ> kernel.
+            # ½(K₀+K₄) = <|W̃₂|² cos²2φ> kernel.  Directly validated
+            # on the SPHERE by the spin-2 SHT Monte Carlo
+            # (tests/test_curved.py::test_curved_spin2_mc_referee):
+            # gt-auto diagonal within +2..24% of MC (conservative) on
+            # a 25° cap AND a non-azimuthal two-cap footprint, even at
+            # footprint-scale bins — far tighter than the flat
+            # module's ~1.6x there (sphere kernels carry the exact
+            # curved bin geometry the flat wedge coupling misses).
             d2m2 = _wigner_d_matrix(2, -2, ell_split, x)
             out["P"] = 0.5 * (q + 0.5 * ((d2m2 * wxi[None, :])
                                          @ d2m2.T))

@@ -739,3 +739,298 @@ def test_curved_joint_covariance(fiducial):
         UniformSphereMask(), ell_max=2048, grid=g))
     scale_u = np.sqrt(np.outer(np.diag(flat_u), np.diag(flat_u)))
     assert np.max(np.abs(curv_u - flat_u) / scale_u) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Spin-2 sphere Monte Carlo referee (gamma_t blocks, incl. non-azimuthal)
+# ---------------------------------------------------------------------------
+
+def _sht_dmn_tables(n, lmax, x):
+    """General Wigner-d tables d^ℓ_{m,n}(x) for fixed n ∈ {±2}, listed
+    per m ≥ 0 as (lmax+1-ℓmin, nx) arrays (closed-form ℓmin seeds +
+    the same upward recursion as curved._wigner_d_matrix; sympy- and
+    orthogonality-validated in the referee)."""
+    from math import lgamma
+
+    x = np.asarray(x, float)
+    ch = np.sqrt((1.0 + x) / 2.0)
+    sh = np.sqrt((1.0 - x) / 2.0)
+    out = []
+    for m in range(lmax + 1):
+        lmin = max(m, abs(n))
+        rows = np.zeros((lmax + 1 - lmin, x.size))
+        if lmin == m and m >= abs(n):
+            lognorm = 0.5 * (lgamma(2 * m + 1) - lgamma(m + n + 1)
+                             - lgamma(m - n + 1))
+            seed = np.exp(lognorm) * ch ** (m + n) * (-sh) ** (m - n)
+        elif n == 2:          # m < 2: seed d²_{m,2} = (-1)^m d²_{2,m}
+            lognorm = 0.5 * (lgamma(5) - lgamma(2 + m + 1)
+                             - lgamma(2 - m + 1))
+            seed = ((-1.0) ** (m - 2) * np.exp(lognorm)
+                    * ch ** (2 + m) * (-sh) ** (2 - m))
+        else:                 # n == -2, m < 2: d²_{m,-2} = d²_{2,-m}
+            k = -m
+            lognorm = 0.5 * (lgamma(5) - lgamma(2 + k + 1)
+                             - lgamma(2 - k + 1))
+            seed = np.exp(lognorm) * ch ** (2 + k) * (-sh) ** (2 - k)
+        rows[0] = seed
+        prev = np.zeros_like(x)
+        for li in range(lmin, lmax):
+            ell = float(li)
+            a = ell * np.sqrt(((ell + 1) ** 2 - m * m)
+                              * ((ell + 1) ** 2 - n * n))
+            b = (2 * ell + 1) * (ell * (ell + 1) * x - m * n)
+            c = (ell + 1) * np.sqrt(max(ell * ell - m * m, 0.0)
+                                    * max(ell * ell - n * n, 0.0))
+            nxt = (b * rows[li - lmin] - c * prev) / a
+            prev = rows[li - lmin]
+            rows[li - lmin + 1] = nxt
+        out.append(rows)
+    return out
+
+
+class _Spin2Sht:
+    """Minimal batched scalar + spin-2 SHT on a GL×FFT grid with
+    COMPLEX per-m coefficient batches (reality handled via the
+    a_{ℓ,-m} = (-1)^m a*_{ℓm} convention): the machinery of the
+    spin-2 masked-covariance referee."""
+
+    def __init__(self, lmax, n_lat, n_phi):
+        self.lmax, self.n_lat, self.n_phi = lmax, n_lat, n_phi
+        self.xg, self.wq = np.polynomial.legendre.leggauss(n_lat)
+        self.nl = np.sqrt((2.0 * np.arange(lmax + 1) + 1.0)
+                          / (4.0 * np.pi))
+        self.lams = _sht_lambda_tables(lmax, self.xg)
+        self.d_p2 = _sht_dmn_tables(2, lmax, self.xg)
+        self.d_m2 = _sht_dmn_tables(-2, lmax, self.xg)
+
+    def synth_scalar(self, a):
+        n_real = a[0].shape[0]
+        spec = np.zeros((n_real, self.n_lat, self.n_phi), dtype=complex)
+        for m in range(self.lmax + 1):
+            spec[:, :, m % self.n_phi] += a[m] @ self.lams[m]
+            if m > 0:
+                spec[:, :, (-m) % self.n_phi] += (np.conj(a[m])
+                                                  @ self.lams[m])
+        return np.real(np.fft.ifft(spec, axis=2)) * self.n_phi
+
+    def analyze_scalar(self, maps, w):
+        f = np.fft.fft(maps * w[None, :, :], axis=2) \
+            * (2.0 * np.pi / self.n_phi)
+        return [(f[:, :, m % self.n_phi] * self.wq[None, :])
+                @ self.lams[m].T for m in range(self.lmax + 1)]
+
+    def synth_spin2(self, a_e):
+        """γ₊ maps from E-mode batches (B = 0): γ₊ = -Σ a^E N d_{m,2}
+        e^{imφ}; negative m via d_{-m,2} = (-1)^m d_{m,-2} and scalar
+        reality of a^E."""
+        n_real = a_e[0].shape[0]
+        spec = np.zeros((n_real, self.n_lat, self.n_phi), dtype=complex)
+        for m in range(self.lmax + 1):
+            nlv = self.nl[max(m, 2):]
+            spec[:, :, m % self.n_phi] += -(a_e[m] * nlv[None, :]) \
+                @ self.d_p2[m]
+            if m > 0:
+                spec[:, :, (-m) % self.n_phi] += \
+                    -(np.conj(a_e[m]) * nlv[None, :]) @ self.d_m2[m]
+        return np.fft.ifft(spec, axis=2) * self.n_phi
+
+    def analyze_spin2(self, maps_gp, w):
+        """Masked pseudo (ẽ, b̃) for m ≥ 0: ẽ = (A₊+A₋)/2 with
+        A±_{ℓm} = -∫ W γ± N d_{m,±2} e^{-imφ}."""
+        wp = np.fft.fft(maps_gp * w[None, :, :], axis=2) \
+            * (2.0 * np.pi / self.n_phi)
+        wm = np.fft.fft(np.conj(maps_gp) * w[None, :, :], axis=2) \
+            * (2.0 * np.pi / self.n_phi)
+        e_t, b_t = [], []
+        for m in range(self.lmax + 1):
+            nlv = self.nl[max(m, 2):]
+            fp = wp[:, :, m % self.n_phi] * self.wq[None, :]
+            fm = wm[:, :, m % self.n_phi] * self.wq[None, :]
+            a_p = -(fp @ self.d_p2[m].T) * nlv[None, :]
+            a_m = -(fm @ self.d_m2[m].T) * nlv[None, :]
+            e_t.append(0.5 * (a_p + a_m))
+            b_t.append((a_p - a_m) / 2.0j)
+        return e_t, b_t
+
+
+def _spin2_mc_covariance(sht, w_gl, c_gg, c_ee, c_ge, t0, t2, d_i,
+                         n_real, chunk, seed):
+    """MC covariance of the stacked [w_hat, gt_hat] harmonic pair
+    estimators for correlated (g, E) Gaussian skies under mask w_gl."""
+    lmax = sht.lmax
+    rng = np.random.default_rng(seed)
+    nb = t0.shape[0]
+    est = np.empty((n_real, 2 * nb))
+    for s in range(0, n_real, chunk):
+        ag, a_e = [], []
+        for m in range(lmax + 1):
+            nl0, nl2 = lmax + 1 - m, lmax + 1 - max(m, 2)
+            z1 = (rng.standard_normal((chunk, nl0))
+                  + 1j * rng.standard_normal((chunk, nl0))) / np.sqrt(2)
+            z2 = (rng.standard_normal((chunk, nl2))
+                  + 1j * rng.standard_normal((chunk, nl2))) / np.sqrt(2)
+            if m == 0:
+                z1 = z1.real * np.sqrt(2) + 0j
+                z2 = z2.real * np.sqrt(2) + 0j
+            sl0, sl2 = slice(m, None), slice(max(m, 2), None)
+            ag.append(z1 * np.sqrt(c_gg[sl0]))
+            alpha = np.where(c_gg[sl2] > 0,
+                             c_ge[sl2] / np.sqrt(c_gg[sl2]), 0.0)
+            beta = np.sqrt(np.maximum(c_ee[sl2] - alpha**2, 0.0))
+            a_e.append(z1[:, (max(m, 2) - m):] * alpha + z2 * beta)
+        g_t = sht.analyze_scalar(sht.synth_scalar(ag), w_gl)
+        e_t, _ = sht.analyze_spin2(sht.synth_spin2(a_e), w_gl)
+        ps_gg = np.zeros((chunk, lmax + 1))
+        ps_ge = np.zeros((chunk, lmax + 1))
+        for m in range(lmax + 1):
+            fac = 1.0 if m == 0 else 2.0
+            ps_gg[:, m:] += fac * np.abs(g_t[m]) ** 2
+            ps_ge[:, max(m, 2):] += fac * np.real(
+                np.conj(g_t[m][:, (max(m, 2) - m):]) * e_t[m])
+        est[s:s + chunk, :nb] = (2 * np.pi * ps_gg @ t0.T) / d_i[None, :]
+        est[s:s + chunk, nb:] = (2 * np.pi * ps_ge @ t2.T) / d_i[None, :]
+    return est
+
+
+@pytest.mark.slow
+def test_curved_spin2_mc_referee():
+    """Spin-2 sphere MC referee for the masked gamma_t covariance: a
+    full spin-2 SHT (general-m Wigner-d tables, sympy-checked seeds +
+    orthogonality; E/B round trip exact to 4e-12), correlated (g, E)
+    skies, masked pseudo-spectra, the joint [w, gt] pair-normalized
+    estimators — against curved_gaussian_block's Xi0/Xi2/XiP kernels
+    on (a) a 25° cap (measured an/mc diagonal ratios
+    [1.13 1.13 1.09 | 1.02 1.04 1.19]) and (b) a genuinely
+    NON-azimuthal two-cap footprint via PixelSphereMask (measured
+    [1.02 1.02 1.00 | 1.05 1.11 1.24]) — the gt auto block on the
+    SPHERE is only ~5-25% conservative even at footprint-scale bins,
+    vs the flat module's documented ~1.6x.  Cross-correlation
+    structure matches within 0.08 absolute."""
+    from chomp_tpu.curved import (PixelSphereMask, SphericalCapMask,
+                                  curved_gaussian_block)
+
+    lmax, n_lat, n_phi = 96, 128, 256
+    sht = _Spin2Sht(lmax, n_lat, n_phi)
+
+    # d-table validation: sympy seeds (low ell, all m classes) +
+    # orthogonality rows at high ell for a generic m.
+    from sympy import N as sym_N
+    from sympy.physics.quantum.spin import Rotation
+
+    betas = np.array([0.7, 2.1])
+    xs = np.cos(betas)
+    for n in (2, -2):
+        tabs = _sht_dmn_tables(n, 4, xs)
+        for m in (0, 1, 3):
+            lmin = max(m, 2)
+            for ell in (lmin, 4):
+                for k, b in enumerate(betas):
+                    exact = complex(sym_N(
+                        Rotation.d(ell, m, n, b).doit())).real
+                    assert abs(tabs[m][ell - lmin, k] - exact) < 1e-11
+    for m in (0, 5, 37):
+        rows = sht.d_p2[m]
+        lmin = max(m, 2)
+        for ell in (max(lmin, 40), 90):
+            v = np.sum(sht.wq * rows[ell - lmin] ** 2)
+            np.testing.assert_allclose(v, 2.0 / (2 * ell + 1),
+                                       rtol=1e-9)
+
+    # E/B round trip (unmasked)
+    rng = np.random.default_rng(3)
+    a_e = []
+    for m in range(lmax + 1):
+        nl2 = lmax + 1 - max(m, 2)
+        z = (rng.standard_normal((2, nl2))
+             + 1j * rng.standard_normal((2, nl2)))
+        a_e.append(z.real + 0j if m == 0 else z)
+    e_t, b_t = sht.analyze_spin2(sht.synth_spin2(a_e),
+                                 np.ones((n_lat, n_phi)))
+    assert max(np.max(np.abs(e_t[m] - a_e[m]))
+               for m in range(lmax + 1)) < 1e-10
+    assert max(np.max(np.abs(b_t[m])) for m in range(lmax + 1)) < 1e-10
+
+    ells = np.arange(lmax + 1, dtype=float)
+    c_gg = 1.0e-6 / (1.0 + (ells / 20.0) ** 2.2)
+    c_ee = 0.6e-6 / (1.0 + (ells / 15.0) ** 2.0)
+    c_ge = 0.6 * np.sqrt(c_gg * c_ee)
+    c_gg[:2] = c_gg[2]
+    c_ee[:2] = 0.0
+    c_ge[:2] = 0.0
+
+    rad = np.radians(25.0)
+    edges_deg = np.array([2.0, 4.0, 8.0, 16.0])
+    edges = np.radians(edges_deg)
+    dmu = np.cos(edges[:-1]) - np.cos(edges[1:])
+    t0 = legendre_bin_factors(lmax, edges) * dmu[:, None]
+    t2 = legendre_bin_factors_spin2(lmax, edges) * dmu[:, None]
+    nb = len(edges) - 1
+    th_g = np.arccos(sht.xg)
+    ph_g = np.arange(n_phi) * 2 * np.pi / n_phi
+
+    def j_vec(v):
+        return lambda e: jnp.asarray(v[np.asarray(e, int)])
+
+    def blocks(mask):
+        kw = dict(ell_max=lmax, ell_split=lmax)
+        c_ww = np.asarray(curved_gaussian_block(
+            j_vec(c_gg), j_vec(c_gg), j_vec(c_gg), j_vec(c_gg),
+            edges_deg, edges_deg, mask, 0, 0, **kw))
+        c_wg = np.asarray(curved_gaussian_block(
+            j_vec(c_gg), j_vec(c_ge), j_vec(c_ge), j_vec(c_gg),
+            edges_deg, edges_deg, mask, 0, 2, **kw))
+        c_gt = np.asarray(curved_gaussian_block(
+            j_vec(c_gg), j_vec(c_ee), j_vec(c_ge), j_vec(c_ge),
+            edges_deg, edges_deg, mask, 2, 2, **kw))
+        return np.block([[c_ww, c_wg], [c_wg.T, c_gt]])
+
+    def check(cov_mc, cov_an, lo_w, hi_w, lo_g, hi_g):
+        ratio = np.diag(cov_an) / np.diag(cov_mc)
+        assert np.all((ratio[:nb] > lo_w) & (ratio[:nb] < hi_w)), ratio
+        assert np.all((ratio[nb:] > lo_g) & (ratio[nb:] < hi_g)), ratio
+        for i in range(nb):
+            r_mc = cov_mc[i, nb + i] / np.sqrt(
+                cov_mc[i, i] * cov_mc[nb + i, nb + i])
+            r_an = cov_an[i, nb + i] / np.sqrt(
+                cov_an[i, i] * cov_an[nb + i, nb + i])
+            assert abs(r_mc - r_an) < 0.08, (i, r_mc, r_an)
+
+    # (a) 25-degree cap
+    cap = SphericalCapMask(rad)
+    w_cap = ((np.cos(th_g)[:, None] >= np.cos(rad))
+             * np.ones((1, n_phi))).astype(float)
+    d_cap = curved_pair_normalization(cap, edges)
+    est = _spin2_mc_covariance(sht, w_cap, c_gg, c_ee, c_ge, t0, t2,
+                               d_cap, 1024, 64, seed=11)
+    check(np.cov(est.T), blocks(cap), 0.9, 1.3, 0.85, 1.35)
+    # masked-mean anchor: the pair-normalized gt estimator stays within
+    # ~8% of the unmasked multipole prediction (the residual is the
+    # pseudo-E mixing bias of the harmonic estimator, not a convention
+    # error — signs and magnitudes must match).
+    gt_pred = (legendre_bin_factors_spin2(lmax, edges)
+               * (((2 * ells + 1.0) / (4 * np.pi)) * c_ge)[None, :]
+               ).sum(axis=1)
+    gt_mean = est[:, nb:].mean(axis=0)
+    assert np.all(np.abs(gt_mean / gt_pred - 1.0) < 0.08), (
+        gt_mean, gt_pred)
+
+    # (b) two-cap non-azimuthal footprint
+    def cap_mu(th, ph, center):
+        ct0, st0 = np.cos(center[0]), np.sin(center[0])
+        return (ct0 * np.cos(th)[:, None] + st0 * np.sin(th)[:, None]
+                * np.cos(ph[None, :] - center[1]))
+
+    center2 = (2.2, 1.0)
+    w_two = ((cap_mu(th_g, ph_g, (0.0, 0.0)) >= np.cos(rad))
+             | (cap_mu(th_g, ph_g, center2) >= np.cos(rad))).astype(float)
+    th_pix = (np.arange(256) + 0.5) * np.pi / 256
+    ph_pix = np.arange(512) * 2 * np.pi / 512
+    pixmask = PixelSphereMask(
+        ((cap_mu(th_pix, ph_pix, (0.0, 0.0)) >= np.cos(rad))
+         | (cap_mu(th_pix, ph_pix, center2) >= np.cos(rad))
+         ).astype(float))
+    d_two = curved_pair_normalization(pixmask, edges)
+    est2 = _spin2_mc_covariance(sht, w_two, c_gg, c_ee, c_ge, t0, t2,
+                                d_two, 1024, 64, seed=23)
+    check(np.cov(est2.T), blocks(pixmask), 0.85, 1.2, 0.85, 1.45)
