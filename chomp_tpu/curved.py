@@ -488,6 +488,30 @@ class PixelSphereMask:
         self._r_w2 = np.concatenate(([self.area4], r_w2, [r_w2[-1]]))
         self._hash = hash((w.tobytes(), n_sep_bins))
 
+    @classmethod
+    def from_healpix(cls, hp_map, n_ring: int | None = None,
+                     n_sep_bins: int | None = None):
+        """Build from a RING-ordered HEALPix weight map (the standard
+        survey-mask format; chomp_tpu.healpix — no healpy needed).
+        The map is resampled onto the iso-latitude grid by pixel-center
+        lookup at ``n_ring`` rings (default ~4·nside capped at 512 —
+        at the cap, masks finer than ~0.35° pixels are smoothed)."""
+        from chomp_tpu.healpix import ang2pix_ring
+        from chomp_tpu.healpix import npix as hp_npix
+
+        m = np.asarray(hp_map, dtype=float)
+        nside = int(round(np.sqrt(m.size / 12.0)))
+        if m.ndim != 1 or hp_npix(nside) != m.size:
+            raise ValueError(
+                f"from_healpix: size {m.size} is not 12*nside^2")
+        if n_ring is None:
+            n_ring = int(min(512, max(64, 4 * nside)))
+        n_phi = 2 * n_ring
+        th = (np.arange(n_ring) + 0.5) * np.pi / n_ring
+        ph = np.arange(n_phi) * 2.0 * np.pi / n_phi
+        pix = ang2pix_ring(nside, th[:, None], ph[None, :])
+        return cls(m[pix], n_sep_bins)
+
     def __hash__(self):
         return self._hash
 
