@@ -243,7 +243,12 @@ def gaussian_block(cl_ac, cl_bd, cl_ad, cl_bc, theta_edges_deg_i,
         # referee): w-block and cross entries at MC accuracy; the γt
         # auto block retains a measured CONSERVATIVE overprediction
         # growing to ~1.6x for bins at the footprint radius (partial-
-        # annulus wedge coupling beyond these leading moments).
+        # annulus wedge coupling beyond these leading moments).  For
+        # footprint-scale γt bins, prefer the CURVED route
+        # (curved.curved_gaussian_block / the curved joint builder):
+        # its Wigner-d kernels carry the exact sphere bin geometry and
+        # are only ~5-25% conservative there, spin-2-SHT-MC-validated
+        # (tests/test_curved.py::test_curved_spin2_mc_referee).
         from chomp_tpu.mask import _coupling_matrix
 
         dln = float(np.log(ells_np[1] / ells_np[0]))
