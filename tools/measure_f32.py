@@ -7,6 +7,9 @@ needs it on), same pipeline, default GridSpec, a 5-cosmology spread:
     python tools/measure_f32.py            # f32 on the default backend
     python tools/measure_f32.py --cpu-f32  # force the f32 leg onto CPU
     python tools/measure_f32.py --corners  # prior-corner cosmology set
+    python tools/measure_f32.py --curved   # geometry="curved" route on
+                                           # a wide-bin grid (0.02-10
+                                           # deg, the curved regime)
 
 Prints worst/median relative error per observable.  (The pytest budget
 check, tests/test_f32_budget.py, runs a trimmed grid for wall-clock;
@@ -35,9 +38,15 @@ from chomp_tpu.parallel.sweep import broadcast_cosmo, make_pipeline
 dist = projection.DNdzGaussian(z_min=jnp.asarray(0.0), z_max=jnp.asarray(2.0),
                                z0=jnp.asarray(1.0), sigma_z=jnp.asarray(0.2))
 import warnings
+kw = {{}}
+if {curved!r}:
+    from chomp_tpu.params import GridSpec
+    kw = dict(geometry="curved",
+              grid=GridSpec(theta_min_deg=0.02, theta_max_deg=10.0))
 with warnings.catch_warnings():
     warnings.simplefilter("ignore")
-    fn = make_pipeline(default_halo(), default_hod(), dist, z_pivot=0.0)
+    fn = make_pipeline(default_halo(), default_hod(), dist, z_pivot=0.0,
+                       **kw)
 if {corners!r}:
     # Prior-corner certification set (single source:
     # chomp_tpu.utils.corners).
@@ -59,25 +68,30 @@ print("leg done:", jax.devices()[0], out["w_theta"].dtype)
 """
 
 
-def run_leg(out_path, f32: bool, force_cpu: bool, corners: bool):
+def run_leg(out_path, f32: bool, force_cpu: bool, corners: bool,
+            curved: bool = False):
     platform = ('jax.config.update("jax_platforms", "cpu")'
                 if (force_cpu or not f32) else "pass")
     x64 = ("pass" if f32 else 'jax.config.update("jax_enable_x64", True)')
     code = _LEG.format(repo=str(REPO), platform=platform, x64=x64,
-                       out_path=str(out_path), corners=corners)
+                       out_path=str(out_path), corners=corners,
+                       curved=curved)
     subprocess.run([sys.executable, "-c", code], check=True)
 
 
 def main():
     force_cpu = "--cpu-f32" in sys.argv
     corners = "--corners" in sys.argv
+    curved = "--curved" in sys.argv
     import numpy as np
 
     with tempfile.TemporaryDirectory() as td:
         p32 = Path(td) / "f32.npz"
         p64 = Path(td) / "f64.npz"
-        run_leg(p32, f32=True, force_cpu=force_cpu, corners=corners)
-        run_leg(p64, f32=False, force_cpu=True, corners=corners)
+        run_leg(p32, f32=True, force_cpu=force_cpu, corners=corners,
+                curved=curved)
+        run_leg(p64, f32=False, force_cpu=True, corners=corners,
+                curved=curved)
         a = np.load(p32)
         b = np.load(p64)
         report = {}
