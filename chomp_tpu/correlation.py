@@ -186,6 +186,38 @@ def gamma_t(cosmo: CosmoParams, win_lens, win_src, p_table, theta_deg=None,
     return wtheta_from_cl(cl, theta_deg, grid, mu=2.0)
 
 
+def xi_plus(cosmo: CosmoParams, win_src_a, win_src_b, p_table,
+            theta_deg=None, grid: GridSpec = DEFAULT_GRID):
+    """Shear-shear correlation xi_+(theta) — J0 transform of the
+    convergence spectrum:  xi_+ = ∫ l dl/(2 pi) C^EE_l J0(l theta),
+    with C^EE = C_kk in the flat-sky Limber limit and no B-modes
+    (gravitational lensing at leading order).
+
+    CAPABILITY EXTENSION beyond the reference: chomp covers clustering
+    w(theta) + galaxy-galaxy lensing gamma_t (upstream:correlation.py,
+    SURVEY.md §2 row 12); xi_+/xi_- complete the standard 3x2pt
+    surface with the machinery already in place (same Limber + FFTLog
+    Hankel engine, mu = 0 / 4)."""
+    if theta_deg is None:
+        theta_deg = theta_bins_deg(grid)
+    ells, _, _ = ell_grid(grid)
+    cl = projection.limber_cl(cosmo, win_src_a, win_src_b,
+                              jnp.asarray(ells), p_table, grid)
+    return wtheta_from_cl(cl, theta_deg, grid, mu=0.0)
+
+
+def xi_minus(cosmo: CosmoParams, win_src_a, win_src_b, p_table,
+             theta_deg=None, grid: GridSpec = DEFAULT_GRID):
+    """Shear-shear correlation xi_-(theta) — the J4 transform:
+    xi_- = ∫ l dl/(2 pi) C^EE_l J4(l theta).  See xi_plus."""
+    if theta_deg is None:
+        theta_deg = theta_bins_deg(grid)
+    ells, _, _ = ell_grid(grid)
+    cl = projection.limber_cl(cosmo, win_src_a, win_src_b,
+                              jnp.asarray(ells), p_table, grid)
+    return wtheta_from_cl(cl, theta_deg, grid, mu=4.0)
+
+
 def magnification_correlation(cosmo: CosmoParams, win_gal, win_conv, p_table,
                               theta_deg=None, alpha_slope=2.0,
                               grid: GridSpec = DEFAULT_GRID):

@@ -98,13 +98,114 @@ def bin_averaged_j2(ells, edges_rad):
     return num / (ells[None, :] ** 2 * (hi * hi - lo * lo))
 
 
+def bin_averaged_j4(ells, edges_rad):
+    """Jbar^4_i(l) for xi_minus bin averages: (n_bins, n_ell).
+
+    Closed form via the antiderivative
+        ∫ x J4(x) dx = x J1(x) + 8 J0(x) - 24 J1(x)/x
+    (from x J4 = 6 J3 - x J2 [recurrence J2+J4 = 6 J3/x],
+    ∫ J3 = -J0 - 2 J2, ∫ x J2 = -x J1 - 2 J0, then J2 = 2 J1/x - J0).
+    The constant term is -4 + O(x^6): below x = 2 the endpoint
+    difference cancels catastrophically, so the exact series of
+    ∫_0^x t J4(t) dt = sum_m (-1)^m x^(2m+6) / (2^(2m+4) m! (m+4)!
+    (2m+6)) is used instead (6 terms: rel. error < 4e-9 at x = 2)."""
+    ells = jnp.asarray(ells)
+    lo = jnp.asarray(edges_rad[:-1])[:, None]
+    hi = jnp.asarray(edges_rad[1:])[:, None]
+    x_hi = hi * ells[None, :]
+    x_lo = lo * ells[None, :]
+
+    def anti(x):
+        x_safe = jnp.maximum(x, 1e-30)
+        return x * j1(x) + 8.0 * j0(x) - 24.0 * j1(x_safe) / x_safe
+
+    def anti_series(x):
+        x2 = x * x
+        x6 = x2 * x2 * x2
+        return x6 * (1.0 / 2304.0 + x2 * (
+            -1.0 / 61440.0 + x2 * (1.0 / 3686400.0 + x2 * (
+                -1.0 / 371589120.0 + x2 * (
+                    1.0 / 55490592768.0 - x2 / 11415747624960.0)))))
+
+    small = x_hi < 2.0
+    num = 2.0 * jnp.where(small, anti_series(x_hi) - anti_series(x_lo),
+                          anti(x_hi) - anti(x_lo))
+    return num / (ells[None, :] ** 2 * (hi * hi - lo * lo))
+
+
 def bin_averaged_bessel(ells, edges_rad, mu: int):
-    """Dispatch Jbar^mu (mu = 0 for w(theta), 2 for gamma_t)."""
+    """Dispatch Jbar^mu (mu = 0 for w(theta)/xi_plus, 2 for gamma_t,
+    4 for xi_minus)."""
     if mu == 0:
         return bin_averaged_j0(ells, edges_rad)
     if mu == 2:
         return bin_averaged_j2(ells, edges_rad)
+    if mu == 4:
+        return bin_averaged_j4(ells, edges_rad)
     raise ValueError(f"unsupported Bessel order mu={mu}")
+
+
+def xipm_mixed_noise_constant(edges_i_rad, edges_j_rad):
+    """Exact ∫_0^∞ l dl Jbar^0_i(l) Jbar^4_j(l) — (nbi, nbj) numpy.
+
+    The xi_plus x xi_minus pure-noise term: the equal-order Bessel
+    closure (a delta) does not apply across orders, but the mixed
+    integral has a Weber-Schafheitlin closed form,
+
+        G(a, b) = ∫_0^∞ l J0(l a) J4(l b) dl
+                = δ(a-b)/a + (4/b^2) (1 - 3 r^2) Θ(b-a),  r = a/b
+
+    — the smooth part is Weber-Schafheitlin (the 2F1(3, -1; 1; r^2)
+    hypergeometric terminates), and the SAME delta as the equal-order
+    closure survives because J4's asymptotic phase is shifted from
+    J0's by exactly 2π: l J0(la) J4(lb) ~ (1/π√(ab)) [cos(l(a-b)) +
+    cos(l(a+b) - π/2)], and the first term integrates to π δ(a-b).
+    The bare integral is Abel-regularized; the BIN-AVERAGED version
+    below is absolutely convergent and is verified against a dense
+    12M-point quadrature in tests/test_xipm.py.  Averaging over the
+    two annuli (t = theta^2, s = theta'^2, A = hi^2 - lo^2):
+
+        const_ij = (4/(A_i A_j)) ∫_i th dth ∫_j th' dth' G(th, th')
+
+    with the inner t-antiderivative F(t; s) = 2t/s - 3t^2/s^2
+    (F(s; s) = -1) and the outer s-antiderivative
+    P(t, s) = 2t ln s + 3t^2/s for the smooth part, plus the
+    equal-order annulus-overlap closure 2 (th_ovl+^2 - th_ovl-^2)_+ /
+    (A_i A_j) from the delta.  All static numpy — the constant enters
+    gaussian_block as pref * nn * const / (2 pi), exactly parallel to
+    the same-order closure."""
+    edges_i = np.asarray(edges_i_rad, dtype=float)
+    edges_j = np.asarray(edges_j_rad, dtype=float)
+    t_lo = edges_i[:-1] ** 2
+    t_hi = edges_i[1:] ** 2
+    s_lo = edges_j[:-1] ** 2
+    s_hi = edges_j[1:] ** 2
+    a_i = t_hi - t_lo
+    a_j = s_hi - s_lo
+
+    def p_anti(t, s):
+        return 2.0 * t * np.log(s) + 3.0 * t * t / s
+
+    out = np.zeros((len(a_i), len(a_j)))
+    for ii in range(len(a_i)):
+        tl, th = t_lo[ii], t_hi[ii]
+        for jj in range(len(a_j)):
+            sl, sh = s_lo[jj], s_hi[jj]
+            acc = 0.0
+            # Region t_lo <= s <= t_hi: inner = F(s; s) - F(t_lo; s)
+            #                                 = -1 - F(t_lo; s).
+            lo1, hi1 = max(sl, tl), min(sh, th)
+            if hi1 > lo1:
+                acc -= (hi1 - lo1) + (p_anti(tl, hi1) - p_anti(tl, lo1))
+            # Region s >= t_hi: inner = F(t_hi; s) - F(t_lo; s).
+            lo2, hi2 = max(sl, th), sh
+            if hi2 > lo2:
+                acc += (p_anti(th, hi2) - p_anti(th, lo2)
+                        - (p_anti(tl, hi2) - p_anti(tl, lo2)))
+            out[ii, jj] = 2.0 * acc / (a_i[ii] * a_j[jj])
+    # The delta part: identical to the equal-order overlap closure.
+    out += 2.0 * ovl_closure(edges_i, edges_j) / np.outer(a_i, a_j)
+    return out
 
 
 def _log_ell_weights(n: int, lo: float, hi: float):
@@ -206,11 +307,12 @@ def gaussian_block(cl_ac, cl_bd, cl_ad, cl_bc, theta_edges_deg_i,
     import jax
 
     nn = noise_ac * noise_bd + noise_ad * noise_bc
-    if nn != 0.0 and mu_i != mu_j:
+    if nn != 0.0 and mu_i != mu_j and {mu_i, mu_j} != {0, 4}:
         raise ValueError(
             "gaussian_block: a pure noise x noise term is present "
-            f"(nn={nn}) but mu_i={mu_i} != mu_j={mu_j}, where the "
-            "analytic Bessel closure does not apply — this block (e.g. "
+            f"(nn={nn}) but mu_i={mu_i} != mu_j={mu_j}, where neither "
+            "the equal-order Bessel closure nor the {0, 4} "
+            "Weber-Schafheitlin constant applies — this block (e.g. "
             "w x gamma_t with the SAME sample as lens and source) is "
             "not supported; split the noisy pairing out explicitly.")
     integrand = (ct_ac * ct_bd + ct_ad * ct_bc - nn)
@@ -257,15 +359,25 @@ def gaussian_block(cl_ac, cl_bd, cl_ad, cl_bc, theta_edges_deg_i,
         if n_low >= 2:
             n_phi = max(96, int(np.pi / (4.0 * dln)))
             lnq_key = tuple(np.log(ells_np[:n_low]))
-            spin_pair = mu_i + mu_j
-            if spin_pair == 0:
-                k_np = _coupling_matrix(mask, lnq_key, n_phi)
-            elif spin_pair == 2:
-                k_np = _coupling_matrix(mask, lnq_key, n_phi, moment=2)
+            # General estimator-phase rule: an estimator with phase
+            # e^{i s φ} (s = 0 for w/xi_plus, 2 for γt, 4 for xi_minus
+            # — for these four, s equals the Bessel order) contributes
+            # its Re[] projection ½(e^{isφ} + e^{-isφ}); the product of
+            # two such projections averages to the moment pair
+            # ½(K_{|s_i - s_j|} + K_{s_i + s_j}).  Reduces to the
+            # MC-validated special cases: (0,0) → K₀, (0,2) → K₂,
+            # (2,2) → ½(K₀+K₄); extends to (0,4) → K₄,
+            # (2,4) → ½(K₂+K₆), (4,4) → ½(K₀+K₈).
+            d_m = abs(mu_i - mu_j)
+            s_m = mu_i + mu_j
+            if d_m == s_m:
+                k_np = _coupling_matrix(mask, lnq_key, n_phi,
+                                        moment=d_m)
             else:
-                k_np = 0.5 * (_coupling_matrix(mask, lnq_key, n_phi)
-                              + _coupling_matrix(mask, lnq_key, n_phi,
-                                                 moment=4))
+                k_np = 0.5 * (
+                    _coupling_matrix(mask, lnq_key, n_phi, moment=d_m)
+                    + _coupling_matrix(mask, lnq_key, n_phi,
+                                       moment=s_m))
             k_jnp = jnp.asarray(k_np)
             wq = jnp.asarray(ells_np**2 * w_np)
 
@@ -317,6 +429,27 @@ def gaussian_block(cl_ac, cl_bd, cl_ad, cl_bc, theta_edges_deg_i,
                             mask, np.array([lo, hi]), squared=True)[0]
             cov = cov + jnp.asarray(nn * d2_ovl
                                     / np.outer(d_i, d_j))
+    if nn != 0.0 and mu_i != mu_j:
+        # The {0, 4} xi_plus x xi_minus pure-noise term: exact
+        # Weber-Schafheitlin constant (xipm_mixed_noise_constant
+        # docstring) — the quadrature grid cannot carry it (the nn
+        # integrand decays only ~1/l with undersampled oscillations at
+        # high l, so it is excluded above and added in closed form
+        # here, exactly parallel to the same-order overlap closure).
+        if mu_i == 0:
+            const = xipm_mixed_noise_constant(edges_i, edges_j)
+        else:
+            const = xipm_mixed_noise_constant(edges_j, edges_i).T
+        if mask is None:
+            cov = cov + jnp.asarray(
+                nn * const / (2.0 * np.pi * omega_s_sr))
+        else:
+            # fsky/pair-count (NKA-level) masked treatment: the same
+            # per-(i, j) prefactor as the signal part.  (The mixed
+            # constant is not an annulus-overlap count, so the exact
+            # pair-count noise closure of the equal-order branch has
+            # no analog here.)
+            cov = cov + pref * jnp.asarray(nn * const / (2.0 * np.pi))
     return cov
 
 
@@ -977,6 +1110,131 @@ def joint_wtheta_gammat_covariance(cosmo: CosmoParams, halo_p: HaloParams,
     top = jnp.concatenate([cov_ww, cov_wg], axis=1)
     bot = jnp.concatenate([cov_wg.T, cov_gg], axis=1)
     return jnp.concatenate([top, bot], axis=0)
+
+
+def joint_3x2pt_covariance(cosmo: CosmoParams, halo_p: HaloParams,
+                           model, dist_lens, dist_src,
+                           theta_edges_deg, omega_s_sr,
+                           n2d_lens, shape_noise,
+                           with_bao: bool = False,
+                           grid: GridSpec = DEFAULT_GRID,
+                           include_nongaussian: bool = True,
+                           exact_z: bool = False,
+                           n_k_tri: int = 96, n_z_tri: int = 24,
+                           n_ell_cov_ng: int = 96,
+                           n_ell_cov_g: int = 4096,
+                           cl_method: str = "lattice",
+                           tri_method: str | None = None,
+                           u_stride: int = 4, mask=None,
+                           exact_z_anchors: int | None = None):
+    """Joint covariance of the FULL 3x2pt data vector
+    [w_gg, gamma_t, xi_+, xi_-] — (4 nb, 4 nb).
+
+    Extends joint_wtheta_gammat_covariance (the Morrison & Schneider
+    2013 clustering + g-g lensing program, SURVEY.md §2 row 13) with
+    the shear-shear rows — a capability extension beyond chomp
+    (correlation.xi_plus docstring) built from the same TPU-first
+    blocks: lattice C_ell callables, closed-form Jbar factors
+    (J0/J2/J4), analytic noise closures.
+
+    Shear field model: E-mode signal (C_EE = C_kk), C_BB = 0, with
+    white noise ``shape_noise`` = sigma_eps^2 / n2d_src PER COMPONENT
+    in BOTH E and B.  xi_+- = EE +- BB estimator combinations, so each
+    shear-auto block is an EE block plus/minus a pure-noise BB block:
+    the BB piece ADDS noise to Cov[xi+, xi+] and Cov[xi-, xi-] and
+    exactly CANCELS the pure-noise constant in Cov[xi+, xi-] (the
+    tangential/cross products decorrelate — the classic result that
+    the xi_+ x xi_- shot-noise covariance vanishes; here it falls out
+    of the EE - BB assembly, each side carrying the {0,4}
+    Weber-Schafheitlin constant).
+
+    gamma_t and xi_+- correlate only through the E-mode (B never
+    pairs with g or E), so every cross block is a single
+    gaussian_block call.  ``mask`` applies the footprint treatment to
+    every block with the generalized moment rule
+    ½(K_{|mu_i-mu_j|} + K_{mu_i+mu_j}) (see gaussian_block)."""
+    from chomp_tpu.projection import WindowConvergence, WindowGalaxy
+
+    win_g = WindowGalaxy(dist=dist_lens)
+    win_k = WindowConvergence(dist=dist_src)
+    if cl_method != "lattice":
+        raise ValueError("joint_3x2pt_covariance is lattice-only (the "
+                         "table referee route lives in "
+                         "joint_wtheta_gammat_covariance)")
+    cl_gg, cl_gk, cl_kk = lattice_cl_callables(
+        cosmo, halo_p, model, dist_lens, dist_src, with_bao, grid)
+
+    def cl_zero(ells_np):
+        return jnp.zeros(len(np.asarray(ells_np)))
+
+    edges = theta_edges_deg
+    n_g = 1.0 / n2d_lens
+    ns = float(shape_noise)
+    gk = dict(n_ell_cov=n_ell_cov_g, mask=mask)
+
+    def blk(ac, bd, ad, bc, mi, mj, nac, nbd, nad, nbc):
+        return gaussian_block(ac, bd, ad, bc, edges, edges, omega_s_sr,
+                              mi, mj, nac, nbd, nad, nbc, **gk)
+
+    # Row-major unique blocks; probe order (w, gt, xp, xm).
+    c_ww = blk(cl_gg, cl_gg, cl_gg, cl_gg, 0, 0, n_g, n_g, n_g, n_g)
+    c_wg = blk(cl_gg, cl_gk, cl_gk, cl_gg, 0, 2, n_g, 0.0, 0.0, n_g)
+    c_wp = blk(cl_gk, cl_gk, cl_gk, cl_gk, 0, 0, 0.0, 0.0, 0.0, 0.0)
+    c_wm = blk(cl_gk, cl_gk, cl_gk, cl_gk, 0, 4, 0.0, 0.0, 0.0, 0.0)
+    c_gg = blk(cl_gg, cl_kk, cl_gk, cl_gk, 2, 2, n_g, ns, 0.0, 0.0)
+    c_gp = blk(cl_gk, cl_kk, cl_gk, cl_kk, 2, 0, 0.0, ns, 0.0, ns)
+    c_gm = blk(cl_gk, cl_kk, cl_gk, cl_kk, 2, 4, 0.0, ns, 0.0, ns)
+    bb = dict(nac=ns, nbd=ns, nad=ns, nbc=ns)
+
+    def shear_auto(mi, mj, sign):
+        ee = blk(cl_kk, cl_kk, cl_kk, cl_kk, mi, mj, ns, ns, ns, ns)
+        bbn = blk(cl_zero, cl_zero, cl_zero, cl_zero, mi, mj, **bb)
+        return ee + sign * bbn
+
+    c_pp = shear_auto(0, 0, +1.0)
+    c_pm = shear_auto(0, 4, -1.0)
+    c_mm = shear_auto(4, 4, +1.0)
+
+    if include_nongaussian:
+        common = dict(with_bao=with_bao, grid=grid, exact_z=exact_z,
+                      n_ell_cov=n_ell_cov_ng, n_k_tri=n_k_tri,
+                      n_z_tri=n_z_tri, method=tri_method,
+                      u_stride=u_stride, mask=mask,
+                      exact_z_anchors=exact_z_anchors)
+
+        def ng(windows, tracers, mi, mj):
+            return nongaussian_covariance(
+                cosmo, halo_p, model, dist_lens, edges, omega_s_sr,
+                windows=windows, tracers=tracers, mu_i=mi, mu_j=mj,
+                **common)
+
+        g4 = (win_g,) * 4
+        c_ww = c_ww + ng(g4, ("g",) * 4, 0, 0)
+        c_wg = c_wg + ng((win_g, win_g, win_g, win_k),
+                         ("g", "g", "g", "m"), 0, 2)
+        c_wp = c_wp + ng((win_g, win_g, win_k, win_k),
+                         ("g", "g", "m", "m"), 0, 0)
+        c_wm = c_wm + ng((win_g, win_g, win_k, win_k),
+                         ("g", "g", "m", "m"), 0, 4)
+        c_gg = c_gg + ng((win_g, win_k, win_g, win_k),
+                         ("g", "m", "g", "m"), 2, 2)
+        c_gp = c_gp + ng((win_g, win_k, win_k, win_k),
+                         ("g", "m", "m", "m"), 2, 0)
+        c_gm = c_gm + ng((win_g, win_k, win_k, win_k),
+                         ("g", "m", "m", "m"), 2, 4)
+        k4 = (win_k,) * 4
+        m4 = ("m",) * 4
+        c_pp = c_pp + ng(k4, m4, 0, 0)
+        c_pm = c_pm + ng(k4, m4, 0, 4)
+        c_mm = c_mm + ng(k4, m4, 4, 4)
+
+    rows = [
+        jnp.concatenate([c_ww, c_wg, c_wp, c_wm], axis=1),
+        jnp.concatenate([c_wg.T, c_gg, c_gp, c_gm], axis=1),
+        jnp.concatenate([c_wp.T, c_gp.T, c_pp, c_pm], axis=1),
+        jnp.concatenate([c_wm.T, c_gm.T, c_pm.T, c_mm], axis=1),
+    ]
+    return jnp.concatenate(rows, axis=0)
 
 
 def wtheta_covariance(cosmo: CosmoParams, halo_p: HaloParams,

@@ -87,7 +87,8 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
                   with_bao: bool = False, grid: GridSpec = DEFAULT_GRID,
                   include_lensing: bool = True, method: str = "fft",
                   exact_z_anchors: int | None = None,
-                  geometry: str = "flat"):
+                  geometry: str = "flat",
+                  include_shear: bool = False):
     """Build the flagship single-cosmology program: halo model ->
     clustering w(theta) (+ lensing gamma_t) — the BASELINE.json configs[4]
     "batched w(theta) lensing+clustering pipeline".
@@ -115,6 +116,13 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
     ell_offset convention); wide-angle bins (≳ degrees) get the sphere
     geometry the flat transform cannot represent.
 
+    ``include_shear=True`` adds the shear-shear correlations
+    xi_plus/xi_minus (source sample = the same ``dist``; power_mm
+    through the convergence window; J0/J4) — the full 3x2pt data
+    vector.  Capability extension beyond chomp (correlation.xi_plus
+    docstring); flat geometry only for now (the curved d^l_{2 +-2}
+    operators are covariance-side — see chomp_tpu.curved).
+
     Returns ``fn(cosmo) -> dict`` (pure; jit/vmap/grad-able).
     ``halo_params``/``hod``/``dist`` are closed over but traced, so they
     can also carry batch axes via vmap in_axes if desired (except
@@ -133,6 +141,13 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
             "geometry='curved' requires method='fft' (the curved "
             "multipole operators consume the lattice convolution; the "
             "table route has no integer-ell surface)")
+    if geometry == "curved" and include_shear:
+        raise NotImplementedError(
+            "include_shear with geometry='curved' is not wired yet: "
+            "the flat J0/J4 transforms would silently miss the sphere "
+            "d^l_{2 +-2} geometry.  Use geometry='flat' (exact at "
+            "xi_+- scales well below the footprint size) or the "
+            "curved covariance surface in chomp_tpu.curved.")
 
     if theta_deg is None:
         theta_deg = correlation.theta_bins_deg(grid)
@@ -191,8 +206,11 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
         # double it).  In exact-z mode the shared object is the anchor
         # spectra instead.
         if method == "fft" and exact_z_anchors:
-            kinds = ((power_spec, "power_gm") if include_lensing
-                     else (power_spec,))
+            kinds = (power_spec,)
+            if include_lensing and "power_gm" not in kinds:
+                kinds += ("power_gm",)
+            if include_shear and "power_mm" not in kinds:
+                kinds += ("power_mm",)
             # Anchor window covers the distribution's support (z_hi_anchor
             # hoisted to build time); clamping P~ above the anchors
             # would silently freeze evolution exactly where the kernel
@@ -213,6 +231,11 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
         if include_lensing:
             out["gamma_t"] = w_from_p(cosmo, model, win_k, win_g, p_all,
                                       "power_gm", 2.0)
+        if include_shear:
+            out["xi_plus"] = w_from_p(cosmo, model, win_k, win_k, p_all,
+                                      "power_mm", 0.0)
+            out["xi_minus"] = w_from_p(cosmo, model, win_k, win_k, p_all,
+                                       "power_mm", 4.0)
         return out
 
     def _validate(cosmo_batch):
