@@ -341,12 +341,15 @@ def gaussian_block(cl_ac, cl_bd, cl_ad, cl_bc, theta_edges_deg_i,
         # K₂ = <|W̃₂|² cos 2φ>, the γt x γt block through ½(K₀+K₄)
         # (the Re[] projection of the complex tangential estimator) —
         # both reduce to K₀ (and hence the delta limit) at q ≫ 1/R.
-        # MC-validated (tests/test_mask_covariance.py joint spin-2
-        # referee): w-block and cross entries at MC accuracy; the γt
-        # auto block retains a measured CONSERVATIVE overprediction
-        # growing to ~1.6x for bins at the footprint radius (partial-
-        # annulus wedge coupling beyond these leading moments).  For
-        # footprint-scale γt bins, prefer the CURVED route
+        # MC-validated (tests/test_mask_covariance.py joint spin-2 +
+        # xi_pm referees): w-block and cross entries at MC accuracy;
+        # spin-2 AUTO blocks retain measured CONSERVATIVE
+        # overpredictions at footprint-scale bins — γt ~1.6x
+        # (partial-annulus wedge coupling), ξ+ up to ~2.4x (the
+        # <γγ><γ*γ*> Wick pairing carries an e^{4iφ_k} FIELD-phase
+        # coherence the estimator-phase moments cannot suppress),
+        # ξ− within 15% ((K0+K8)/2 measured 0.88-1.0 vs MC).  For
+        # footprint-scale spin-2 bins, prefer the CURVED route
         # (curved.curved_gaussian_block / the curved joint builder):
         # its Wigner-d kernels carry the exact sphere bin geometry and
         # are only ~5-25% conservative there, spin-2-SHT-MC-validated

@@ -363,3 +363,121 @@ def test_disc_mask_mc_referee_joint_spin2():
         r_mc = cov_mc[i, nb + i] / np.sqrt(dg_mc[i] * dg_mc[nb + i])
         r_an = cov_an[i, nb + i] / np.sqrt(dg_an[i] * dg_an[nb + i])
         assert abs(r_mc - r_an) < 0.2, (i, r_mc, r_an)
+
+
+@pytest.mark.slow
+def test_disc_mask_mc_referee_xipm():
+    """Spin-2 xi_+/xi_- masked MC referee: pure-E Gaussian shear field
+    gamma = e^{2i phi_q} kappa on a disc footprint; pair-normalized
+    xi_+ = Re<gamma gamma*> and xi_- = Re[e^{-4i phi_r} <gamma gamma>]
+    estimators.  Validates the NEW mu = 4 pieces end-to-end: the J4 bin
+    factors, the {0,4} Weber-Schafheitlin structure, and the
+    generalized masked moment kernels (K4 mixed, (K0+K8)/2 for the
+    xi_- auto block).  Signal-only (the noise closures are exact and
+    tested separately).  MC means are also anchored to the Jbar0/Jbar4
+    Hankels of C_kk."""
+    n, a, w, qq, edges, binm, d_grid, radius = _mc_setup()
+
+    def c_kk(q):
+        return 0.6 / (1.0 + (np.asarray(q) / 15.0) ** 2.0)
+
+    amp_k = np.sqrt(c_kk(qq)) / a
+    q1 = 2 * np.pi * np.fft.fftfreq(n, d=a)
+    qxg, qyg = np.meshgrid(q1, q1, indexing="ij")
+    qc = qxg + 1j * qyg
+    phase2 = np.where(qq > 0, (qc / np.maximum(qq, 1e-30)) ** 2, 0.0)
+    rx1 = np.arange(n) * a
+    rx1[n // 2:] -= n * a
+    rxg, ryg = np.meshgrid(rx1, rx1, indexing="ij")
+    rr = np.sqrt(rxg**2 + ryg**2)
+    rc = rxg + 1j * ryg
+    ephase4 = np.where(rr > 0, np.conj(
+        (rc / np.maximum(rr, 1e-30)) ** 4), 0.0)
+
+    rng = np.random.default_rng(23)
+    n_mc, batch = 1000, 24
+    nb = binm.shape[0]
+    binm_f = binm.astype(float)
+    est = np.empty((n_mc, 2 * nb))
+    for s in range(0, n_mc, batch):
+        b = min(batch, n_mc - s)
+        f1 = np.fft.fft2(rng.standard_normal((b, n, n)), axes=(-2, -1))
+        gam = np.fft.ifft2(phase2 * (f1 * amp_k), axes=(-2, -1))
+        wg = w * gam
+        fgam = np.fft.fft2(wg, axes=(-2, -1))
+        fgam_c = np.fft.fft2(np.conj(wg), axes=(-2, -1))
+        # xi_+: sum_x gamma*(x) gamma(x+r) = ifft(|F|^2).
+        xp = (np.real(np.fft.ifft2(np.abs(fgam) ** 2, axes=(-2, -1)))
+              * a * a).reshape(b, -1)
+        est[s:s + b, :nb] = (xp @ binm_f.T) * a * a / d_grid
+        # xi_-: sum_x gamma(x) gamma(x+r) = ifft(conj(F[conj g]) F[g]);
+        # project with +Re[e^{-4i phi_r} G(r)] (i^4 = +1).
+        g_r = (np.fft.ifft2(np.conj(fgam_c) * fgam, axes=(-2, -1))
+               * a * a)
+        xm = np.real(ephase4 * g_r).reshape(b, -1)
+        est[s:s + b, nb:] = (xm @ binm_f.T) * a * a / d_grid
+    cov_mc = np.cov(est.T)
+
+    # Mean anchors: EXACT lattice expectations of the pair-normalized
+    # estimators (binary mask): E[est_i] = sum_bin pc(r) xi_lat(r) /
+    # sum_bin pc(r), with xi+_lat = ifft(C)/a^2 and
+    # xi-_lat = Re[e^{-4i phi_r} ifft(phase2^2 C)]/a^2 — pins the J4
+    # phase convention (i^4 = +1) with no continuum/Brillouin-zone
+    # approximation; the Hankel-vs-lattice agreement itself is covered
+    # by the unmasked transform referees.
+    ww_grid = np.real(np.fft.ifft2(np.abs(np.fft.fft2(w)) ** 2)) * a * a
+    # Effective spectra of the CONSTRUCTED field: phase2(q=0) = 0 kills
+    # the DC mode (|phase2|^2 = 1 elsewhere) — C(0)/box^2 = 0.15 here,
+    # a visible constant offset in xi_+ if naively included.
+    c_eff = np.abs(phase2) ** 2 * c_kk(qq)
+    xi_p_lat = np.real(np.fft.ifft2(c_eff)) / (a * a)
+    xi_m_lat = np.real(ephase4 * np.fft.ifft2(phase2**2 * c_kk(qq))) \
+        / (a * a)
+    xp_pred = (binm_f @ (ww_grid * xi_p_lat).ravel()) * a * a / d_grid
+    xm_pred = (binm_f @ (ww_grid * xi_m_lat).ravel()) * a * a / d_grid
+    err = np.sqrt(np.diag(cov_mc) / n_mc)
+    xp_mean, xm_mean = est[:, :nb].mean(axis=0), est[:, nb:].mean(axis=0)
+    assert np.all(np.abs(xp_mean - xp_pred) < 5 * err[:nb]), \
+        (xp_mean, xp_pred, err[:nb])
+    assert np.all(np.abs(xm_mean - xm_pred) < 5 * err[nb:]), \
+        (xm_mean, xm_pred, err[nb:])
+
+    dm = DiscMask(radius)
+    deg = np.degrees(edges)
+    kw = dict(n_ell_cov=1024, ell_lo=0.5, ell_hi=2 * np.pi / a / 1.2,
+              mask=dm)
+
+    def j(f):
+        return lambda e: jnp.asarray(f(e))
+
+    c4 = (j(c_kk),) * 4
+    c_pp = np.asarray(covariance.gaussian_block(
+        *c4, deg, deg, 0.0, 0, 0, **kw))
+    c_pm = np.asarray(covariance.gaussian_block(
+        *c4, deg, deg, 0.0, 0, 4, **kw))
+    c_mm = np.asarray(covariance.gaussian_block(
+        *c4, deg, deg, 0.0, 4, 4, **kw))
+    cov_an = np.block([[c_pp, c_pm], [c_pm.T, c_mm]])
+
+    dg_mc = np.diag(cov_mc)
+    dg_an = np.diag(cov_an)
+    ratio = dg_mc / dg_an
+    print("xi+ auto mc/an:", np.round(ratio[:nb], 3))
+    print("xi- auto mc/an:", np.round(ratio[nb:], 3))
+    # xi_+ auto: CONSERVATIVE overprediction at footprint-scale bins
+    # (measured ~1.7-2.4x here, where every bin is a sizeable fraction
+    # of the disc radius and C(q) peaks inside the coupled regime): the
+    # second Wick pairing <gamma gamma><gamma* gamma*> carries an
+    # e^{4i phi_k} field-phase coherence that the azimuthal-moment
+    # kernels do not suppress — same class as the documented gamma_t
+    # 1.6x (gaussian_block docstring); the curved route carries the
+    # exact sphere bin geometry for this regime.
+    assert np.all((ratio[:nb] > 0.35) & (ratio[:nb] < 1.1)), ratio
+    # xi_- auto ((K0+K8)/2): matches MC at 10-15% here.
+    assert np.all((ratio[nb:] > 0.7) & (ratio[nb:] < 1.3)), ratio
+    # xi_+ x xi_- cross correlations for the well-measured entries.
+    for i in range(nb):
+        r_mc = cov_mc[i, nb + i] / np.sqrt(dg_mc[i] * dg_mc[nb + i])
+        r_an = cov_an[i, nb + i] / np.sqrt(dg_an[i] * dg_an[nb + i])
+        print(f"pm corr bin {i}: mc={r_mc:.3f} an={r_an:.3f}")
+        assert abs(r_mc - r_an) < 0.35, (i, r_mc, r_an)
