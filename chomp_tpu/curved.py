@@ -105,10 +105,12 @@ __all__ = [
     "UniformSphereMask",
     "legendre_bin_factors",
     "legendre_bin_factors_spin2",
+    "wigner_bin_factors",
     "curved_pair_normalization",
     "curved_gaussian_block",
     "curved_gaussian_covariance",
     "curved_joint_wtheta_gammat_covariance",
+    "curved_joint_3x2pt_covariance",
     "curved_lattice_operator",
     "curved_wtheta_fft",
     "curved_wtheta_from_anchors",
@@ -230,6 +232,86 @@ def legendre_bin_factors_spin2(lmax: int, theta_edges_rad):
     out = np.zeros((mu_e.size - 1, lmax + 1))
     out[:, 2:] = (val / dmu[None, :]).T
     return out
+
+
+@lru_cache(maxsize=32)
+def _wigner_bin_factors_cached(m: int, n: int, lmax: int, edges_key,
+                               nodes_per_osc: float = 3.0):
+    """Bin-averaged Wigner-d factors t̄^i_ℓ = ∫_bin d^ℓ_{mn} dμ / Δμ_i
+    — (nb, lmax+1) — for the ξ_+/ξ_- families (m, n) = (2, ±2), where
+    no convenient endpoint closed form exists (unlike P_ℓ / d^ℓ_{20}
+    above).  Per-bin Gauss-Legendre quadrature in μ, accumulated DURING
+    the ℓ recursion in chunks so memory stays O(total nodes), not
+    O(lmax × nodes): d^ℓ_{mn}(μ) is a degree-ℓ polynomial oscillating
+    with period ~2π/ℓ in θ, so the node count scales with
+    ℓ_max Δθ_bin.  Validated against the closed-form (0,0)/(2,0)
+    factors and the flat J0/J4 limits (tests/test_curved.py)."""
+    edges = np.asarray(edges_key, dtype=float)
+    nb = len(edges) - 1
+    # GL nodes per bin, scaled to the top-ℓ oscillation count.
+    nodes, wts, bins = [], [], []
+    for b in range(nb):
+        dth = edges[b + 1] - edges[b]
+        n_nodes = int(min(8192, max(48, nodes_per_osc * lmax * dth
+                                    / np.pi)))
+        t, wq = np.polynomial.legendre.leggauss(n_nodes)
+        th = edges[b] + 0.5 * dth * (t + 1.0)
+        # ∫ dμ = ∫ sinθ dθ; normalize by Δμ_b.
+        dmu = np.cos(edges[b]) - np.cos(edges[b + 1])
+        nodes.append(np.cos(th))
+        wts.append(0.5 * dth * wq * np.sin(th) / dmu)
+        bins.append(np.full(n_nodes, b))
+    mu = np.concatenate(nodes)
+    w_all = np.concatenate(wts)
+    bin_id = np.concatenate(bins)
+    # Recursion keeping two rows; at each ℓ one (nodes,) @ (nodes, nb)
+    # contraction accumulates every bin's weighted sum.
+    sel = np.zeros((mu.size, nb))
+    sel[np.arange(mu.size), bin_id] = 1.0
+    selw = sel * w_all[:, None]                   # (nodes, nb)
+    out = np.zeros((nb, lmax + 1))
+    lmin = max(abs(m), abs(n))
+    if lmax < lmin:
+        return out
+    if (m, n) == (2, 2):
+        cur = (1.0 + mu) ** 2 / 4.0
+    elif (m, n) == (2, -2):
+        cur = (1.0 - mu) ** 2 / 4.0
+    elif (m, n) == (2, 0):
+        cur = np.sqrt(6.0) / 4.0 * (1.0 - mu**2)
+    elif (m, n) == (0, 0):
+        cur = np.ones_like(mu)
+        out[:, 0] = selw.sum(axis=0)
+        if lmax >= 1:
+            cur, prev = mu.copy(), cur
+            out[:, 1] = mu @ selw
+            for ell_i in range(1, lmax):
+                nxt = ((2 * ell_i + 1) * mu * cur - ell_i * prev) \
+                    / (ell_i + 1)
+                prev, cur = cur, nxt
+                out[:, ell_i + 1] = cur @ selw
+        return out
+    else:  # pragma: no cover
+        raise NotImplementedError((m, n))
+    prev = np.zeros_like(mu)
+    out[:, lmin] = cur @ selw
+    for ell_i in range(lmin, lmax):
+        ell = float(ell_i)
+        a = ell * np.sqrt(((ell + 1.0) ** 2 - m * m)
+                          * ((ell + 1.0) ** 2 - n * n))
+        b_ = (2 * ell + 1.0) * (ell * (ell + 1.0) * mu - m * n)
+        c = (ell + 1.0) * np.sqrt(max(ell * ell - m * m, 0.0)
+                                  * max(ell * ell - n * n, 0.0))
+        nxt = (b_ * cur - c * prev) / a
+        prev, cur = cur, nxt
+        out[:, ell_i + 1] = cur @ selw
+    return out
+
+
+def wigner_bin_factors(m: int, n: int, lmax: int, theta_edges_rad):
+    """Public wrapper over the cached quadrature bin factors."""
+    key = tuple(np.asarray(theta_edges_rad, dtype=float).tolist())
+    return _wigner_bin_factors_cached(m, n, lmax, key)
 
 
 # ---------------------------------------------------------------------------
@@ -585,10 +667,16 @@ def _xi_matrices_impl(mask, ell_split: int, kinds: tuple):
         d22 = _wigner_d_matrix(2, 2, ell_split, x)
         q = 0.5 * ((d22 * wxi[None, :]) @ d22.T)
         if "Q" in kinds:
-            # Unprojected Σ (2L+1) C^{W²}_L (3j(2,-2,0))² / 4π — kept
-            # for reference; measured 1.7x ABOVE the flat-limit
-            # ½(K₀+K₄) kernel on a small cap, i.e. it double-counts
-            # the parity-odd channel for the gamma_t estimator.
+            # Unprojected Σ (2L+1) C^{W²}_L (3j(2,-2,0))² / 4π =
+            # Ξ⁺ + Ξ⁻.  For the γt estimator this double-counts the
+            # parity-odd channel (measured 1.7x above the flat-limit
+            # ½(K₀+K₄) kernel on a small cap) — but it IS the ξ_± AUTO
+            # kernel: the exact identities ξ̂_± = Σ t^{2,±2} (P̃EE ±
+            # P̃BB) give Cov(±,±) = 2(Et Et' + Bt Bt')(Ξ⁺ + Ξ⁻) under
+            # channel-diagonal NKA (Cov(P̃EE, P̃EE) = 2[EtEt'Ξ⁺ +
+            # BtBt'Ξ⁻], Cov(P̃BB, P̃BB) the mirror, Cov(P̃EE, P̃BB) ≈ 0
+            # — the even·odd projector product vanishes on the NKA
+            # diagonal).  Sphere-MC-validated via the ξ± referee.
             out["Q"] = q
         if "P" in kinds:
             # Even-parity (pseudo-E) projection: the gamma_t auto
@@ -605,6 +693,15 @@ def _xi_matrices_impl(mask, ell_split: int, kinds: tuple):
             d2m2 = _wigner_d_matrix(2, -2, ell_split, x)
             out["P"] = 0.5 * (q + 0.5 * ((d2m2 * wxi[None, :])
                                          @ d2m2.T))
+    if "M" in kinds:
+        # Ξ⁺ - Ξ⁻ = ½ ∫ d^ℓ_{2,-2} d^ℓ'_{2,-2} ξ_{W²} dμ — the
+        # ξ_+ x ξ_- cross kernel: Cov(+,-) = 2(Et Et' - Bt Bt')
+        # (Ξ⁺ - Ξ⁻), whose pure-noise part cancels EXACTLY in the
+        # EE - BB channel assembly (the classic tangential/cross
+        # shot-noise decorrelation; the flat module needs a
+        # Weber-Schafheitlin constant for the same physics).
+        d2m2 = _wigner_d_matrix(2, -2, ell_split, x)
+        out["M"] = 0.5 * ((d2m2 * wxi[None, :]) @ d2m2.T)
     return out
 
 
@@ -635,48 +732,96 @@ def _auto_ell_split(mask, ell_max: int) -> int:
     return int(min(ell_max, max(64, 24.0 * width)))
 
 
+def _curved_bin_factors(mu, ell_max: int, edges_rad):
+    """Bin factors for an estimator code: 0 (P_ℓ), 2 (d^ℓ_{20}),
+    "xip" (d^ℓ_{22}), "xim" (d^ℓ_{2,-2})."""
+    if mu == 0:
+        return legendre_bin_factors(ell_max, edges_rad)
+    if mu == 2:
+        return legendre_bin_factors_spin2(ell_max, edges_rad)
+    if mu == "xip":
+        return wigner_bin_factors(2, 2, ell_max, edges_rad)
+    if mu == "xim":
+        return wigner_bin_factors(2, -2, ell_max, edges_rad)
+    raise ValueError(f"unsupported estimator code mu={mu!r}")
+
+
+# Ξ kernel per estimator-code pair (module docstring + _xi_matrices):
+# the ξ± autos use the unprojected Q = Ξ⁺+Ξ⁻ (exact pseudo-E/B
+# channel assembly — the caller sums EE and BB channel blocks); the
+# (+,-) cross uses M = Ξ⁺-Ξ⁻; mixed scalar/spin-2 pairs use the
+# single-leg 3j(000)·3j(2,-2,0) kernel "2"; (γt, ξ±) uses "2" as well
+# (one mixed pairing — the flat-moment-rule analog K₂; documented NKA
+# choice, the cross blocks are small).
+_XI_KIND = {
+    (0, 0): "0", (0, 2): "2", (2, 2): "P",
+    (0, "xip"): "2", (0, "xim"): "2",
+    (2, "xip"): "2", (2, "xim"): "2",
+    ("xip", "xip"): "Q", ("xim", "xim"): "Q", ("xip", "xim"): "M",
+}
+
+
+def _xi_kind(mu_i, mu_j):
+    k = _XI_KIND.get((mu_i, mu_j))
+    if k is None:
+        k = _XI_KIND.get((mu_j, mu_i))
+    if k is None:
+        raise ValueError(f"unsupported estimator pair ({mu_i}, {mu_j})")
+    return k
+
+
 def curved_gaussian_block(cl_ac, cl_bd, cl_ad, cl_bc,
                           theta_edges_deg_i, theta_edges_deg_j, mask,
-                          mu_i: int = 0, mu_j: int = 0,
+                          mu_i=0, mu_j=0,
                           noise_ac: float = 0.0, noise_bd: float = 0.0,
                           noise_ad: float = 0.0, noise_bc: float = 0.0,
                           ell_max: int = 4096,
-                          ell_split: int | None = None):
+                          ell_split: int | None = None,
+                          nn_quadrature: bool = False):
     """Curved-sky Gaussian covariance block Cov[w^(ab)_i, w^(cd)_j] on
     a masked sphere — the curved analog of covariance.gaussian_block
     (same four C_ℓ callables / noise-level signature; ``mask`` is a
     SphericalCapMask / ProfileCurvedMask / UniformSphereMask;
-    ``mu_i``, ``mu_j`` ∈ {0, 2} select the P_ℓ vs d^ℓ_{20} bin factors
-    and the Ξ kernel family).
+    ``mu_i``, ``mu_j`` ∈ {0, 2, "xip", "xim"} select the P_ℓ /
+    d^ℓ_{20} / d^ℓ_{22} / d^ℓ_{2,-2} bin factors and the Ξ kernel
+    family).  The ξ± codes compute SINGLE-CHANNEL (pseudo-EE or
+    pseudo-BB) blocks — the 3x2pt assembly sums/differences the two
+    channels (curved_joint_3x2pt_covariance).
 
     cl_xy receives a static integer numpy ℓ grid (2..ell_max) and may
     return traced values; everything geometric is static numpy.  The
     pure noise x noise term uses the pair-count-exact closure
     2 N² D₂_ovl / (D_i D_j) on the spherical pair counts (the flat
-    module's closure is geometry-free)."""
+    module's closure is geometry-free).  ``nn_quadrature=True`` keeps
+    the noise x noise constant inside the truncated ℓ quadrature
+    instead (no closure): use ONLY for exact channel-difference
+    assemblies where the truncation error cancels (the ξ+ x ξ- cross
+    block)."""
     noise_ac = float(noise_ac)
     noise_bd = float(noise_bd)
     noise_ad = float(noise_ad)
     noise_bc = float(noise_bc)
-    if mu_i not in (0, 2) or mu_j not in (0, 2):
-        raise ValueError("curved_gaussian_block supports mu in {0, 2}")
     edges_i = np.radians(np.asarray(theta_edges_deg_i, dtype=float))
     edges_j = np.radians(np.asarray(theta_edges_deg_j, dtype=float))
     ells_np = np.arange(0, ell_max + 1)
-    bf = {0: legendre_bin_factors, 2: legendre_bin_factors_spin2}
-    b_i = bf[mu_i](ell_max, edges_i)              # (nbi, nl)
-    b_j = bf[mu_j](ell_max, edges_j)
+    kind = _xi_kind(mu_i, mu_j)
+    b_i = _curved_bin_factors(mu_i, ell_max, edges_i)   # (nbi, nl)
+    b_j = _curved_bin_factors(mu_j, ell_max, edges_j)
     ct_ac = jnp.asarray(cl_ac(ells_np)) + noise_ac
     ct_bd = jnp.asarray(cl_bd(ells_np)) + noise_bd
     ct_ad = jnp.asarray(cl_ad(ells_np)) + noise_ad
     ct_bc = jnp.asarray(cl_bc(ells_np)) + noise_bc
 
     nn = noise_ac * noise_bd + noise_ad * noise_bc
+    if nn_quadrature:
+        nn = 0.0      # keep the constant inside the quadrature
     if nn != 0.0 and mu_i != mu_j:
         raise ValueError(
             "curved_gaussian_block: pure noise x noise with mu_i != "
             "mu_j is not closable analytically — split the noisy "
-            "pairing out (same restriction as gaussian_block).")
+            "pairing out (same restriction as gaussian_block), or use "
+            "nn_quadrature=True inside an exact channel-difference "
+            "assembly.")
 
     # Pair-count normalization and the delta-limit prefactor.
     dmu_i = np.cos(edges_i[:-1]) - np.cos(edges_i[1:])
@@ -705,8 +850,6 @@ def curved_gaussian_block(cl_ac, cl_bd, cl_ad, cl_bc,
         ell_split = _auto_ell_split(mask, ell_max)
     ell_split = min(int(ell_split), ell_max)
     if ell_split >= 2:
-        spin_pair = mu_i + mu_j
-        kind = {0: "0", 2: "2", 4: "P"}[spin_pair]
         xi = _xi_matrices(mask, ell_split, (kind,))[kind]
         nl = ell_split + 1                         # ℓ = 0..ell_split
         tw = twol[:nl]
@@ -772,7 +915,8 @@ def curved_lattice_operator(theta_key, grid, mu: float = 0.0,
                             lmax: int | None = None,
                             taper_frac: float = 0.15,
                             bin_average: bool = False,
-                            kappa_prefactor: bool = True):
+                            kappa_prefactor: bool = True,
+                            stat: str | None = None):
     """(j_lo, j_hi, A): the exact curved-sky multipole sum
     w(θ) = Σ_ℓ ((2ℓ+1)/4π) C_ℓ P_ℓ(cosθ) (``mu=0``) or
     γt(θ) = Σ_ℓ ((2ℓ+1)/4π) C^{gE}_ℓ d^ℓ_{20}(cosθ) (``mu=2``) as ONE
@@ -793,7 +937,12 @@ def curved_lattice_operator(theta_key, grid, mu: float = 0.0,
     2^17) with a cosine taper over the top ``taper_frac`` of the range
     suppressing truncation ringing; ``kappa_prefactor`` applies the
     C^{gκ} → C^{gE} ℓ-factor for ``mu=2`` (exact; off reproduces the
-    naive d^ℓ_{20} sum)."""
+    naive d^ℓ_{20} sum).
+
+    ``stat``: "xip" / "xim" override ``mu`` with the shear-shear sums
+    ξ_±(θ) = Σ_ℓ ((2ℓ+1)/4π) C^{EE}_ℓ d^ℓ_{2,±2}(cosθ), consuming the
+    κκ lattice convolution with C^{EE} = f_ℓ² C^{κκ}
+    (f = _spin2_kappa_prefactor, applied SQUARED — two spin-2 legs)."""
     from chomp_tpu.limber_fft import _lattices
 
     theta_deg = np.asarray(theta_key, dtype=float)
@@ -815,9 +964,18 @@ def curved_lattice_operator(theta_key, grid, mu: float = 0.0,
                 "truncation-limited.  Pass lmax explicitly, or use the "
                 "flat route for sub-arcminute separations (curvature "
                 "is negligible there anyway).", stacklevel=3)
-    if mu not in (0.0, 2.0, 0, 2):
+    if stat is not None and stat not in ("xip", "xim"):
+        raise ValueError("stat must be None, 'xip', or 'xim'")
+    if stat is None and mu not in (0.0, 2.0, 0, 2):
         raise ValueError("curved_lattice_operator supports mu in {0, 2}")
-    if bin_average:
+    if stat is not None:
+        mn = (2, 2) if stat == "xip" else (2, -2)
+        if bin_average:
+            b = wigner_bin_factors(mn[0], mn[1], lmax, theta_rad)
+        else:
+            b = _wigner_d_matrix(mn[0], mn[1], lmax,
+                                 np.cos(theta_rad)).T
+    elif bin_average:
         bf = (legendre_bin_factors if mu == 0
               else legendre_bin_factors_spin2)
         b = bf(lmax, theta_rad)                        # (nb, lmax+1)
@@ -827,7 +985,9 @@ def curved_lattice_operator(theta_key, grid, mu: float = 0.0,
         b = _wigner_d_matrix(2, 0, lmax, np.cos(theta_rad)).T
     ell = np.arange(lmax + 1, dtype=float)
     wl = (2.0 * ell + 1.0) / (4.0 * np.pi)
-    if mu == 2 and kappa_prefactor:
+    if stat is not None and kappa_prefactor:
+        wl = wl * _spin2_kappa_prefactor(lmax) ** 2
+    elif mu == 2 and stat is None and kappa_prefactor:
         wl = wl * _spin2_kappa_prefactor(lmax)
     if taper_frac > 0.0:
         l_t = (1.0 - taper_frac) * lmax
@@ -865,7 +1025,8 @@ def curved_wtheta_fft(cosmo, win_a, win_b, theta_deg, p_lattice,
                       compensated: bool = True, lmax: int | None = None,
                       taper_frac: float = 0.15,
                       bin_average: bool = False,
-                      kappa_prefactor: bool = True):
+                      kappa_prefactor: bool = True,
+                      stat: str | None = None):
     """Curved-sky w(θ) (``mu=0``) or γt (``mu=2``) straight from the P
     lattice — the curved analog of limber_fft.limber_wtheta_fft (same
     signature shape, same runtime cost: direct lattice convolution →
@@ -886,7 +1047,7 @@ def curved_wtheta_fft(cosmo, win_a, win_b, theta_deg, p_lattice,
     theta_key = tuple(np.asarray(theta_deg, dtype=float).tolist())
     j_lo, j_hi, a_np = curved_lattice_operator(
         theta_key, grid, mu, ell_offset, lmax, taper_frac, bin_average,
-        kappa_prefactor)
+        kappa_prefactor, stat)
     g = _lattice_g(cosmo, win_a, win_b, grid, growth_pivot)
     conv = _conv_direct(p_lattice, g, j_lo, j_hi)
     if compensated:
@@ -902,7 +1063,8 @@ def curved_wtheta_from_anchors(cosmo, anchors, win_a, win_b, theta_deg,
                                lmax: int | None = None,
                                taper_frac: float = 0.15,
                                bin_average: bool = False,
-                               kappa_prefactor: bool = True):
+                               kappa_prefactor: bool = True,
+                               stat: str | None = None):
     """Exact-z curved-sky w(θ)/γt from prebuilt Chebyshev anchor
     spectra — the curved analog of limber_fft.limber_wtheta_from_anchors
     (same anchor convolution, curved multipole operator)."""
@@ -917,7 +1079,7 @@ def curved_wtheta_from_anchors(cosmo, anchors, win_a, win_b, theta_deg,
     theta_key = tuple(np.asarray(theta_deg, dtype=float).tolist())
     j_lo, j_hi, a_np = curved_lattice_operator(
         theta_key, grid, mu, ell_offset, lmax, taper_frac, bin_average,
-        kappa_prefactor)
+        kappa_prefactor, stat)
     conv = exact_z_conv_from_anchors(cosmo, anchors, win_a, win_b, kind,
                                      grid, j_lo, j_hi)
     if compensated:
@@ -995,6 +1157,112 @@ def curved_joint_wtheta_gammat_covariance(
     top = jnp.concatenate([cov_ww, cov_wg], axis=1)
     bot = jnp.concatenate([cov_wg.T, cov_gg], axis=1)
     return jnp.concatenate([top, bot], axis=0)
+
+
+def curved_joint_3x2pt_covariance(
+        cosmo, halo_p, model, dist_lens, dist_src, theta_edges_deg,
+        n2d_lens, shape_noise, mask, ell_max: int = 4096,
+        ell_split: int | None = None, with_bao: bool = False,
+        grid=None, include_nongaussian: bool = False, **ng_kwargs):
+    """Joint [w_gg, γt, ξ_+, ξ_-] covariance on a masked SPHERE —
+    (4 nb, 4 nb); the curved analog of
+    covariance.joint_3x2pt_covariance, extending
+    curved_joint_wtheta_gammat_covariance with the shear-shear rows.
+
+    Shear model: E-only signal (C_EE = f_ℓ² C_κκ via the exact
+    prediction operator; the covariance uses C_κκ directly — the f_ℓ
+    correction is sub-0.2% at ℓ ≥ 20), C_BB = 0, white ``shape_noise``
+    per component in BOTH channels.  The ξ± autos sum the pseudo-EE
+    and pseudo-BB channel blocks (kernel Q = Ξ⁺+Ξ⁻); the (+,-) cross
+    differences them (kernel M = Ξ⁺-Ξ⁻) with nn_quadrature=True so the
+    pure-noise constants cancel EXACTLY between channels.  Cross
+    blocks with w/γt couple through the E-mode only.
+
+    ``include_nongaussian=True`` adds the connected blocks via the
+    flat trispectrum engine at Ω_eff = A₂²/A₄ (see
+    curved_joint_wtheta_gammat_covariance)."""
+    from chomp_tpu.covariance import lattice_cl_callables
+    from chomp_tpu.params import DEFAULT_GRID
+
+    if grid is None:
+        grid = DEFAULT_GRID
+    cl_gg, cl_gk, cl_kk = lattice_cl_callables(
+        cosmo, halo_p, model, dist_lens, dist_src, with_bao, grid)
+
+    def cl_zero(ells_np):
+        return jnp.zeros(len(np.asarray(ells_np)))
+
+    edges = theta_edges_deg
+    n_g = 1.0 / float(n2d_lens)
+    ns = float(shape_noise)
+    kw = dict(ell_max=ell_max, ell_split=ell_split)
+
+    def blk(ac, bd, ad, bc, mi, mj, nac, nbd, nad, nbc, **extra):
+        return curved_gaussian_block(ac, bd, ad, bc, edges, edges,
+                                     mask, mi, mj, nac, nbd, nad, nbc,
+                                     **kw, **extra)
+
+    c_ww = blk(cl_gg, cl_gg, cl_gg, cl_gg, 0, 0, n_g, n_g, n_g, n_g)
+    c_wg = blk(cl_gg, cl_gk, cl_gk, cl_gg, 0, 2, n_g, 0.0, 0.0, n_g)
+    c_wp = blk(cl_gk, cl_gk, cl_gk, cl_gk, 0, "xip", 0.0, 0.0, 0.0, 0.0)
+    c_wm = blk(cl_gk, cl_gk, cl_gk, cl_gk, 0, "xim", 0.0, 0.0, 0.0, 0.0)
+    c_gg = blk(cl_gg, cl_kk, cl_gk, cl_gk, 2, 2, n_g, ns, 0.0, 0.0)
+    c_gp = blk(cl_gk, cl_kk, cl_gk, cl_kk, 2, "xip", 0.0, ns, 0.0, ns)
+    c_gm = blk(cl_gk, cl_kk, cl_gk, cl_kk, 2, "xim", 0.0, ns, 0.0, ns)
+
+    def shear_auto(code):
+        ee = blk(cl_kk, cl_kk, cl_kk, cl_kk, code, code, ns, ns, ns, ns)
+        bb = blk(cl_zero, cl_zero, cl_zero, cl_zero, code, code,
+                 ns, ns, ns, ns)
+        return ee + bb
+
+    c_pp = shear_auto("xip")
+    c_mm = shear_auto("xim")
+    c_pm = (blk(cl_kk, cl_kk, cl_kk, cl_kk, "xip", "xim",
+                ns, ns, ns, ns, nn_quadrature=True)
+            - blk(cl_zero, cl_zero, cl_zero, cl_zero, "xip", "xim",
+                  ns, ns, ns, ns, nn_quadrature=True))
+
+    if include_nongaussian:
+        from chomp_tpu.covariance import nongaussian_covariance
+        from chomp_tpu.projection import WindowConvergence, WindowGalaxy
+
+        omega_eff = mask.area2**2 / mask.area4
+        win_g = WindowGalaxy(dist=dist_lens)
+        win_k = WindowConvergence(dist=dist_src)
+        common = dict(with_bao=with_bao, grid=grid, **ng_kwargs)
+
+        def ng(windows, tracers, mi, mj):
+            return nongaussian_covariance(
+                cosmo, halo_p, model, dist_lens, edges, omega_eff,
+                windows=windows, tracers=tracers, mu_i=mi, mu_j=mj,
+                **common)
+
+        g4, k4, m4 = (win_g,) * 4, (win_k,) * 4, ("m",) * 4
+        c_ww = c_ww + ng(g4, ("g",) * 4, 0, 0)
+        c_wg = c_wg + ng((win_g, win_g, win_g, win_k),
+                         ("g", "g", "g", "m"), 0, 2)
+        c_wp = c_wp + ng((win_g, win_g, win_k, win_k),
+                         ("g", "g", "m", "m"), 0, 0)
+        c_wm = c_wm + ng((win_g, win_g, win_k, win_k),
+                         ("g", "g", "m", "m"), 0, 4)
+        c_gg = c_gg + ng((win_g, win_k, win_g, win_k),
+                         ("g", "m", "g", "m"), 2, 2)
+        c_gp = c_gp + ng((win_g, win_k, win_k, win_k),
+                         ("g", "m", "m", "m"), 2, 0)
+        c_gm = c_gm + ng((win_g, win_k, win_k, win_k),
+                         ("g", "m", "m", "m"), 2, 4)
+        c_pp = c_pp + ng(k4, m4, 0, 0)
+        c_pm = c_pm + ng(k4, m4, 0, 4)
+        c_mm = c_mm + ng(k4, m4, 4, 4)
+
+    rows = [
+        jnp.concatenate([c_ww, c_wg, c_wp, c_wm], axis=1),
+        jnp.concatenate([c_wg.T, c_gg, c_gp, c_gm], axis=1),
+        jnp.concatenate([c_wp.T, c_gp.T, c_pp, c_pm], axis=1),
+        jnp.concatenate([c_wm.T, c_gm.T, c_pm.T, c_mm], axis=1),
+    ]
+    return jnp.concatenate(rows, axis=0)
 
 
 def curved_gaussian_covariance(cl_fn, theta_edges_deg, n2d, mask,

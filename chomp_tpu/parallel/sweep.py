@@ -118,10 +118,10 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
 
     ``include_shear=True`` adds the shear-shear correlations
     xi_plus/xi_minus (source sample = the same ``dist``; power_mm
-    through the convergence window; J0/J4) — the full 3x2pt data
-    vector.  Capability extension beyond chomp (correlation.xi_plus
-    docstring); flat geometry only for now (the curved d^l_{2 +-2}
-    operators are covariance-side — see chomp_tpu.curved).
+    through the convergence window; J0/J4 flat, exact d^l_{2,+-2}
+    multipole sums with the f_l^2 kappa->E prefactor when
+    geometry="curved") — the full 3x2pt data vector.  Capability
+    extension beyond chomp (correlation.xi_plus docstring).
 
     Returns ``fn(cosmo) -> dict`` (pure; jit/vmap/grad-able).
     ``halo_params``/``hod``/``dist`` are closed over but traced, so they
@@ -141,13 +141,6 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
             "geometry='curved' requires method='fft' (the curved "
             "multipole operators consume the lattice convolution; the "
             "table route has no integer-ell surface)")
-    if geometry == "curved" and include_shear:
-        raise NotImplementedError(
-            "include_shear with geometry='curved' is not wired yet: "
-            "the flat J0/J4 transforms would silently miss the sphere "
-            "d^l_{2 +-2} geometry.  Use geometry='flat' (exact at "
-            "xi_+- scales well below the footprint size) or the "
-            "curved covariance surface in chomp_tpu.curved.")
 
     if theta_deg is None:
         theta_deg = correlation.theta_bins_deg(grid)
@@ -168,7 +161,8 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
     if not exact_z_anchors:
         _warn_if_separable_bias(dist, z_pivot)
 
-    def w_from_p(cosmo, model, wa, wb, p_kind_table, kind, mu):
+    def w_from_p(cosmo, model, wa, wb, p_kind_table, kind, mu,
+                 stat=None):
         if method == "fft" and exact_z_anchors:
             # p_kind_table carries the SHARED anchor spectra here (one
             # halo sweep for gg+gm; the y-matrices dominate).
@@ -177,7 +171,7 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
 
                 return curved_wtheta_from_anchors(
                     cosmo, p_kind_table, wa, wb, theta_key, kind, grid,
-                    mu=mu)
+                    mu=mu, stat=stat)
             return limber_fft.limber_wtheta_from_anchors(
                 cosmo, p_kind_table, wa, wb, theta_key, kind, grid, mu=mu)
         if method == "fft":
@@ -189,7 +183,7 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
 
                 return curved_wtheta_fft(
                     cosmo, wa, wb, theta_key, p_kind_table[kind], grid,
-                    mu=mu, growth_pivot=model.mass.growth)
+                    mu=mu, growth_pivot=model.mass.growth, stat=stat)
             return limber_fft.limber_wtheta_fft(
                 cosmo, wa, wb, theta_key, p_kind_table[kind], grid, mu=mu,
                 growth_pivot=model.mass.growth)
@@ -232,10 +226,14 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
             out["gamma_t"] = w_from_p(cosmo, model, win_k, win_g, p_all,
                                       "power_gm", 2.0)
         if include_shear:
+            # Curved geometry: the flat J0/J4 map to the exact sphere
+            # d^l_{2,+-2} sums via the stat codes (mu is ignored there).
+            stat_p = "xip" if geometry == "curved" else None
+            stat_m = "xim" if geometry == "curved" else None
             out["xi_plus"] = w_from_p(cosmo, model, win_k, win_k, p_all,
-                                      "power_mm", 0.0)
+                                      "power_mm", 0.0, stat_p)
             out["xi_minus"] = w_from_p(cosmo, model, win_k, win_k, p_all,
-                                       "power_mm", 4.0)
+                                       "power_mm", 4.0, stat_m)
         return out
 
     def _validate(cosmo_batch):

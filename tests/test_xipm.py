@@ -291,11 +291,25 @@ def test_joint_3x2pt_gather_free(fiducial, cov_setup):
     assert not re.findall(r"\bgather\b", txt), "dynamic gather in jaxpr"
 
 
-def test_pipeline_curved_shear_raises():
-    from chomp_tpu import default_halo
+def test_pipeline_curved_shear_matches_flat():
+    """geometry='curved' xi_+- (exact d^l_{2,+-2} sums) agrees with the
+    flat J0/J4 route at sub-degree bins — the regime where curvature is
+    a small correction; also the smoke test for the curved wiring."""
+    from chomp_tpu import default_cosmo, default_halo
     from chomp_tpu.hod import default_hod
     from chomp_tpu.parallel.sweep import make_pipeline
+    from chomp_tpu.params import GridSpec
 
-    with pytest.raises(NotImplementedError):
-        make_pipeline(default_halo(), default_hod(), src_dist(),
-                      geometry="curved", include_shear=True)
+    tiny = GridSpec(n_k=64, n_mass=64, n_ell=256, n_theta=6,
+                    lattice_dln=0.08, theta_min_deg=0.05,
+                    theta_max_deg=0.5)
+    kw = dict(include_shear=True, include_lensing=False, z_pivot=1.0,
+              grid=tiny)
+    flat = make_pipeline(default_halo(), default_hod(), src_dist(),
+                         **kw)(default_cosmo())
+    curved = make_pipeline(default_halo(), default_hod(), src_dist(),
+                           geometry="curved", **kw)(default_cosmo())
+    for key, tol in (("xi_plus", 6e-3), ("xi_minus", 2e-2)):
+        a, b = np.asarray(flat[key]), np.asarray(curved[key])
+        assert np.all(np.isfinite(b))
+        np.testing.assert_allclose(b, a, rtol=tol)
