@@ -572,9 +572,11 @@ class PixelSphereMask:
 
     @classmethod
     def from_healpix(cls, hp_map, n_ring: int | None = None,
-                     n_sep_bins: int | None = None):
-        """Build from a RING-ordered HEALPix weight map (the standard
-        survey-mask format; chomp_tpu.healpix — no healpy needed).
+                     n_sep_bins: int | None = None,
+                     order: str = "RING"):
+        """Build from a HEALPix weight map (the standard survey-mask
+        format; chomp_tpu.healpix — no healpy needed).  ``order``:
+        "RING" (default) or "NESTED" (reordered on ingestion).
         The map is resampled onto the iso-latitude grid by pixel-center
         lookup at ``n_ring`` rings (default ~4·nside capped at 512 —
         at the cap, masks finer than ~0.35° pixels are smoothed)."""
@@ -586,6 +588,13 @@ class PixelSphereMask:
         if m.ndim != 1 or hp_npix(nside) != m.size:
             raise ValueError(
                 f"from_healpix: size {m.size} is not 12*nside^2")
+        if order.upper() in ("NESTED", "NEST"):
+            from chomp_tpu.healpix import reorder_nest_to_ring
+
+            m = reorder_nest_to_ring(m)
+        elif order.upper() != "RING":
+            raise ValueError(f"order must be RING or NESTED, got "
+                             f"{order!r}")
         if n_ring is None:
             n_ring = int(min(512, max(64, 4 * nside)))
         n_phi = 2 * n_ring

@@ -22,7 +22,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["npix", "pix2ang_ring", "ang2pix_ring"]
+__all__ = ["npix", "pix2ang_ring", "ang2pix_ring", "nest2ring",
+           "reorder_nest_to_ring"]
 
 
 def npix(nside: int) -> int:
@@ -74,6 +75,79 @@ def pix2ang_ring(nside: int, p):
         phi[m] = (4 * i - j + 0.5) * np.pi / (2.0 * i)
 
     return np.arccos(np.clip(z, -1.0, 1.0)), phi % (2.0 * np.pi)
+
+
+def _compress_even_bits(v):
+    """Keep the even-position bits of ``v`` and pack them densely
+    (the inverse of bit interleaving; int64, up to 32 output bits)."""
+    v = v & 0x5555555555555555
+    v = (v | (v >> 1)) & 0x3333333333333333
+    v = (v | (v >> 2)) & 0x0F0F0F0F0F0F0F0F
+    v = (v | (v >> 4)) & 0x00FF00FF00FF00FF
+    v = (v | (v >> 8)) & 0x0000FFFF0000FFFF
+    v = (v | (v >> 16)) & 0x00000000FFFFFFFF
+    return v
+
+
+# Face layout constants (Gorski et al. 2005 Fig. 4): the base ring of
+# each of the 12 faces (in units of nside) and its azimuthal offset
+# (in units of pi/4).
+_JRLL = np.array([2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 4], dtype=np.int64)
+_JPLL = np.array([1, 3, 5, 7, 0, 2, 4, 6, 1, 3, 5, 7], dtype=np.int64)
+
+
+def nest2ring(nside: int, p):
+    """RING index of NESTED-ordered pixels ``p`` (vectorized).
+
+    NESTED requires nside a power of two.  Decompose p into face
+    number f and within-face (ix, iy) by de-interleaving bits, then
+    map to the ring index jr = jrll[f]·nside - ix - iy - 1 and the
+    in-ring position (standard HEALPix geometry; validated without
+    healpy by bijectivity + the parent/child nesting hierarchy against
+    the already-validated RING angles, tests/test_healpix.py)."""
+    nside = int(nside)
+    if nside <= 0 or (nside & (nside - 1)) != 0:
+        raise ValueError("NESTED ordering requires nside a power of 2")
+    p = np.asarray(p, dtype=np.int64)
+    if np.any((p < 0) | (p >= npix(nside))):
+        raise ValueError("pixel index out of range")
+    n_pix = npix(nside)
+    ncap = 2 * nside * (nside - 1)
+    f = p // (nside * nside)
+    pf = p % (nside * nside)
+    ix = _compress_even_bits(pf)
+    iy = _compress_even_bits(pf >> 1)
+
+    jr = _JRLL[f] * nside - ix - iy - 1       # ring index 1..4nside-1
+    out = np.empty(p.shape, dtype=np.int64)
+
+    north = jr < nside
+    south = jr > 3 * nside
+    eq = ~(north | south)
+    # Number of pixels per quadrant on this ring + ring phase.
+    nr = np.where(north, jr, np.where(south, 4 * nside - jr, nside))
+    kshift = np.where(eq, (jr - nside) & 1, 0)
+    jp = (_JPLL[f] * nr + ix - iy + 1 + kshift) // 2
+    jp = np.where(jp > 4 * nr, jp - 4 * nr, jp)
+    jp = np.where(jp < 1, jp + 4 * nr, jp)
+    startpix = np.where(
+        north, 2 * nr * (nr - 1),
+        np.where(south, n_pix - 2 * nr * (nr + 1),
+                 ncap + (jr - nside) * 4 * nside))
+    out[...] = startpix + jp - 1
+    return out
+
+
+def reorder_nest_to_ring(m):
+    """Reorder a NESTED-ordered map array to RING ordering (the
+    ingestion direction: ring_map[nest2ring(p)] = nest_map[p])."""
+    m = np.asarray(m)
+    ns = int(round(np.sqrt(m.shape[-1] / 12)))
+    if 12 * ns * ns != m.shape[-1]:
+        raise ValueError("map length is not 12 nside^2")
+    out = np.empty_like(m)
+    out[..., nest2ring(ns, np.arange(m.shape[-1]))] = m
+    return out
 
 
 def ang2pix_ring(nside: int, theta, phi):

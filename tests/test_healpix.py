@@ -90,3 +90,68 @@ def test_from_healpix_cap():
                                rtol=3e-2)
     with pytest.raises(ValueError, match="12"):
         PixelSphereMask.from_healpix(np.ones(100))
+
+
+def test_nest2ring_bijection_and_hierarchy():
+    """NESTED ingestion, validated without healpy:
+    (a) nest2ring is a bijection for several nside;
+    (b) the nesting hierarchy: the 4 children of nested pixel p at
+        2*nside have RING angles inside the parent's pixel at nside
+        (ang2pix_ring of the child centers returns the parent's RING
+        index) — this pins the bit-interleave and face layout against
+        the independently-validated RING geometry;
+    (c) face centers land on the known base-pixel positions."""
+    from chomp_tpu.healpix import (ang2pix_ring, nest2ring, npix,
+                                   pix2ang_ring, reorder_nest_to_ring)
+
+    for nside in (1, 2, 4, 16):
+        perm = nest2ring(nside, np.arange(npix(nside)))
+        assert np.array_equal(np.sort(perm), np.arange(npix(nside)))
+
+    for nside in (2, 8):
+        p = np.arange(npix(nside))
+        # children at the refined grid: 4p + (0..3)
+        for c in range(4):
+            child_nest = 4 * p + c
+            th, ph = pix2ang_ring(2 * nside,
+                                  nest2ring(2 * nside, child_nest))
+            parent_ring = ang2pix_ring(nside, th, ph)
+            assert np.array_equal(parent_ring, nest2ring(nside, p)), \
+                (nside, c)
+
+    # Face 4 (equatorial, jpll=0) base pixel at nside=1 sits at the
+    # equator, phi = 0 quadrant; faces 0-3 in the north, 8-11 south.
+    th, _ = pix2ang_ring(1, nest2ring(1, np.arange(12)))
+    z = np.cos(th)
+    assert np.all(z[:4] > 0.5) and np.all(np.abs(z[4:8]) < 1e-12) \
+        and np.all(z[8:] < -0.5)
+
+    # reorder round trip: values land where nest2ring says.
+    nside = 4
+    nest_map = np.arange(npix(nside), dtype=float)
+    ring_map = reorder_nest_to_ring(nest_map)
+    assert np.array_equal(ring_map[nest2ring(nside, np.arange(
+        npix(nside)))], nest_map)
+
+    with pytest.raises(ValueError):
+        nest2ring(3, 0)          # not a power of two
+
+
+def test_from_healpix_nested_matches_ring():
+    """PixelSphereMask.from_healpix(order='NESTED') equals the RING
+    ingestion of the same mask."""
+    from chomp_tpu.curved import PixelSphereMask
+    from chomp_tpu.healpix import nest2ring, npix, pix2ang_ring
+
+    nside = 8
+    p_ring = np.arange(npix(nside))
+    th, ph = pix2ang_ring(nside, p_ring)
+    ring_map = (np.cos(th) > 0.4).astype(float)
+    nest_map = ring_map[nest2ring(nside, np.arange(npix(nside)))]
+    m1 = PixelSphereMask.from_healpix(ring_map, n_ring=64)
+    m2 = PixelSphereMask.from_healpix(nest_map, n_ring=64,
+                                      order="NESTED")
+    assert m1.area2 == m2.area2
+    tq = np.linspace(0.01, 3.0, 50)
+    np.testing.assert_allclose(m1.pair_function(tq),
+                               m2.pair_function(tq), rtol=0, atol=0)
