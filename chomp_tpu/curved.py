@@ -111,6 +111,7 @@ __all__ = [
     "curved_gaussian_covariance",
     "curved_joint_wtheta_gammat_covariance",
     "curved_joint_3x2pt_covariance",
+    "curved_bmode_null",
     "curved_lattice_operator",
     "curved_wtheta_fft",
     "curved_wtheta_from_anchors",
@@ -650,7 +651,8 @@ def curved_pair_normalization(mask, theta_edges_rad, n_theta: int = 512,
 # Coupling matrices (static, cached per mask geometry)
 # ---------------------------------------------------------------------------
 
-def _xi_matrices_impl(mask, ell_split: int, kinds: tuple):
+def _xi_matrices_impl(mask, ell_split: int, kinds: tuple,
+                      weight: str = "W2"):
     """The requested Ξ matrices on ℓ, ℓ' ≤ ell_split (module
     docstring), via one Gauss-Legendre quadrature shared by all
     kernels.  The quadrature runs in θ (μ = cosθ, dμ = sinθ dθ):
@@ -658,12 +660,24 @@ def _xi_matrices_impl(mask, ell_split: int, kinds: tuple):
     separation, i.e. √(1-μ)-singular in μ, which stalls a μ-space
     rule at the ~0.5% level (measured via the Parseval row sum);
     in θ the integrand is piecewise smooth.  Node count: ≥4 per
-    half-oscillation of P_ℓ P_ℓ' at ℓ = ell_split."""
+    half-oscillation of P_ℓ P_ℓ' at ℓ = ell_split.
+
+    ``weight``: "W2" (default) integrates against ξ_{W²} — the
+    COVARIANCE kernels; "W" integrates against ξ_W =
+    pair_function/4π — the coupling of pseudo-spectrum MEANS (the
+    E→B leakage bias of the B-mode null test).  Binary masks:
+    identical."""
     n = 4 * ell_split + 1024
     t, wq = np.polynomial.legendre.leggauss(n)
     theta = 0.5 * np.pi * (t + 1.0)
     x = np.cos(theta)
-    xi = np.asarray(mask.xi_w2(x), dtype=float)
+    if weight == "W2":
+        xi = np.asarray(mask.xi_w2(x), dtype=float)
+    elif weight == "W":
+        xi = np.asarray(mask.pair_function(theta),
+                        dtype=float) / (4.0 * np.pi)
+    else:
+        raise ValueError(f"weight must be 'W2' or 'W', got {weight!r}")
     wxi = 0.5 * np.pi * wq * np.sin(theta) * xi
     out = {}
     if "0" in kinds:
@@ -715,15 +729,17 @@ def _xi_matrices_impl(mask, ell_split: int, kinds: tuple):
 
 
 @lru_cache(maxsize=8)
-def _xi_matrices_cached(mask, ell_split: int, kinds: tuple):
-    return _xi_matrices_impl(mask, ell_split, kinds)
+def _xi_matrices_cached(mask, ell_split: int, kinds: tuple,
+                        weight: str = "W2"):
+    return _xi_matrices_impl(mask, ell_split, kinds, weight)
 
 
-def _xi_matrices(mask, ell_split: int, kinds: tuple):
+def _xi_matrices(mask, ell_split: int, kinds: tuple,
+                 weight: str = "W2"):
     try:
-        return _xi_matrices_cached(mask, ell_split, kinds)
+        return _xi_matrices_cached(mask, ell_split, kinds, weight)
     except TypeError:        # unhashable user mask: compute directly
-        return _xi_matrices_impl(mask, ell_split, kinds)
+        return _xi_matrices_impl(mask, ell_split, kinds, weight)
 
 
 # ---------------------------------------------------------------------------
@@ -1272,6 +1288,93 @@ def curved_joint_3x2pt_covariance(
         jnp.concatenate([c_wm.T, c_gm.T, c_pm.T, c_mm], axis=1),
     ]
     return jnp.concatenate(rows, axis=0)
+
+
+def curved_bmode_null(cl_ee, theta_edges_deg, mask,
+                      shape_noise: float = 0.0, ell_max: int = 2048,
+                      ell_split: int | None = None):
+    """B-mode null test on a masked sphere: mean and covariance of the
+    binned B-mode correlation statistic
+    ξ̂_B(bin i) = (2π/D_i) Σ_ℓ t^{22,i}_ℓ P̃^{BB}_ℓ
+    (the ξ_+ statistic of the pseudo-B channel) for an E-only true sky
+    with white ``shape_noise`` per component in both channels.
+
+    Returns ``(mean_leakage, noise_bias, cov)``:
+
+    - ``mean_leakage``: the EXACT E→B mixing bias
+      <ξ̂_B> = (2π/D_i) Σ_ℓ t_ℓ (2ℓ+1) Σ_ℓ' (2ℓ'+1) Ξ⁻^{(W)}_{ℓℓ'}
+      C^{EE}_ℓ' — no NKA enters a pseudo-spectrum MEAN; the coupling
+      runs against the mask's own correlation ξ_W (weight="W";
+      identical to ξ_{W²} for binary masks).  Vanishes identically on
+      the full sky (Ξ⁻ ≡ 0 there).  Both ℓ sums truncate at
+      ``ell_split`` — size it to cover the C^{EE} support the bins
+      weight (~several × 1/θ_min), not just the mask width.
+    - ``noise_bias``: the closed-form masked noise floor
+      N (2π/D_i) Σ_ℓ t_ℓ (2ℓ+1) A₂/4π (the exact row sum
+      Σ(2ℓ'+1)(Ξ⁺+Ξ⁻)^{(W)} = ξ_W(1) = A₂/4π).
+    - ``cov``: the leaked pseudo-B content is SECOND order in the mask
+      coupling (the first-order channel-diagonal NKA measured 4.5x
+      above MC), so the covariance models the leaked channel as a
+      Gaussian field with the mask-deconvolved effective spectrum
+      C_B^eff(ℓ) = <P̃^BB_ℓ> / ((2ℓ+1) A₂/4π) plus the real B-channel
+      noise N, run through the standard masked block machinery
+      (d^ℓ_{22} factors, Q = Ξ⁺+Ξ⁻ kernel — the conservative variant:
+      measured an/mc [1.13, 1.33, 1.56] on a 25° cap vs the Ξ⁺
+      kernel's unsafe [0.71, 0.78, 0.84];
+      tests/test_curved.py::test_bmode_null_mc_referee).  Full sky:
+      Ξ⁻^{(W)} ≡ 0 → zero leakage and the exact pure-noise closure,
+      with no special-casing.
+
+    jit/vmap-compatible in ``cl_ee``'s traced output (geometry is
+    static numpy)."""
+    ns = float(shape_noise)
+    edges = np.radians(np.asarray(theta_edges_deg, dtype=float))
+    ells_np = np.arange(0, ell_max + 1)
+    twol = 2.0 * ells_np + 1.0
+    b22 = wigner_bin_factors(2, 2, ell_max, edges)       # (nb, nl)
+    dmu = np.cos(edges[:-1]) - np.cos(edges[1:])
+    d_i = curved_pair_normalization(mask, edges)
+    et = jnp.asarray(cl_ee(ells_np))
+
+    if ell_split is None:
+        ell_split = _auto_ell_split(mask, ell_max)
+    ell_split = min(int(ell_split), ell_max)
+    nl = ell_split + 1
+    t_rows = b22 * dmu[:, None]                          # t_ℓ rows
+
+    # --- exact leakage pseudo-spectrum and mean ---
+    q_w, m_w = (_xi_matrices(mask, ell_split, ("Q", "M"), weight="W")[k]
+                for k in ("Q", "M"))
+    xi_minus_w = 0.5 * (q_w - m_w)
+    hp = jax.lax.Precision.HIGHEST
+    # <P̃BB_ℓ> = (2ℓ+1) Σ_ℓ' (2ℓ'+1) Ξ⁻W_{ℓℓ'} C_EE(ℓ'), ℓ ≤ ell_split
+    # (MC-verified to 1-6% across ℓ on the 25° cap).
+    pbb = jnp.asarray(twol[:nl]) * jnp.matmul(
+        jnp.asarray(xi_minus_w * twol[:nl][None, :]), et[:nl],
+        precision=hp)
+    mean_leak = jnp.matmul(
+        jnp.asarray((2.0 * np.pi / d_i)[:, None] * t_rows[:, :nl]),
+        pbb, precision=hp)
+    area2 = mask.area2
+    noise_bias = jnp.asarray(
+        ns * (2.0 * np.pi / d_i) * (t_rows * twol).sum(axis=1)
+        * area2 / (4.0 * np.pi))
+
+    # --- covariance via the effective leaked-field spectrum ---
+    cb_eff = jnp.zeros(ell_max + 1).at[:nl].set(
+        pbb / (jnp.asarray(twol[:nl]) * (area2 / (4.0 * np.pi))))
+
+    def cl_beff(ells_static):
+        # curved_gaussian_block always queries the full 0..ell_max
+        # integer grid — identity, no gather in the traced graph.
+        assert len(np.asarray(ells_static)) == ell_max + 1
+        return cb_eff
+
+    cov = curved_gaussian_block(
+        cl_beff, cl_beff, cl_beff, cl_beff, theta_edges_deg,
+        theta_edges_deg, mask, "xip", "xip", ns, ns, ns, ns,
+        ell_max=ell_max, ell_split=ell_split)
+    return mean_leak, noise_bias, cov
 
 
 def curved_gaussian_covariance(cl_fn, theta_edges_deg, n2d, mask,
