@@ -1240,6 +1240,165 @@ def joint_3x2pt_covariance(cosmo: CosmoParams, halo_p: HaloParams,
     return jnp.concatenate(rows, axis=0)
 
 
+def tomographic_lattice_cl_callables(cosmo, halo_p, model, lens_dists,
+                                     src_dists, with_bao: bool = False,
+                                     grid: GridSpec = DEFAULT_GRID):
+    """All tomographic C_ℓ callables from ONE halo evaluation on the
+    gather-free lattice: a dict keyed ("gg", i, j) (lens pairs, i ≤ j),
+    ("gk", i, j) (lens i x source j), ("kk", j, k) (source pairs,
+    j ≤ k).  Every lens bin shares the same HOD/halo model (the common
+    single-sample tomography setup; per-bin HODs would need per-bin
+    halo models and are out of scope — document upstream)."""
+    from chomp_tpu import limber_fft
+    from chomp_tpu.projection import WindowConvergence, WindowGalaxy
+
+    wins_g = [WindowGalaxy(dist=d) for d in lens_dists]
+    wins_k = [WindowConvergence(dist=d) for d in src_dists]
+    p_lat = limber_fft.p_lattice_halo_all(cosmo, halo_p, model,
+                                          with_bao, grid)
+    piv = model.mass.growth
+
+    def make(win_a, win_b, kind):
+        def cl(ells_np):
+            return limber_fft.limber_cl_fft(cosmo, win_a, win_b,
+                                            ells_np, p_lat[kind], grid,
+                                            growth_pivot=piv)
+        return cl
+
+    out = {}
+    for i in range(len(wins_g)):
+        for j in range(i, len(wins_g)):
+            out[("gg", i, j)] = make(wins_g[i], wins_g[j], "power_gg")
+        for j in range(len(wins_k)):
+            out[("gk", i, j)] = make(wins_g[i], wins_k[j], "power_gm")
+    for j in range(len(wins_k)):
+        for k in range(j, len(wins_k)):
+            out[("kk", j, k)] = make(wins_k[j], wins_k[k], "power_mm")
+    return out
+
+
+def tomographic_probes(n_lens: int, n_src: int):
+    """The canonical tomographic 3x2pt probe list, in data-vector
+    order: w_i (lens autos), gamma_t_{ij} (every lens x source), then
+    xi_+^{jk} and xi_-^{jk} (source pairs, j <= k).  Each entry is
+    (name, mu, channels) with channels a list of ((tracer_a, tracer_b),
+    sign) over the E/B decomposition; tracers are ("g", i) / ("E", j) /
+    ("B", j)."""
+    probes = []
+    for i in range(n_lens):
+        probes.append((f"w_{i}", 0, [((("g", i), ("g", i)), 1.0)]))
+    for i in range(n_lens):
+        for j in range(n_src):
+            probes.append((f"gt_{i}{j}", 2,
+                           [((("g", i), ("E", j)), 1.0)]))
+    for j in range(n_src):
+        for k in range(j, n_src):
+            probes.append((f"xip_{j}{k}", 0,
+                           [((("E", j), ("E", k)), 1.0),
+                            ((("B", j), ("B", k)), 1.0)]))
+    for j in range(n_src):
+        for k in range(j, n_src):
+            probes.append((f"xim_{j}{k}", 4,
+                           [((("E", j), ("E", k)), 1.0),
+                            ((("B", j), ("B", k)), -1.0)]))
+    return probes
+
+
+def tomographic_3x2pt_covariance(cosmo: CosmoParams, halo_p: HaloParams,
+                                 model, lens_dists, src_dists,
+                                 theta_edges_deg, omega_s_sr,
+                                 n2d_lens_list, shape_noise_list,
+                                 with_bao: bool = False,
+                                 grid: GridSpec = DEFAULT_GRID,
+                                 n_ell_cov_g: int = 4096, mask=None):
+    """Gaussian covariance of the FULL TOMOGRAPHIC 3x2pt data vector
+    — (n_probe nb, n_probe nb) over the probe order of
+    tomographic_probes (w autos, all gamma_t pairs, xi_+- source
+    pairs).  Capability extension beyond chomp (single-sample only).
+
+    Every block assembles from gaussian_block over the probes' E/B
+    channel decompositions: tracer pairs carry C_ℓ from ONE lattice
+    halo evaluation (tomographic_lattice_cl_callables), per-bin shot
+    noise 1/n2d_lens_list[i], and per-source-bin shape noise (per
+    component) in BOTH E and B channels — the B channels make the
+    xi_+ x xi_- shot-noise cancellations exact across every bin
+    combination, exactly as in joint_3x2pt_covariance.
+
+    The connected (cNG) terms are not assembled here (the block count
+    grows quadratically with probes); add them per block with
+    nongaussian_covariance where they matter (the w autos and the
+    lowest-z shear pairs).  ``mask`` applies the footprint treatment
+    to every block."""
+    n_lens, n_src = len(lens_dists), len(src_dists)
+    cls = tomographic_lattice_cl_callables(cosmo, halo_p, model,
+                                           lens_dists, src_dists,
+                                           with_bao, grid)
+    n2d = [float(x) for x in np.atleast_1d(n2d_lens_list)]
+    sn = [float(x) for x in np.atleast_1d(shape_noise_list)]
+    if len(n2d) == 1:
+        n2d = n2d * n_lens
+    if len(sn) == 1:
+        sn = sn * n_src
+    edges = theta_edges_deg
+    nb = len(np.asarray(edges)) - 1
+
+    def cl_zero(ells_np):
+        return jnp.zeros(len(np.asarray(ells_np)))
+
+    def pair(t1, t2):
+        """(callable, noise) for a tracer pair."""
+        k1, i1 = t1
+        k2, i2 = t2
+        if "B" in (k1, k2):
+            if t1 == t2:
+                return cl_zero, sn[i1]
+            return cl_zero, 0.0
+        if (k1, k2) == ("g", "g"):
+            lo, hi = min(i1, i2), max(i1, i2)
+            return cls[("gg", lo, hi)], (1.0 / n2d[i1] if i1 == i2
+                                         else 0.0)
+        if (k1, k2) == ("g", "E"):
+            return cls[("gk", i1, i2)], 0.0
+        if (k1, k2) == ("E", "g"):
+            return cls[("gk", i2, i1)], 0.0
+        lo, hi = min(i1, i2), max(i1, i2)      # ("E", "E")
+        return cls[("kk", lo, hi)], (sn[i1] if i1 == i2 else 0.0)
+
+    probes = tomographic_probes(n_lens, n_src)
+    n_probe = len(probes)
+    blocks = [[None] * n_probe for _ in range(n_probe)]
+    for pa in range(n_probe):
+        _, mu_a, ch_a = probes[pa]
+        for pb in range(pa, n_probe):
+            _, mu_b, ch_b = probes[pb]
+            acc = None
+            for (a, b), s_a in ch_a:
+                for (c, d), s_b in ch_b:
+                    cl_ac, n_ac = pair(a, c)
+                    cl_bd, n_bd = pair(b, d)
+                    cl_ad, n_ad = pair(a, d)
+                    cl_bc, n_bc = pair(b, c)
+                    # All-zero channel blocks (e.g. any single-B
+                    # pairing against a non-B tracer) skip statically.
+                    if (cl_ac is cl_zero and cl_bd is cl_zero
+                            and cl_ad is cl_zero and cl_bc is cl_zero
+                            and n_ac * n_bd + n_ad * n_bc == 0.0):
+                        continue
+                    blk = gaussian_block(
+                        cl_ac, cl_bd, cl_ad, cl_bc, edges, edges,
+                        omega_s_sr, mu_a, mu_b, n_ac, n_bd, n_ad,
+                        n_bc, n_ell_cov=n_ell_cov_g, mask=mask)
+                    blk = s_a * s_b * blk
+                    acc = blk if acc is None else acc + blk
+            if acc is None:
+                acc = jnp.zeros((nb, nb))
+            blocks[pa][pb] = acc
+            if pb != pa:
+                blocks[pb][pa] = acc.T
+    return jnp.concatenate(
+        [jnp.concatenate(row, axis=1) for row in blocks], axis=0)
+
+
 def wtheta_covariance(cosmo: CosmoParams, halo_p: HaloParams,
                       model: HaloModel, dist, cl_fn, theta_edges_deg,
                       omega_s_sr, n2d, galaxy: bool = True,

@@ -255,6 +255,69 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
     return fn
 
 
+def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
+                              theta_deg=None, z_pivot: float = 0.0,
+                              with_bao: bool = False,
+                              grid: GridSpec = DEFAULT_GRID):
+    """Tomographic 3x2pt prediction: fn(cosmo) -> dict with
+    w_theta (n_lens, nb), gamma_t (n_lens*n_src, nb),
+    xi_plus/xi_minus (n_src (n_src+1)/2, nb), and "vector" — the
+    stacked 1-D data vector in covariance.tomographic_probes order
+    (matching tomographic_3x2pt_covariance row order).
+
+    ONE halo evaluation per cosmology feeds every bin pair (the
+    y-matrices dominate; the per-pair cost is one lattice convolution
+    + one fused static-operator matmul).  Every lens bin shares
+    ``hod`` (single-sample tomography).  Flat-sky transforms
+    (J0/J2/J4); pure, jit/vmap/grad-able over ``cosmo``."""
+    import numpy as np
+
+    from chomp_tpu import halo as halo_mod
+    from chomp_tpu import limber_fft
+
+    if theta_deg is None:
+        theta_deg = correlation.theta_bins_deg(grid)
+    theta_key = np.asarray(theta_deg)
+    wins_g = [projection.WindowGalaxy(dist=d) for d in lens_dists]
+    wins_k = [projection.WindowConvergence(dist=d) for d in src_dists]
+    n_src = len(wins_k)
+    for d in lens_dists:
+        _warn_if_separable_bias(d, z_pivot)
+
+    def fn(cosmo: CosmoParams):
+        model = halo_mod.build_halo_model(cosmo, halo_params, hod,
+                                          z_pivot, with_bao, grid)
+        p_all = limber_fft.p_lattice_halo_all(cosmo, halo_params,
+                                              model, with_bao, grid)
+        piv = model.mass.growth
+
+        def w_of(wa, wb, kind, mu):
+            return limber_fft.limber_wtheta_fft(
+                cosmo, wa, wb, theta_key, p_all[kind], grid, mu=mu,
+                growth_pivot=piv)
+
+        w_rows = [w_of(w, w, "power_gg", 0.0) for w in wins_g]
+        gt_rows = [w_of(wk, wg, "power_gm", 2.0)
+                   for wg in wins_g for wk in wins_k]
+        xip_rows = [w_of(wins_k[j], wins_k[k], "power_mm", 0.0)
+                    for j in range(n_src) for k in range(j, n_src)]
+        xim_rows = [w_of(wins_k[j], wins_k[k], "power_mm", 4.0)
+                    for j in range(n_src) for k in range(j, n_src)]
+        out = {
+            "theta_deg": jnp.asarray(theta_key),
+            "w_theta": jnp.stack(w_rows),
+            "gamma_t": jnp.stack(gt_rows),
+            "xi_plus": jnp.stack(xip_rows),
+            "xi_minus": jnp.stack(xim_rows),
+            "n_g": model.n_g,
+        }
+        out["vector"] = jnp.concatenate(
+            w_rows + gt_rows + xip_rows + xim_rows)
+        return out
+
+    return fn
+
+
 def sweep(fn, cosmo_batch: CosmoParams, mesh: jax.sharding.Mesh | None = None,
           axis: str = "data", validate: bool = False):
     """Run ``fn`` over a batch of cosmologies.
