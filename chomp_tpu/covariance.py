@@ -1304,6 +1304,46 @@ def tomographic_probes(n_lens: int, n_src: int):
     return probes
 
 
+def _tomographic_noise_lists(n2d_lens_list, shape_noise_list, n_lens,
+                             n_src):
+    """Concrete per-bin noise levels (scalars broadcast to every bin)."""
+    n2d = [float(x) for x in np.atleast_1d(n2d_lens_list)]
+    sn = [float(x) for x in np.atleast_1d(shape_noise_list)]
+    if len(n2d) == 1:
+        n2d = n2d * n_lens
+    if len(sn) == 1:
+        sn = sn * n_src
+    return n2d, sn
+
+
+def _tomographic_pair_fn(cls, n2d, sn, cl_zero):
+    """(C_ℓ callable, noise level) for any tracer pair over the
+    tomographic_probes tracer alphabet ("g", i) / ("E", j) / ("B", j),
+    given the callables dict from tomographic_lattice_cl_callables and
+    per-bin noise lists.  Shared by the flat and curved tomographic
+    builders — the E/B channel bookkeeping (and the exact xi_+ x xi_-
+    noise cancellation it encodes) is geometry-independent."""
+    def pair(t1, t2):
+        k1, i1 = t1
+        k2, i2 = t2
+        if "B" in (k1, k2):
+            if t1 == t2:
+                return cl_zero, sn[i1]
+            return cl_zero, 0.0
+        if (k1, k2) == ("g", "g"):
+            lo, hi = min(i1, i2), max(i1, i2)
+            return cls[("gg", lo, hi)], (1.0 / n2d[i1] if i1 == i2
+                                         else 0.0)
+        if (k1, k2) == ("g", "E"):
+            return cls[("gk", i1, i2)], 0.0
+        if (k1, k2) == ("E", "g"):
+            return cls[("gk", i2, i1)], 0.0
+        lo, hi = min(i1, i2), max(i1, i2)      # ("E", "E")
+        return cls[("kk", lo, hi)], (sn[i1] if i1 == i2 else 0.0)
+
+    return pair
+
+
 def tomographic_3x2pt_covariance(cosmo: CosmoParams, halo_p: HaloParams,
                                  model, lens_dists, src_dists,
                                  theta_edges_deg, omega_s_sr,
@@ -1333,37 +1373,15 @@ def tomographic_3x2pt_covariance(cosmo: CosmoParams, halo_p: HaloParams,
     cls = tomographic_lattice_cl_callables(cosmo, halo_p, model,
                                            lens_dists, src_dists,
                                            with_bao, grid)
-    n2d = [float(x) for x in np.atleast_1d(n2d_lens_list)]
-    sn = [float(x) for x in np.atleast_1d(shape_noise_list)]
-    if len(n2d) == 1:
-        n2d = n2d * n_lens
-    if len(sn) == 1:
-        sn = sn * n_src
+    n2d, sn = _tomographic_noise_lists(n2d_lens_list, shape_noise_list,
+                                       n_lens, n_src)
     edges = theta_edges_deg
     nb = len(np.asarray(edges)) - 1
 
     def cl_zero(ells_np):
         return jnp.zeros(len(np.asarray(ells_np)))
 
-    def pair(t1, t2):
-        """(callable, noise) for a tracer pair."""
-        k1, i1 = t1
-        k2, i2 = t2
-        if "B" in (k1, k2):
-            if t1 == t2:
-                return cl_zero, sn[i1]
-            return cl_zero, 0.0
-        if (k1, k2) == ("g", "g"):
-            lo, hi = min(i1, i2), max(i1, i2)
-            return cls[("gg", lo, hi)], (1.0 / n2d[i1] if i1 == i2
-                                         else 0.0)
-        if (k1, k2) == ("g", "E"):
-            return cls[("gk", i1, i2)], 0.0
-        if (k1, k2) == ("E", "g"):
-            return cls[("gk", i2, i1)], 0.0
-        lo, hi = min(i1, i2), max(i1, i2)      # ("E", "E")
-        return cls[("kk", lo, hi)], (sn[i1] if i1 == i2 else 0.0)
-
+    pair = _tomographic_pair_fn(cls, n2d, sn, cl_zero)
     probes = tomographic_probes(n_lens, n_src)
     n_probe = len(probes)
     blocks = [[None] * n_probe for _ in range(n_probe)]

@@ -1290,6 +1290,103 @@ def curved_joint_3x2pt_covariance(
     return jnp.concatenate(rows, axis=0)
 
 
+def _curved_probe_code(mu, channels):
+    """Map a tomographic_probes entry to the curved bin-factor code:
+    flat mu 2 → d^ℓ_20 (γt), mu 4 → "xim", mu 0 with B channels →
+    "xip" (flat ξ+ and w share J0 but NOT the sphere kernel family),
+    else 0 (Legendre, w)."""
+    if mu == 2:
+        return 2
+    if mu == 4:
+        return "xim"
+    has_b = any(t[0] == "B" for (pr, _s) in channels for t in pr)
+    return "xip" if has_b else 0
+
+
+def curved_tomographic_3x2pt_covariance(
+        cosmo, halo_p, model, lens_dists, src_dists, theta_edges_deg,
+        n2d_lens_list, shape_noise_list, mask, ell_max: int = 4096,
+        ell_split: int | None = None, with_bao: bool = False,
+        grid=None):
+    """Gaussian covariance of the full TOMOGRAPHIC 3x2pt data vector on
+    a masked SPHERE — the curved analog of
+    covariance.tomographic_3x2pt_covariance (same probe order:
+    covariance.tomographic_probes; same per-bin noise semantics), with
+    every block built by curved_gaussian_block from ONE lattice halo
+    evaluation (covariance.tomographic_lattice_cl_callables).
+
+    The E/B channel decompositions are shared with the flat builder
+    (covariance._tomographic_pair_fn); the curved bin-factor codes are
+    {0, 2, "xip", "xim"}.  ξ± autos sum the pseudo-EE and pseudo-BB
+    channel blocks; the only differing-code blocks carrying a pure
+    noise×noise constant are ξ+^{jk} × ξ-^{j'k'} with shared source
+    bins, where the B channel enters with opposite sign and IDENTICAL
+    constant — those blocks use nn_quadrature=True so the truncated
+    constants cancel exactly in the channel difference (the multi-bin
+    generalization of curved_joint_3x2pt_covariance's (+,-) cross).
+
+    Connected (cNG) terms are not assembled here — add them per block
+    with covariance.nongaussian_covariance at Ω_eff = A₂²/A₄ where they
+    matter (see curved_joint_3x2pt_covariance)."""
+    from chomp_tpu.covariance import (_tomographic_noise_lists,
+                                      _tomographic_pair_fn,
+                                      tomographic_lattice_cl_callables,
+                                      tomographic_probes)
+    from chomp_tpu.params import DEFAULT_GRID
+
+    if grid is None:
+        grid = DEFAULT_GRID
+    n_lens, n_src = len(lens_dists), len(src_dists)
+    cls = tomographic_lattice_cl_callables(cosmo, halo_p, model,
+                                           lens_dists, src_dists,
+                                           with_bao, grid)
+    n2d, sn = _tomographic_noise_lists(n2d_lens_list, shape_noise_list,
+                                       n_lens, n_src)
+    edges = theta_edges_deg
+    nb = len(np.asarray(edges)) - 1
+
+    def cl_zero(ells_np):
+        return jnp.zeros(len(np.asarray(ells_np)))
+
+    pair = _tomographic_pair_fn(cls, n2d, sn, cl_zero)
+    probes = tomographic_probes(n_lens, n_src)
+    codes = [_curved_probe_code(mu, ch) for (_n, mu, ch) in probes]
+    n_probe = len(probes)
+    blocks = [[None] * n_probe for _ in range(n_probe)]
+    for pa in range(n_probe):
+        ch_a = probes[pa][2]
+        for pb in range(pa, n_probe):
+            ch_b = probes[pb][2]
+            acc = None
+            for (a, b), s_a in ch_a:
+                for (c, d), s_b in ch_b:
+                    cl_ac, n_ac = pair(a, c)
+                    cl_bd, n_bd = pair(b, d)
+                    cl_ad, n_ad = pair(a, d)
+                    cl_bc, n_bc = pair(b, c)
+                    nn = n_ac * n_bd + n_ad * n_bc
+                    if (cl_ac is cl_zero and cl_bd is cl_zero
+                            and cl_ad is cl_zero and cl_bc is cl_zero
+                            and nn == 0.0):
+                        continue
+                    extra = ({"nn_quadrature": True}
+                             if (codes[pa] != codes[pb] and nn != 0.0)
+                             else {})
+                    blk = curved_gaussian_block(
+                        cl_ac, cl_bd, cl_ad, cl_bc, edges, edges, mask,
+                        codes[pa], codes[pb], n_ac, n_bd, n_ad, n_bc,
+                        ell_max=ell_max, ell_split=ell_split, **extra)
+                    blk = s_a * s_b * blk
+                    acc = blk if acc is None else acc + blk
+            if acc is None:
+                acc = jnp.zeros((nb, nb))
+            blocks[pa][pb] = acc
+            if pb != pa:
+                blocks[pb][pa] = acc.T
+    return jnp.concatenate(
+        [jnp.concatenate(row, axis=1) for row in blocks], axis=0)
+
+
 def curved_bmode_null(cl_ee, theta_edges_deg, mask,
                       shape_noise: float = 0.0, ell_max: int = 2048,
                       ell_split: int | None = None):

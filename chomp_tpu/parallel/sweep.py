@@ -258,7 +258,8 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
 def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
                               theta_deg=None, z_pivot: float = 0.0,
                               with_bao: bool = False,
-                              grid: GridSpec = DEFAULT_GRID):
+                              grid: GridSpec = DEFAULT_GRID,
+                              geometry: str = "flat"):
     """Tomographic 3x2pt prediction: fn(cosmo) -> dict with
     w_theta (n_lens, nb), gamma_t (n_lens*n_src, nb),
     xi_plus/xi_minus (n_src (n_src+1)/2, nb), and "vector" — the
@@ -268,13 +269,19 @@ def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
     ONE halo evaluation per cosmology feeds every bin pair (the
     y-matrices dominate; the per-pair cost is one lattice convolution
     + one fused static-operator matmul).  Every lens bin shares
-    ``hod`` (single-sample tomography).  Flat-sky transforms
-    (J0/J2/J4); pure, jit/vmap/grad-able over ``cosmo``."""
+    ``hod`` (single-sample tomography).  ``geometry="flat"`` uses the
+    FFTLog J0/J2/J4 transforms; ``geometry="curved"`` the exact sphere
+    multipole sums (P_ℓ / d^ℓ_20 / d^ℓ_{2,±2} with the f_ℓ² κ→E
+    prefactor) at the same runtime cost, as in make_pipeline.  Pure,
+    jit/vmap/grad-able over ``cosmo``."""
     import numpy as np
 
     from chomp_tpu import halo as halo_mod
     from chomp_tpu import limber_fft
 
+    if geometry not in ("flat", "curved"):
+        raise ValueError(f"geometry must be 'flat' or 'curved', got "
+                         f"{geometry!r}")
     if theta_deg is None:
         theta_deg = correlation.theta_bins_deg(grid)
     theta_key = np.asarray(theta_deg)
@@ -291,17 +298,25 @@ def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
                                               model, with_bao, grid)
         piv = model.mass.growth
 
-        def w_of(wa, wb, kind, mu):
+        def w_of(wa, wb, kind, mu, stat=None):
+            if geometry == "curved":
+                from chomp_tpu.curved import curved_wtheta_fft
+
+                return curved_wtheta_fft(
+                    cosmo, wa, wb, theta_key, p_all[kind], grid, mu=mu,
+                    growth_pivot=piv, stat=stat)
             return limber_fft.limber_wtheta_fft(
                 cosmo, wa, wb, theta_key, p_all[kind], grid, mu=mu,
                 growth_pivot=piv)
 
+        stat_p = "xip" if geometry == "curved" else None
+        stat_m = "xim" if geometry == "curved" else None
         w_rows = [w_of(w, w, "power_gg", 0.0) for w in wins_g]
         gt_rows = [w_of(wk, wg, "power_gm", 2.0)
                    for wg in wins_g for wk in wins_k]
-        xip_rows = [w_of(wins_k[j], wins_k[k], "power_mm", 0.0)
+        xip_rows = [w_of(wins_k[j], wins_k[k], "power_mm", 0.0, stat_p)
                     for j in range(n_src) for k in range(j, n_src)]
-        xim_rows = [w_of(wins_k[j], wins_k[k], "power_mm", 4.0)
+        xim_rows = [w_of(wins_k[j], wins_k[k], "power_mm", 4.0, stat_m)
                     for j in range(n_src) for k in range(j, n_src)]
         out = {
             "theta_deg": jnp.asarray(theta_key),

@@ -111,6 +111,102 @@ def test_tomographic_structure_and_blocks(fiducial, setup):
                                rtol=1e-12)
 
 
+def test_curved_single_bin_reduction(fiducial, setup):
+    """nL = nS = 1 curved tomographic covariance ==
+    curved_joint_3x2pt_covariance to float roundoff — block-for-block
+    the same curved_gaussian_block calls (incl. the nn_quadrature
+    channel-difference on the xi+ x xi- cross)."""
+    from chomp_tpu.curved import (SphericalCapMask,
+                                  curved_joint_3x2pt_covariance,
+                                  curved_tomographic_3x2pt_covariance)
+
+    h, model, lens, src, g = setup
+    edges = np.array([1.0, 2.0, 4.0, 8.0])
+    cap = SphericalCapMask(np.radians(25.0))
+    tomo = np.asarray(curved_tomographic_3x2pt_covariance(
+        fiducial, h, model, lens[:1], src[:1], edges, [N2D], [NS], cap,
+        ell_max=1024, grid=g))
+    joint = np.asarray(curved_joint_3x2pt_covariance(
+        fiducial, h, model, lens[0], src[0], edges, N2D, NS, cap,
+        ell_max=1024, grid=g))
+    np.testing.assert_allclose(tomo, joint, rtol=1e-12, atol=0)
+
+
+@pytest.mark.slow
+def test_curved_tomographic_structure(fiducial, setup):
+    """2 lens x 2 source bins on a 25-deg cap: shape, symmetry, PSD,
+    positive diagonal, and the pseudo-EE/BB channel assembly spot-
+    checked on the xip_01 x xim_01 cross block."""
+    from chomp_tpu import covariance
+    from chomp_tpu.curved import (SphericalCapMask, curved_gaussian_block,
+                                  curved_tomographic_3x2pt_covariance)
+
+    h, model, lens, src, g = setup
+    edges = np.array([1.0, 2.0, 4.0, 8.0])
+    nb = len(edges) - 1
+    cap = SphericalCapMask(np.radians(25.0))
+    cov = np.asarray(curved_tomographic_3x2pt_covariance(
+        fiducial, h, model, lens, src, edges, [N2D, 0.7 * N2D],
+        [NS, 1.4 * NS], cap, ell_max=1024, grid=g))
+    probes = covariance.tomographic_probes(2, 2)
+    n_probe = len(probes)
+    assert cov.shape == (n_probe * nb, n_probe * nb)
+    np.testing.assert_allclose(cov, cov.T, rtol=1e-8)
+    assert np.all(np.diag(cov) > 0)
+    eig = np.linalg.eigvalsh(0.5 * (cov + cov.T))
+    assert np.all(eig > -1e-10 * eig.max()), eig[:4]
+
+    names = [p[0] for p in probes]
+    cls = covariance.tomographic_lattice_cl_callables(
+        fiducial, h, model, lens, src, grid=g)
+    ia, ib = names.index("xip_01"), names.index("xim_01")
+    got = cov[ia * nb:(ia + 1) * nb, ib * nb:(ib + 1) * nb]
+
+    def zero(e):
+        return jnp.zeros(len(np.asarray(e)))
+
+    kw = dict(ell_max=1024, nn_quadrature=True)
+    direct = np.asarray(
+        curved_gaussian_block(
+            cls[("kk", 0, 0)], cls[("kk", 1, 1)], cls[("kk", 0, 1)],
+            cls[("kk", 0, 1)], edges, edges, cap, "xip", "xim",
+            NS, 1.4 * NS, 0.0, 0.0, **kw)
+        - curved_gaussian_block(
+            zero, zero, zero, zero, edges, edges, cap, "xip", "xim",
+            NS, 1.4 * NS, 0.0, 0.0, **kw))
+    np.testing.assert_allclose(got, direct, rtol=1e-12)
+
+
+def test_curved_tomographic_pipeline(fiducial, setup):
+    """geometry="curved": shapes, and nL=nS=1 equality with
+    make_pipeline(geometry="curved", include_shear=True)."""
+    from chomp_tpu.hod import default_hod
+    from chomp_tpu.parallel.sweep import (make_pipeline,
+                                          make_tomographic_pipeline)
+
+    h, model, lens, src, _ = setup
+    tiny = GridSpec(n_k=64, n_mass=64, n_ell=256, n_theta=6,
+                    lattice_dln=0.08)
+    hod = default_hod()
+    fn = make_tomographic_pipeline(h, hod, lens, src, grid=tiny,
+                                   z_pivot=0.6, geometry="curved")
+    out = jax.jit(fn)(fiducial)
+    assert out["w_theta"].shape == (2, 6)
+    assert out["xi_minus"].shape == (3, 6)
+    assert np.all(np.isfinite(np.asarray(out["vector"])))
+
+    fn1 = make_tomographic_pipeline(h, hod, lens[:1], lens[:1],
+                                    grid=tiny, z_pivot=0.6,
+                                    geometry="curved")
+    ref = make_pipeline(h, hod, lens[0], grid=tiny, z_pivot=0.6,
+                        include_shear=True, geometry="curved")
+    a, b = fn1(fiducial), ref(fiducial)
+    for key, row in (("w_theta", "w_theta"), ("gamma_t", "gamma_t"),
+                     ("xi_plus", "xi_plus"), ("xi_minus", "xi_minus")):
+        np.testing.assert_allclose(np.asarray(a[key][0]),
+                                   np.asarray(b[row]), rtol=1e-12)
+
+
 def test_tomographic_pipeline(fiducial, setup):
     """Prediction: shapes, vector ordering == probe order, nL=nS=1
     equality with make_pipeline(include_shear=True), vmap == loop."""
