@@ -259,7 +259,8 @@ def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
                               theta_deg=None, z_pivot: float = 0.0,
                               with_bao: bool = False,
                               grid: GridSpec = DEFAULT_GRID,
-                              geometry: str = "flat"):
+                              geometry: str = "flat",
+                              exact_z_anchors: int | None = None):
     """Tomographic 3x2pt prediction: fn(cosmo) -> dict with
     w_theta (n_lens, nb), gamma_t (n_lens*n_src, nb),
     xi_plus/xi_minus (n_src (n_src+1)/2, nb), and "vector" — the
@@ -272,8 +273,17 @@ def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
     ``hod`` (single-sample tomography).  ``geometry="flat"`` uses the
     FFTLog J0/J2/J4 transforms; ``geometry="curved"`` the exact sphere
     multipole sums (P_ℓ / d^ℓ_20 / d^ℓ_{2,±2} with the f_ℓ² κ→E
-    prefactor) at the same runtime cost, as in make_pipeline.  Pure,
-    jit/vmap/grad-able over ``cosmo``."""
+    prefactor) at the same runtime cost, as in make_pipeline.
+
+    ``exact_z_anchors`` (e.g. 6-10) drops the separable-growth
+    approximation for EVERY bin pair via one shared Chebyshev anchor
+    expansion (limber_fft.exact_z_anchor_spectra) — the right mode for
+    deep multi-bin tomography, where no single ``z_pivot`` serves both
+    a z~0.4 lens bin and a z~1.2 source bin (the separable route is
+    >10% off on C_ℓ for deep kernels pivoted at z=0, tests/
+    test_exact_z_lattice.py).  Requires concrete dist.z_max (anchor
+    window sized at build time).  Pure, jit/vmap/grad-able over
+    ``cosmo``."""
     import numpy as np
 
     from chomp_tpu import halo as halo_mod
@@ -288,17 +298,36 @@ def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
     wins_g = [projection.WindowGalaxy(dist=d) for d in lens_dists]
     wins_k = [projection.WindowConvergence(dist=d) for d in src_dists]
     n_src = len(wins_k)
-    for d in lens_dists:
-        _warn_if_separable_bias(d, z_pivot)
+    z_hi_anchor = (max(1.0, *(float(np.asarray(d.z_max))
+                              for d in (*lens_dists, *src_dists)))
+                   if exact_z_anchors else None)
+    if not exact_z_anchors:
+        for d in (*lens_dists, *src_dists):
+            _warn_if_separable_bias(d, z_pivot)
 
     def fn(cosmo: CosmoParams):
         model = halo_mod.build_halo_model(cosmo, halo_params, hod,
                                           z_pivot, with_bao, grid)
-        p_all = limber_fft.p_lattice_halo_all(cosmo, halo_params,
-                                              model, with_bao, grid)
+        if exact_z_anchors:
+            p_all = limber_fft.exact_z_anchor_spectra(
+                cosmo, halo_params, hod,
+                ("power_gg", "power_gm", "power_mm"), exact_z_anchors,
+                1e-3, z_hi_anchor, with_bao, grid)
+        else:
+            p_all = limber_fft.p_lattice_halo_all(cosmo, halo_params,
+                                                  model, with_bao, grid)
         piv = model.mass.growth
 
         def w_of(wa, wb, kind, mu, stat=None):
+            if exact_z_anchors:
+                if geometry == "curved":
+                    from chomp_tpu.curved import curved_wtheta_from_anchors
+
+                    return curved_wtheta_from_anchors(
+                        cosmo, p_all, wa, wb, theta_key, kind, grid,
+                        mu=mu, stat=stat)
+                return limber_fft.limber_wtheta_from_anchors(
+                    cosmo, p_all, wa, wb, theta_key, kind, grid, mu=mu)
             if geometry == "curved":
                 from chomp_tpu.curved import curved_wtheta_fft
 

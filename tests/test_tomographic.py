@@ -253,3 +253,36 @@ def test_tomographic_pipeline(fiducial, setup):
     single = fn(jax.tree.map(lambda x: x[1], batch))
     np.testing.assert_allclose(np.asarray(vm["vector"])[1],
                                np.asarray(single["vector"]), rtol=1e-10)
+
+
+def test_tomographic_exact_z(fiducial, setup):
+    """exact_z_anchors: nL=nS=1 equality with the exact-z
+    make_pipeline (shared Chebyshev anchors), finite 2x2 vector, and
+    no separable-bias warning emitted."""
+    import warnings
+
+    from chomp_tpu.hod import default_hod
+    from chomp_tpu.parallel.sweep import make_pipeline, make_tomographic_pipeline
+
+    h, model, lens, src, _ = setup
+    tiny = GridSpec(n_k=64, n_mass=64, n_ell=256, n_theta=6,
+                    lattice_dln=0.08)
+    hod = default_hod()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        fn = make_tomographic_pipeline(h, hod, lens, src, grid=tiny,
+                                       exact_z_anchors=4)
+    out = fn(fiducial)
+    assert np.all(np.isfinite(np.asarray(out["vector"])))
+
+    fn1 = make_tomographic_pipeline(h, hod, src[1:], src[1:], grid=tiny,
+                                    exact_z_anchors=4)
+    ref = make_pipeline(h, hod, src[1], grid=tiny, exact_z_anchors=4,
+                        include_shear=True)
+    a, b = fn1(fiducial), ref(fiducial)
+    np.testing.assert_allclose(np.asarray(a["w_theta"][0]),
+                               np.asarray(b["w_theta"]), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(a["gamma_t"][0]),
+                               np.asarray(b["gamma_t"]), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(a["xi_plus"][0]),
+                               np.asarray(b["xi_plus"]), rtol=1e-12)
