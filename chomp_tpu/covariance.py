@@ -1246,17 +1246,35 @@ def tomographic_lattice_cl_callables(cosmo, halo_p, model, lens_dists,
     """All tomographic C_ℓ callables from ONE halo evaluation on the
     gather-free lattice: a dict keyed ("gg", i, j) (lens pairs, i ≤ j),
     ("gk", i, j) (lens i x source j), ("kk", j, k) (source pairs,
-    j ≤ k).  Every lens bin shares the same HOD/halo model (the common
-    single-sample tomography setup; per-bin HODs would need per-bin
-    halo models and are out of scope — document upstream)."""
+    j ≤ k).
+
+    ``model`` is either ONE HaloModel (every lens bin shares the HOD —
+    the single-sample tomography setup) or a LIST of per-lens-bin
+    models sharing mass tables (halo.build_halo_models): then each bin
+    pair gets its own spectra, with cross-bin clustering through
+    halo.power_gg_cross (independent-occupation cross 1-halo)."""
     from chomp_tpu import limber_fft
     from chomp_tpu.projection import WindowConvergence, WindowGalaxy
 
     wins_g = [WindowGalaxy(dist=d) for d in lens_dists]
     wins_k = [WindowConvergence(dist=d) for d in src_dists]
-    p_lat = limber_fft.p_lattice_halo_all(cosmo, halo_p, model,
-                                          with_bao, grid)
-    piv = model.mass.growth
+    if isinstance(model, (list, tuple)):
+        if len(model) != len(lens_dists):
+            raise ValueError(
+                f"per-bin models: got {len(model)} models for "
+                f"{len(lens_dists)} lens bins")
+        p_lat = limber_fft.p_lattice_tomographic(cosmo, halo_p,
+                                                 list(model), with_bao,
+                                                 grid)
+        piv = model[0].mass.growth
+        key_gg = lambda i, j: ("power_gg", i, j)
+        key_gm = lambda i: ("power_gm", i)
+    else:
+        p_lat = limber_fft.p_lattice_halo_all(cosmo, halo_p, model,
+                                              with_bao, grid)
+        piv = model.mass.growth
+        key_gg = lambda i, j: "power_gg"
+        key_gm = lambda i: "power_gm"
 
     def make(win_a, win_b, kind):
         def cl(ells_np):
@@ -1268,9 +1286,9 @@ def tomographic_lattice_cl_callables(cosmo, halo_p, model, lens_dists,
     out = {}
     for i in range(len(wins_g)):
         for j in range(i, len(wins_g)):
-            out[("gg", i, j)] = make(wins_g[i], wins_g[j], "power_gg")
+            out[("gg", i, j)] = make(wins_g[i], wins_g[j], key_gg(i, j))
         for j in range(len(wins_k)):
-            out[("gk", i, j)] = make(wins_g[i], wins_k[j], "power_gm")
+            out[("gk", i, j)] = make(wins_g[i], wins_k[j], key_gm(i))
     for j in range(len(wins_k)):
         for k in range(j, len(wins_k)):
             out[("kk", j, k)] = make(wins_k[j], wins_k[k], "power_mm")

@@ -243,6 +243,113 @@ def power_gm(cosmo, halo, model, k, with_bao=False, grid=DEFAULT_GRID):
 power_mg = power_gm
 
 
+def build_halo_models(cosmo: CosmoParams, halo: HaloParams, hods,
+                      z=0.0, with_bao: bool = False,
+                      grid: GridSpec = DEFAULT_GRID):
+    """Halo models for SEVERAL galaxy samples (HODs) sharing ONE mass-
+    table build — the multi-sample analog of build_halo_model (the mass
+    function / sigma(R) / growth stage is HOD-independent and dominates
+    the build; per-sample work is the HOD moments + panel packs)."""
+    t = build_mass_tables(cosmo, halo, z, with_bao, grid)
+    return [build_halo_model(cosmo, halo, h, z, with_bao, grid,
+                             mass_tables=t) for h in hods]
+
+
+def _cross_gal_pack(cosmo, halo, model_a: HaloModel, model_b: HaloModel,
+                    with_bao: bool = False, grid: GridSpec = DEFAULT_GRID):
+    """(ln_m, w_lnm, m, dndlnm, sw) quadrature pack for the CROSS-sample
+    1-halo integral of two galaxy samples: panel edges at BOTH HODs'
+    breakpoints and at the Newton-solved mass where the product moment
+    <N_A><N_B> crosses 1 (the Scranton criterion applied to the
+    independent-occupation cross moment — see power_gg_cross)."""
+    from chomp_tpu.mass import node_pack
+
+    t = model_a.mass
+    hod_a, hod_b = model_a.hod, model_b.hod
+
+    def prod_moment(m):
+        return hod_a.first_moment(m) * hod_b.first_moment(m)
+
+    if grid.scranton_switch:
+        sw = _switch_lnm(prod_moment, t)
+    else:
+        sw = t.ln_m[0] * jnp.ones(())
+    bps_a = tuple(hod_a.breakpoints()) if hasattr(hod_a, "breakpoints") else ()
+    bps_b = tuple(hod_b.breakpoints()) if hasattr(hod_b, "breakpoints") else ()
+    marks = jnp.sort(jnp.stack(
+        [jnp.clip(b, t.ln_m[0], t.ln_m[-1]) for b in (*bps_a, *bps_b, sw)]))
+    n_panels = marks.shape[0] + 1
+    n_per = max(grid.n_mass // n_panels, 64)
+    edges = [t.ln_m[0]] + [marks[i] for i in range(n_panels - 1)] + [t.ln_m[-1]]
+    packs = [node_pack(cosmo, halo, t, lo, hi, n_per, with_bao, grid)
+             for lo, hi in zip(edges[:-1], edges[1:])]
+    cat = lambda attr: jnp.concatenate([getattr(p, attr) for p in packs])
+    ln_g = cat("ln_m")
+    return ln_g, cat("w_lnm"), jnp.exp(ln_g), cat("dndlnm"), sw
+
+
+def power_gg_cross(cosmo: CosmoParams, halo: HaloParams,
+                   model_a: HaloModel, model_b: HaloModel, k,
+                   with_bao: bool = False, grid: GridSpec = DEFAULT_GRID):
+    """P_gg(k) between two DIFFERENT galaxy samples (HODs) sharing one
+    mass function — capability extension beyond chomp (upstream Halo
+    binds a single HOD; SURVEY.md §2 row 6), needed for cross-bin
+    clustering blocks in multi-sample tomography.
+
+    2-halo: P_lin h_g^A h_g^B.  1-halo: halo occupations of distinct
+    samples are taken independent, so <N_A N_B> = <N_A><N_B>, with the
+    Scranton y-exponent convention applied to that product moment (y^1
+    below the mass where <N_A><N_B> = 1 — one of the pair can sit at
+    the halo center — else y^2; follows grid.scranton_switch, like the
+    auto convention).  NOTE power_gg_cross(A, A) differs from
+    power_gg(A) in the 1-halo term by construction: the auto pair count
+    in one sample is <N(N-1)>, the cross pair count between independent
+    samples is <N_A><N_B> — these coincide only for deterministic
+    occupations.  Both models must share mass tables
+    (build_halo_models / build_halo_model(mass_tables=))."""
+    k = jnp.atleast_1d(jnp.asarray(k))
+    t = model_a.mass
+    p_lin = linear_power(cosmo, model_a, k, with_bao, grid)
+    _, h_a = two_halo_integrals(cosmo, halo, model_a, k)
+    _, h_b = two_halo_integrals(cosmo, halo, model_b, k)
+    ln_g, w_g, m_g, dndlnm, sw = _cross_gal_pack(cosmo, halo, model_a,
+                                                 model_b, with_bao, grid)
+    y_g = profiles.y_nfw(cosmo, halo, k[:, None], m_g[None, :],
+                         model_a.m_star, t.z)
+    y_gg = jnp.where(ln_g[None, :] < sw, y_g, y_g * y_g)
+    na = model_a.hod.first_moment(m_g)
+    nb = model_b.hod.first_moment(m_g)
+    pp = jnp.matmul(y_gg, w_g * dndlnm * na * nb,
+                    precision=jax.lax.Precision.HIGHEST) / (
+        model_a.n_g * model_b.n_g)
+    return pp + p_lin * h_a * h_b
+
+
+def tomographic_powers(cosmo: CosmoParams, halo: HaloParams, models, k,
+                       with_bao: bool = False,
+                       grid: GridSpec = DEFAULT_GRID):
+    """All spectra for a LIST of galaxy samples sharing one mass
+    function: dict with "power_mm", ("power_gg", i, j) for i <= j
+    (autos via powers(), crosses via power_gg_cross), and
+    ("power_gm", i).  The shared pieces (P_lin, h_m, pp_mm, the
+    y(k, M) matrices at the mass-table nodes) appear once per
+    expression and are deduplicated by XLA CSE under jit."""
+    k = jnp.atleast_1d(jnp.asarray(k))
+    p_lin = linear_power(cosmo, models[0], k, with_bao, grid)
+    h_m, _ = two_halo_integrals(cosmo, halo, models[0], k)
+    pp_mm, _, _ = one_halo_integrals(cosmo, halo, models[0], k,
+                                     with_bao, grid)
+    out = {"power_mm": pp_mm + p_lin * h_m * h_m}
+    for i, mi in enumerate(models):
+        ps = powers(cosmo, halo, mi, k, with_bao, grid)
+        out[("power_gg", i, i)] = ps["power_gg"]
+        out[("power_gm", i)] = ps["power_gm"]
+        for j in range(i + 1, len(models)):
+            out[("power_gg", i, j)] = power_gg_cross(
+                cosmo, halo, mi, models[j], k, with_bao, grid)
+    return out
+
+
 def galaxy_bias_avg(model: HaloModel):
     """Mean galaxy bias <b_g> = (1/n_g) ∫ dn/dlnM <N> b dlnM — the k->0
     limit of h_g (chomp's bias-average diagnostic)."""

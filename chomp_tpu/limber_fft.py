@@ -550,6 +550,20 @@ def p_lattice_halo_all(cosmo, halo_params, model,
                            jnp.asarray(np.exp(ln_k)), with_bao, grid)
 
 
+def p_lattice_tomographic(cosmo, halo_params, models,
+                          with_bao: bool = False,
+                          grid: GridSpec = DEFAULT_GRID):
+    """Per-sample spectra on the lattice for a LIST of halo models
+    sharing one mass function (halo.tomographic_powers): keys
+    "power_mm", ("power_gg", i, j), ("power_gm", i)."""
+    from chomp_tpu import halo as halo_mod
+
+    ln_k = k_lattice(grid)
+    return halo_mod.tomographic_powers(cosmo, halo_params, models,
+                                       jnp.asarray(np.exp(ln_k)),
+                                       with_bao, grid)
+
+
 def p_lattice_halo(cosmo, halo_params, model, kind: str,
                    with_bao: bool = False, grid: GridSpec = DEFAULT_GRID):
     """Halo-model P on the lattice — EXACT evaluation (the direct tensor

@@ -269,8 +269,11 @@ def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
 
     ONE halo evaluation per cosmology feeds every bin pair (the
     y-matrices dominate; the per-pair cost is one lattice convolution
-    + one fused static-operator matmul).  Every lens bin shares
-    ``hod`` (single-sample tomography).  ``geometry="flat"`` uses the
+    + one fused static-operator matmul).  ``hod`` is either ONE HOD
+    shared by every lens bin (single-sample tomography) or a LIST of
+    per-lens-bin HODs — then each bin's w/γt uses its own halo model
+    (one shared mass-table build, halo.build_halo_models) and "n_g"
+    becomes a per-bin vector.  ``geometry="flat"`` uses the
     FFTLog J0/J2/J4 transforms; ``geometry="curved"`` the exact sphere
     multipole sums (P_ℓ / d^ℓ_20 / d^ℓ_{2,±2} with the f_ℓ² κ→E
     prefactor) at the same runtime cost, as in make_pipeline.
@@ -298,6 +301,10 @@ def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
     wins_g = [projection.WindowGalaxy(dist=d) for d in lens_dists]
     wins_k = [projection.WindowConvergence(dist=d) for d in src_dists]
     n_src = len(wins_k)
+    hods = (list(hod) if isinstance(hod, (list, tuple)) else None)
+    if hods is not None and len(hods) != len(lens_dists):
+        raise ValueError(f"per-bin HODs: got {len(hods)} HODs for "
+                         f"{len(lens_dists)} lens bins")
     z_hi_anchor = (max(1.0, *(float(np.asarray(d.z_max))
                               for d in (*lens_dists, *src_dists)))
                    if exact_z_anchors else None)
@@ -306,46 +313,74 @@ def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
             _warn_if_separable_bias(d, z_pivot)
 
     def fn(cosmo: CosmoParams):
-        model = halo_mod.build_halo_model(cosmo, halo_params, hod,
-                                          z_pivot, with_bao, grid)
+        if hods is not None:
+            models = halo_mod.build_halo_models(cosmo, halo_params,
+                                                hods, z_pivot, with_bao,
+                                                grid)
+        else:
+            models = [halo_mod.build_halo_model(cosmo, halo_params, hod,
+                                                z_pivot, with_bao, grid)]
+        piv = models[0].mass.growth
+        # Per-row lattice/anchor sources: (p, kind) for lens bin i's
+        # clustering/lensing and for the shared matter sector.  The
+        # pipeline never needs cross-bin gg, so per-bin mode stays at
+        # n_lens separable halo evaluations (or n_lens anchor sweeps).
         if exact_z_anchors:
-            p_all = limber_fft.exact_z_anchor_spectra(
-                cosmo, halo_params, hod,
+            anch = [limber_fft.exact_z_anchor_spectra(
+                cosmo, halo_params, h_i,
                 ("power_gg", "power_gm", "power_mm"), exact_z_anchors,
                 1e-3, z_hi_anchor, with_bao, grid)
+                for h_i in (hods if hods is not None else [hod])]
+            if hods is None:            # one shared sweep for all bins
+                anch = anch * len(wins_g)
+            src_gg = [(a, "power_gg") for a in anch]
+            src_gm = [(a, "power_gm") for a in anch]
+            src_mm = (anch[0], "power_mm")
+        elif hods is not None:
+            p_all = limber_fft.p_lattice_tomographic(
+                cosmo, halo_params, models, with_bao, grid)
+            n_l = len(wins_g)
+            src_gg = [(p_all, ("power_gg", i, i)) for i in range(n_l)]
+            src_gm = [(p_all, ("power_gm", i)) for i in range(n_l)]
+            src_mm = (p_all, "power_mm")
         else:
             p_all = limber_fft.p_lattice_halo_all(cosmo, halo_params,
-                                                  model, with_bao, grid)
-        piv = model.mass.growth
+                                                  models[0], with_bao,
+                                                  grid)
+            src_gg = [(p_all, "power_gg")] * len(wins_g)
+            src_gm = [(p_all, "power_gm")] * len(wins_g)
+            src_mm = (p_all, "power_mm")
 
-        def w_of(wa, wb, kind, mu, stat=None):
+        def w_of(src, wa, wb, mu, stat=None):
+            p, kind = src
             if exact_z_anchors:
                 if geometry == "curved":
                     from chomp_tpu.curved import curved_wtheta_from_anchors
 
                     return curved_wtheta_from_anchors(
-                        cosmo, p_all, wa, wb, theta_key, kind, grid,
+                        cosmo, p, wa, wb, theta_key, kind, grid,
                         mu=mu, stat=stat)
                 return limber_fft.limber_wtheta_from_anchors(
-                    cosmo, p_all, wa, wb, theta_key, kind, grid, mu=mu)
+                    cosmo, p, wa, wb, theta_key, kind, grid, mu=mu)
             if geometry == "curved":
                 from chomp_tpu.curved import curved_wtheta_fft
 
                 return curved_wtheta_fft(
-                    cosmo, wa, wb, theta_key, p_all[kind], grid, mu=mu,
+                    cosmo, wa, wb, theta_key, p[kind], grid, mu=mu,
                     growth_pivot=piv, stat=stat)
             return limber_fft.limber_wtheta_fft(
-                cosmo, wa, wb, theta_key, p_all[kind], grid, mu=mu,
+                cosmo, wa, wb, theta_key, p[kind], grid, mu=mu,
                 growth_pivot=piv)
 
         stat_p = "xip" if geometry == "curved" else None
         stat_m = "xim" if geometry == "curved" else None
-        w_rows = [w_of(w, w, "power_gg", 0.0) for w in wins_g]
-        gt_rows = [w_of(wk, wg, "power_gm", 2.0)
-                   for wg in wins_g for wk in wins_k]
-        xip_rows = [w_of(wins_k[j], wins_k[k], "power_mm", 0.0, stat_p)
+        w_rows = [w_of(src_gg[i], w, w, 0.0)
+                  for i, w in enumerate(wins_g)]
+        gt_rows = [w_of(src_gm[i], wk, wg, 2.0)
+                   for i, wg in enumerate(wins_g) for wk in wins_k]
+        xip_rows = [w_of(src_mm, wins_k[j], wins_k[k], 0.0, stat_p)
                     for j in range(n_src) for k in range(j, n_src)]
-        xim_rows = [w_of(wins_k[j], wins_k[k], "power_mm", 4.0, stat_m)
+        xim_rows = [w_of(src_mm, wins_k[j], wins_k[k], 4.0, stat_m)
                     for j in range(n_src) for k in range(j, n_src)]
         out = {
             "theta_deg": jnp.asarray(theta_key),
@@ -353,7 +388,8 @@ def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
             "gamma_t": jnp.stack(gt_rows),
             "xi_plus": jnp.stack(xip_rows),
             "xi_minus": jnp.stack(xim_rows),
-            "n_g": model.n_g,
+            "n_g": (jnp.stack([m.n_g for m in models])
+                    if hods is not None else models[0].n_g),
         }
         out["vector"] = jnp.concatenate(
             w_rows + gt_rows + xip_rows + xim_rows)

@@ -255,6 +255,142 @@ def test_tomographic_pipeline(fiducial, setup):
                                np.asarray(single["vector"]), rtol=1e-10)
 
 
+def test_power_gg_cross(fiducial):
+    """Cross-sample clustering spectrum: 2-halo part equals the auto
+    2-halo for identical HODs (same h_g); near-disjoint occupations
+    kill the 1-halo cross (product moment ~ 0); mass-resolution
+    convergence of the cross pack."""
+    from chomp_tpu import halo as halo_mod
+    from chomp_tpu import default_halo
+    from chomp_tpu.hod import default_hod
+
+    h = default_halo()
+    g = GridSpec(n_mass=128, n_mu=8, sigma_panels=8,
+                 sigma_n_per_panel=32, n_growth=32, n_dist=32)
+    hod_a = default_hod()
+    hod_b = default_hod(log10_m_min=13.2, log10_m_0=13.2,
+                        log10_m_1p=14.4)
+    ma, mb = halo_mod.build_halo_models(fiducial, h, [hod_a, hod_b],
+                                        0.0, False, g)
+    k = jnp.asarray([1e-3, 1e-2, 0.1, 1.0, 10.0])
+    cross_aa = np.asarray(halo_mod.power_gg_cross(fiducial, h, ma, ma,
+                                                  k, grid=g))
+    auto_a = np.asarray(halo_mod.power_gg(fiducial, h, ma, k, grid=g))
+    # Identical HODs share h_g exactly, so cross - auto is purely the
+    # 1-halo convention gap (<N>^2 vs <N(N-1)>) — a k-independent
+    # constant while y ~ 1 (k r_vir << 1).  2.3% of the total at
+    # k=1e-3 here, so test the CONSTANCY of the difference, not
+    # closeness of the totals.
+    d01 = cross_aa[:2] - auto_a[:2]
+    np.testing.assert_allclose(d01[0], d01[1], rtol=1e-2)
+    assert abs(d01[0]) > 0  # the conventions genuinely differ
+    assert not np.allclose(cross_aa[-1], auto_a[-1], rtol=1e-3)
+
+    # Symmetry in the sample order.
+    c_ab = np.asarray(halo_mod.power_gg_cross(fiducial, h, ma, mb, k,
+                                              grid=g))
+    c_ba = np.asarray(halo_mod.power_gg_cross(fiducial, h, mb, ma, k,
+                                              grid=g))
+    np.testing.assert_allclose(c_ab, c_ba, rtol=1e-10)
+
+    # Independent-rule referee for the 1-halo cross: uniform-grid
+    # Simpson (8193 nodes, pointwise product-moment switch) vs the
+    # panel-GL pack.  pp_cross = c_ab - 2h since the 2h parts are the
+    # exact shared h_g contractions.
+    from chomp_tpu import linear, profiles
+    from chomp_tpu.halo import linear_power, two_halo_integrals
+    from chomp_tpu.mass import f_nu_raw
+
+    p_lin = np.asarray(linear_power(fiducial, ma, k, False, g))
+    _, hg_a = two_halo_integrals(fiducial, h, ma, k)
+    _, hg_b = two_halo_integrals(fiducial, h, mb, k)
+    two_h = p_lin * np.asarray(hg_a) * np.asarray(hg_b)
+
+    t = ma.mass
+    ln = np.linspace(float(t.ln_m[0]), float(t.ln_m[-1]), 8193)
+    m = jnp.asarray(np.exp(ln))
+    r = linear.radius_of_mass(fiducial, m)
+    s2_un, ds2 = linear.sigma2_unnorm_r_and_dlnr(fiducial, r, False, g)
+    norm = linear.power_norm(fiducial, False, g)
+    sigma = np.sqrt(norm * np.asarray(s2_un)) * float(t.growth)
+    nu = (float(t.delta_c) / sigma) ** 2
+    dnu = -nu * np.asarray(ds2) / (3.0 * np.asarray(s2_un))
+    f_n = float(t.f_norm) * np.asarray(f_nu_raw(h, jnp.asarray(nu)))
+    dndlnm = f_n * (float(fiducial.rho_bar) / np.asarray(m)) * dnu
+    na_nb = (np.asarray(hod_a.first_moment(m))
+             * np.asarray(hod_b.first_moment(m)))
+    y = np.asarray(profiles.y_nfw(fiducial, h, k[:, None], m[None, :],
+                                  ma.m_star, t.z))
+    y_e = np.where(na_nb[None, :] < 1.0, y, y * y)
+    from scipy.integrate import simpson
+    pp_ref = simpson(y_e * (dndlnm * na_nb)[None, :], x=ln, axis=1) / (
+        float(ma.n_g) * float(mb.n_g))
+    np.testing.assert_allclose(np.asarray(c_ab) - two_h, pp_ref,
+                               rtol=2e-4)
+
+    # Quadrature convergence: doubling n_mass moves the cross < 1e-6.
+    g2 = GridSpec(n_mass=256, n_mu=8, sigma_panels=8,
+                  sigma_n_per_panel=32, n_growth=32, n_dist=32)
+    ma2, mb2 = halo_mod.build_halo_models(fiducial, h, [hod_a, hod_b],
+                                          0.0, False, g2)
+    c2 = np.asarray(halo_mod.power_gg_cross(fiducial, h, ma2, mb2, k,
+                                            grid=g2))
+    np.testing.assert_allclose(c_ab, c2, rtol=5e-5)
+
+
+def test_per_bin_hods(fiducial, setup):
+    """Per-lens-bin HODs through the pipeline and the covariance
+    callables: each bin's rows equal the single-HOD pipeline built with
+    that bin's HOD; shear rows are HOD-independent; the ("gg", 0, 1)
+    callable equals power_gg_cross through the Limber projection."""
+    from chomp_tpu import covariance
+    from chomp_tpu.hod import default_hod
+    from chomp_tpu.parallel.sweep import make_pipeline, make_tomographic_pipeline
+
+    h, _model, lens, src, g = setup
+    tiny = GridSpec(n_k=64, n_mass=64, n_ell=256, n_theta=6,
+                    lattice_dln=0.08)
+    hod_a = default_hod()
+    hod_b = default_hod(log10_m_min=12.6, log10_m_0=12.6,
+                        log10_m_1p=13.9, alpha=1.05)
+    fn = make_tomographic_pipeline(h, [hod_a, hod_b], lens, src,
+                                   grid=tiny, z_pivot=0.6)
+    out = jax.jit(fn)(fiducial)
+    assert out["n_g"].shape == (2,)
+
+    for i, hod_i in enumerate((hod_a, hod_b)):
+        ref = make_pipeline(h, hod_i, lens[i], grid=tiny, z_pivot=0.6)
+        b = ref(fiducial)
+        np.testing.assert_allclose(np.asarray(out["w_theta"][i]),
+                                   np.asarray(b["w_theta"]), rtol=1e-12)
+    # gamma_t row (i=1, j=0) uses hod_b's gm spectrum with src window 0.
+    ref_b = make_pipeline(h, hod_b, lens[1], grid=tiny, z_pivot=0.6)
+    # (different dist for gt's source side — just check finiteness and
+    # that the two lens bins' gt rows differ, i.e. the HOD routed)
+    gt = np.asarray(out["gamma_t"])
+    assert np.all(np.isfinite(gt))
+    assert not np.allclose(gt[0], gt[2], rtol=1e-3)
+
+    # Covariance callables: per-bin gg cross == direct Limber of
+    # power_gg_cross on the lattice.
+    from chomp_tpu import halo as halo_mod
+    from chomp_tpu import limber_fft
+    from chomp_tpu.projection import WindowGalaxy
+
+    models = halo_mod.build_halo_models(fiducial, h, [hod_a, hod_b],
+                                        0.6, False, g)
+    cls = covariance.tomographic_lattice_cl_callables(
+        fiducial, h, models, lens, src, grid=g)
+    ells = np.array([20.0, 100.0, 500.0])
+    got = np.asarray(cls[("gg", 0, 1)](ells))
+    p_cross = limber_fft.p_lattice_tomographic(
+        fiducial, h, models, False, g)[("power_gg", 0, 1)]
+    want = np.asarray(limber_fft.limber_cl_fft(
+        fiducial, WindowGalaxy(dist=lens[0]), WindowGalaxy(dist=lens[1]),
+        ells, p_cross, g, growth_pivot=models[0].mass.growth))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
 def test_tomographic_exact_z(fiducial, setup):
     """exact_z_anchors: nL=nS=1 equality with the exact-z
     make_pipeline (shared Chebyshev anchors), finite 2x2 vector, and
