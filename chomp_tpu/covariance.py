@@ -927,7 +927,14 @@ def nongaussian_covariance(cosmo: CosmoParams, halo_p: HaloParams,
     ``mu_i``/``mu_j`` (and optionally distinct j-side bin edges) select
     any cross-probe block, e.g. gg x gt: tracers ("g","g","g","m"),
     windows (W_g, W_g, W_g, W_kappa), mu_j = 2.  ``method``: see
-    :func:`projected_trispectrum` ("lattice" = gather-free default)."""
+    :func:`projected_trispectrum` ("lattice" = gather-free default).
+
+    The exact connected term is a PSD operator, but its discretization
+    (T̄ on an n_ell_cov log grid + 2-tap interpolation) is only
+    approximately so: auto-block diagonal entries can come out
+    slightly NEGATIVE where the cNG is ≲1e-3 of the Gaussian diagonal
+    (measured at multi-degree bins) — quadrature noise around zero,
+    not a sign of a wrong block."""
     ells_np, w_np = _log_ell_weights(n_ell_cov, ell_lo, ell_hi)
     w = jnp.asarray(w_np)
     edges_i = np.radians(np.asarray(theta_edges_deg))
@@ -1362,17 +1369,67 @@ def _tomographic_pair_fn(cls, n2d, sn, cl_zero):
     return pair
 
 
+def _tomographic_ng_block_fn(cosmo, halo_p, model, lens_dists, src_dists,
+                             edges, omega_s_sr, with_bao, grid, mask,
+                             ng_kwargs):
+    """(probe_entry_a, probe_entry_b) -> connected (cNG) block, or None
+    if no channel pair contributes.  B tracers carry no connected piece
+    (the B field is zero in the E-only shear model), so each block is
+    the nongaussian_covariance of its non-B channel pair with the
+    tracer legs mapped g -> lens window i, E -> convergence window j."""
+    from chomp_tpu.projection import WindowConvergence, WindowGalaxy
+
+    if isinstance(model, (list, tuple)):
+        raise NotImplementedError(
+            "connected covariance with per-bin HOD models is not "
+            "implemented (the trispectrum engine binds one galaxy "
+            "sample); pass include_nongaussian=False and add cNG per "
+            "block with nongaussian_covariance where needed")
+    wins_g = [WindowGalaxy(dist=d) for d in lens_dists]
+    wins_k = [WindowConvergence(dist=d) for d in src_dists]
+
+    def leg(t):
+        kind, i = t
+        if kind == "g":
+            return wins_g[i], "g"
+        return wins_k[i], "m"      # E legs project the kappa field
+
+    def ng(entry_a, entry_b):
+        _, mu_a, ch_a = entry_a
+        _, mu_b, ch_b = entry_b
+        acc = None
+        for (a, b), s_a in ch_a:
+            if "B" in (a[0], b[0]):
+                continue
+            for (c, d), s_b in ch_b:
+                if "B" in (c[0], d[0]):
+                    continue
+                ws, ts = zip(*(leg(t) for t in (a, b, c, d)))
+                blk = s_a * s_b * nongaussian_covariance(
+                    cosmo, halo_p, model, lens_dists[0], edges,
+                    omega_s_sr, windows=ws, tracers=ts, mu_i=mu_a,
+                    mu_j=mu_b, with_bao=with_bao, grid=grid, mask=mask,
+                    **ng_kwargs)
+                acc = blk if acc is None else acc + blk
+        return acc
+
+    return ng
+
+
 def tomographic_3x2pt_covariance(cosmo: CosmoParams, halo_p: HaloParams,
                                  model, lens_dists, src_dists,
                                  theta_edges_deg, omega_s_sr,
                                  n2d_lens_list, shape_noise_list,
                                  with_bao: bool = False,
                                  grid: GridSpec = DEFAULT_GRID,
-                                 n_ell_cov_g: int = 4096, mask=None):
-    """Gaussian covariance of the FULL TOMOGRAPHIC 3x2pt data vector
-    — (n_probe nb, n_probe nb) over the probe order of
-    tomographic_probes (w autos, all gamma_t pairs, xi_+- source
-    pairs).  Capability extension beyond chomp (single-sample only).
+                                 n_ell_cov_g: int = 4096, mask=None,
+                                 include_nongaussian=False,
+                                 **ng_kwargs):
+    """Gaussian (+ optionally connected) covariance of the FULL
+    TOMOGRAPHIC 3x2pt data vector — (n_probe nb, n_probe nb) over the
+    probe order of tomographic_probes (w autos, all gamma_t pairs,
+    xi_+- source pairs).  Capability extension beyond chomp
+    (single-sample only).
 
     Every block assembles from gaussian_block over the probes' E/B
     channel decompositions: tracer pairs carry C_ℓ from ONE lattice
@@ -1382,11 +1439,15 @@ def tomographic_3x2pt_covariance(cosmo: CosmoParams, halo_p: HaloParams,
     xi_+ x xi_- shot-noise cancellations exact across every bin
     combination, exactly as in joint_3x2pt_covariance.
 
-    The connected (cNG) terms are not assembled here (the block count
-    grows quadratically with probes); add them per block with
-    nongaussian_covariance where they matter (the w autos and the
-    lowest-z shear pairs).  ``mask`` applies the footprint treatment
-    to every block."""
+    ``include_nongaussian``: False (default) = Gaussian only; "autos"
+    = add the connected (trispectrum) term to the diagonal probe
+    blocks only (the dominant cNG effect at a fraction of the cost);
+    True = every block (n_probe(n_probe+1)/2 trispectrum projections
+    — the distinct T̄ k-tables number only 6 tracer combos and
+    deduplicate under jit via CSE).  ``ng_kwargs`` forward to
+    nongaussian_covariance (n_ell_cov, n_k_tri, u_stride,
+    exact_z_anchors, ...).  ``mask`` applies the footprint treatment
+    to every block (Gaussian and connected)."""
     n_lens, n_src = len(lens_dists), len(src_dists)
     cls = tomographic_lattice_cl_callables(cosmo, halo_p, model,
                                            lens_dists, src_dists,
@@ -1401,6 +1462,10 @@ def tomographic_3x2pt_covariance(cosmo: CosmoParams, halo_p: HaloParams,
 
     pair = _tomographic_pair_fn(cls, n2d, sn, cl_zero)
     probes = tomographic_probes(n_lens, n_src)
+    ng = (_tomographic_ng_block_fn(cosmo, halo_p, model, lens_dists,
+                                   src_dists, edges, omega_s_sr,
+                                   with_bao, grid, mask, ng_kwargs)
+          if include_nongaussian else None)
     n_probe = len(probes)
     blocks = [[None] * n_probe for _ in range(n_probe)]
     for pa in range(n_probe):
@@ -1428,6 +1493,11 @@ def tomographic_3x2pt_covariance(cosmo: CosmoParams, halo_p: HaloParams,
                     acc = blk if acc is None else acc + blk
             if acc is None:
                 acc = jnp.zeros((nb, nb))
+            if ng is not None and (include_nongaussian != "autos"
+                                   or pb == pa):
+                c_ng = ng(probes[pa], probes[pb])
+                if c_ng is not None:
+                    acc = acc + c_ng
             blocks[pa][pb] = acc
             if pb != pa:
                 blocks[pb][pa] = acc.T

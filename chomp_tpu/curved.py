@@ -1307,7 +1307,7 @@ def curved_tomographic_3x2pt_covariance(
         cosmo, halo_p, model, lens_dists, src_dists, theta_edges_deg,
         n2d_lens_list, shape_noise_list, mask, ell_max: int = 4096,
         ell_split: int | None = None, with_bao: bool = False,
-        grid=None):
+        grid=None, include_nongaussian=False, **ng_kwargs):
     """Gaussian covariance of the full TOMOGRAPHIC 3x2pt data vector on
     a masked SPHERE — the curved analog of
     covariance.tomographic_3x2pt_covariance (same probe order:
@@ -1325,10 +1325,13 @@ def curved_tomographic_3x2pt_covariance(
     constants cancel exactly in the channel difference (the multi-bin
     generalization of curved_joint_3x2pt_covariance's (+,-) cross).
 
-    Connected (cNG) terms are not assembled here — add them per block
-    with covariance.nongaussian_covariance at Ω_eff = A₂²/A₄ where they
-    matter (see curved_joint_3x2pt_covariance)."""
-    from chomp_tpu.covariance import (_tomographic_noise_lists,
+    ``include_nongaussian`` ("autos" = diagonal probe blocks only,
+    True = every block) adds the connected term via the FLAT
+    trispectrum engine at Ω_eff = A₂²/A₄ — the same broadband
+    uniform-Ω treatment as curved_joint_3x2pt_covariance;
+    ``ng_kwargs`` forward to covariance.nongaussian_covariance."""
+    from chomp_tpu.covariance import (_tomographic_ng_block_fn,
+                                      _tomographic_noise_lists,
                                       _tomographic_pair_fn,
                                       tomographic_lattice_cl_callables,
                                       tomographic_probes)
@@ -1350,6 +1353,10 @@ def curved_tomographic_3x2pt_covariance(
 
     pair = _tomographic_pair_fn(cls, n2d, sn, cl_zero)
     probes = tomographic_probes(n_lens, n_src)
+    ng = (_tomographic_ng_block_fn(
+        cosmo, halo_p, model, lens_dists, src_dists, edges,
+        mask.area2**2 / mask.area4, with_bao, grid, None, ng_kwargs)
+        if include_nongaussian else None)
     codes = [_curved_probe_code(mu, ch) for (_n, mu, ch) in probes]
     n_probe = len(probes)
     blocks = [[None] * n_probe for _ in range(n_probe)]
@@ -1380,6 +1387,11 @@ def curved_tomographic_3x2pt_covariance(
                     acc = blk if acc is None else acc + blk
             if acc is None:
                 acc = jnp.zeros((nb, nb))
+            if ng is not None and (include_nongaussian != "autos"
+                                   or pb == pa):
+                c_ng = ng(probes[pa], probes[pb])
+                if c_ng is not None:
+                    acc = acc + c_ng
             blocks[pa][pb] = acc
             if pb != pa:
                 blocks[pb][pa] = acc.T

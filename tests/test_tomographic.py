@@ -49,6 +49,42 @@ def test_single_bin_reduction(fiducial, setup):
 
 
 @pytest.mark.slow
+def test_single_bin_reduction_nongaussian(fiducial, setup):
+    """The connected assembly reduces to joint_3x2pt_covariance's ten
+    ng blocks at nL = nS = 1 (every channel-pair -> window/tracer/mu
+    mapping identical); 'autos' adds cNG to the diagonal probe blocks
+    only."""
+    h, model, lens, src, g = setup
+    edges = np.logspace(-1.5, 0, 4)
+    nb = len(edges) - 1
+    kw = dict(n_k_tri=48, u_stride=8)
+    tomo = np.asarray(covariance.tomographic_3x2pt_covariance(
+        fiducial, h, model, lens[:1], src[:1], edges, OMEGA_S,
+        [N2D], [NS], grid=g, n_ell_cov_g=1024,
+        include_nongaussian=True, n_ell_cov=48, **kw))
+    joint = np.asarray(covariance.joint_3x2pt_covariance(
+        fiducial, h, model, lens[0], src[0], edges, OMEGA_S, N2D, NS,
+        grid=g, include_nongaussian=True, n_ell_cov_g=1024,
+        n_ell_cov_ng=48, **kw))
+    np.testing.assert_allclose(tomo, joint, rtol=1e-10, atol=0)
+
+    gauss = np.asarray(covariance.tomographic_3x2pt_covariance(
+        fiducial, h, model, lens[:1], src[:1], edges, OMEGA_S,
+        [N2D], [NS], grid=g, n_ell_cov_g=1024))
+    autos = np.asarray(covariance.tomographic_3x2pt_covariance(
+        fiducial, h, model, lens[:1], src[:1], edges, OMEGA_S,
+        [N2D], [NS], grid=g, n_ell_cov_g=1024,
+        include_nongaussian="autos", n_ell_cov=48, **kw))
+    # Diagonal probe blocks match the full-cNG matrix; off-diagonal
+    # blocks stay Gaussian.
+    for p in range(4):
+        s = slice(p * nb, (p + 1) * nb)
+        np.testing.assert_allclose(autos[s, s], tomo[s, s], rtol=1e-10)
+    np.testing.assert_allclose(autos[:nb, nb:2 * nb],
+                               gauss[:nb, nb:2 * nb], rtol=1e-12)
+
+
+@pytest.mark.slow
 def test_tomographic_structure_and_blocks(fiducial, setup):
     """2 lens x 2 source bins (12 probes): shape/symmetry/PSD, and two
     spot-checked blocks against direct gaussian_block assembly."""
