@@ -100,6 +100,33 @@ def main(batch_size: int = 100):
     dt_cov = timed(f_cov, batch_cov, reps=2)
     rows.append((f"joint (w,gt) covariance [{b_cov}]", dt_cov / b_cov * 1e3))
 
+    # Tomographic 3x2pt (2 lens x 2 source bins = 12 probes): the
+    # full prediction vector and the 12-probe Gaussian covariance, one
+    # shared halo evaluation each.
+    from chomp_tpu.parallel.sweep import make_tomographic_pipeline
+
+    d_lens2 = projection.DNdzGaussian(
+        z_min=jnp.asarray(0.0), z_max=jnp.asarray(2.0),
+        z0=jnp.asarray(0.75), sigma_z=jnp.asarray(0.15))
+    d_src2 = projection.DNdzGaussian(
+        z_min=jnp.asarray(0.3), z_max=jnp.asarray(2.5),
+        z0=jnp.asarray(1.3), sigma_z=jnp.asarray(0.3))
+    lens_bins, src_bins = [dist, d_lens2], [d_src, d_src2]
+    tomo = make_tomographic_pipeline(h, hod, lens_bins, src_bins,
+                                     z_pivot=0.6)
+    stage("tomographic 2x2 vector (12 probes)", tomo)
+
+    def tomo_cov_fn(c):
+        model = halo.build_halo_model(c, h, hod, 0.6)
+        return cov_mod.tomographic_3x2pt_covariance(
+            c, h, model, lens_bins, src_bins, edges, 0.1,
+            [3.0e7, 2.0e7], [1.0e-9, 1.4e-9])
+
+    f_tcov = jax.jit(jax.vmap(tomo_cov_fn))
+    dt_tcov = timed(f_tcov, batch_cov, reps=2)
+    rows.append((f"tomographic 12-probe covariance [{b_cov}]",
+                 dt_tcov / b_cov * 1e3))
+
     print(f"{'stage':34s} ms/cosmology")
     for name, ms in rows:
         print(f"  {name:32s} {ms:8.3f}")

@@ -5,7 +5,8 @@ Capability extension beyond chomp (upstream: single lens/source sample
 per Correlation/Covariance object; SURVEY.md §2 rows 12-13): here 2
 lens bins x 2 source bins -> 12 probes (w_0, w_1, gt_{ij}, xi_+^{jk},
 xi_-^{jk}) assembled from ONE halo-model evaluation per cosmology on
-the gather-free lattice, with per-bin shot/shape noise and the exact
+the gather-free lattice, with PER-BIN HODs (cross-bin clustering via
+halo.power_gg_cross), per-bin shot/shape noise, and the exact
 xi_+ x xi_- shot-noise cancellation across every bin pair.
 
 Run: python examples/tomographic_example.py        (CPU f64 by design:
@@ -41,7 +42,9 @@ SHAPE_NOISE = [SIGMA_EPS**2 / n for n in N2D_SRC]
 
 cosmo = default_cosmo()
 h = default_halo()
-hod = default_hod()
+# Per-lens-bin HODs: the higher-z bin selects brighter galaxies.
+hods = [default_hod(),
+        default_hod(log10_m_min=12.5, log10_m_0=12.5, log10_m_1p=13.8)]
 
 
 def dist_at(z0, sz, z_max=2.5):
@@ -62,20 +65,21 @@ nb = len(theta_mid)
 grid = GridSpec(n_mass=128, n_mu=8, sigma_panels=8, sigma_n_per_panel=32,
                 n_growth=32, n_dist=32)
 
-# --- tomographic data vector: ONE halo evaluation, 12 probes ---------
-pipe = make_tomographic_pipeline(h, hod, lens, src, theta_deg=theta_mid,
+# --- tomographic data vector: ONE mass-table build, 12 probes --------
+pipe = make_tomographic_pipeline(h, hods, lens, src, theta_deg=theta_mid,
                                  z_pivot=0.6, grid=grid)
 out = pipe(cosmo)
 vec = np.asarray(out["vector"])
 probes = covariance.tomographic_probes(len(lens), len(src))
 print(f"tomographic 3x2pt vector: {vec.shape[0]} entries "
-      f"({len(probes)} probes x {nb} bins)")
+      f"({len(probes)} probes x {nb} bins); per-bin n_g =",
+      np.asarray(out["n_g"]))
 print("probe order:", [p[0] for p in probes])
 
-# --- full tomographic Gaussian covariance ----------------------------
-model = halo.build_halo_model(cosmo, h, hod, 0.6, False, grid)
+# --- full tomographic Gaussian covariance (per-bin halo models) ------
+models = halo.build_halo_models(cosmo, h, hods, 0.6, False, grid)
 cov = np.asarray(covariance.tomographic_3x2pt_covariance(
-    cosmo, h, model, lens, src, edges_deg, OMEGA_S, N2D_LENS,
+    cosmo, h, models, lens, src, edges_deg, OMEGA_S, N2D_LENS,
     SHAPE_NOISE, grid=grid))
 assert cov.shape == (len(probes) * nb,) * 2
 eig = np.linalg.eigvalsh(0.5 * (cov + cov.T))
