@@ -1,0 +1,150 @@
+"""Hamiltonian Monte Carlo through the ENTIRE halo-model pipeline.
+
+The whole prediction stack (transfer function -> sigma(R) -> mass
+function -> HOD-weighted halo integrals -> Limber -> Hankel) is pure
+jit/grad-able JAX, so gradient-based samplers apply directly — no
+finite differences, no emulators.  This samples (Omega_m, sigma_8)
+from a synthetic w(theta)+gamma_t likelihood with a fully jitted HMC
+chain (leapfrog + Metropolis inside one lax.scan): something the
+scipy-object reference cannot do at all (upstream:correlation.py
+computes one model at a time, no derivatives).
+
+Run: python examples/hmc_example.py        (CPU f64; ~4 min.  The same
+sampler jit-compiles for the TPU — the pipeline is the bench.py fast
+path — where each chain step costs ~2 gradient evaluations at
+~1 ms/cosmology-gradient.)
+"""
+
+import dataclasses
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+
+from chomp_tpu import covariance, default_cosmo, default_halo, halo, projection
+from chomp_tpu.hod import default_hod
+from chomp_tpu.params import GridSpec
+from chomp_tpu.parallel.sweep import make_pipeline
+
+OMEGA_S = 0.3
+N2D_LENS = 3.0e7
+SHAPE_NOISE = 0.26**2 / 7.0e7
+
+cosmo0 = default_cosmo()
+h = default_halo()
+hod = default_hod()
+dist = projection.DNdzGaussian(
+    z_min=jnp.asarray(0.0), z_max=jnp.asarray(2.0),
+    z0=jnp.asarray(0.6), sigma_z=jnp.asarray(0.15))
+dist_src = projection.DNdzGaussian(
+    z_min=jnp.asarray(0.0), z_max=jnp.asarray(2.5),
+    z0=jnp.asarray(1.0), sigma_z=jnp.asarray(0.3))
+
+edges_deg = np.logspace(np.log10(0.05), np.log10(2.0), 9)
+theta_mid = np.sqrt(edges_deg[:-1] * edges_deg[1:])
+grid = GridSpec(n_k=96, n_mass=64, n_mu=8, sigma_panels=8,
+                sigma_n_per_panel=32, n_growth=32, n_dist=32,
+                lattice_dln=0.05)   # demo grid: keeps the chain <5 min
+pipe = make_pipeline(h, hod, dist, theta_deg=theta_mid, z_pivot=0.6,
+                     grid=grid)
+
+
+def vec_of(p):
+    om, s8 = p
+    c = dataclasses.replace(cosmo0, omega_m0=om, omega_l0=1.0 - om,
+                            sigma_8=s8)
+    out = pipe(c)
+    return jnp.concatenate([out["w_theta"], out["gamma_t"]])
+
+
+# Synthetic data at the fiducial point; fixed (cosmology-independent)
+# Gaussian covariance, as in a standard analysis.
+model0 = halo.build_halo_model(cosmo0, h, hod, 0.6, False, grid)
+cov = np.asarray(covariance.joint_wtheta_gammat_covariance(
+    cosmo0, h, model0, dist, dist_src, edges_deg, OMEGA_S, N2D_LENS,
+    SHAPE_NOISE, grid=grid))
+cov_inv = jnp.asarray(np.linalg.inv(cov))
+data = vec_of(jnp.array([cosmo0.omega_m0, cosmo0.sigma_8]))
+
+
+def neg_log_post(p):
+    r = vec_of(p) - data
+    chi2 = r @ cov_inv @ r
+    # Flat prior box via a smooth barrier (keeps the sampler jittable).
+    lo, hi = jnp.array([0.18, 0.55]), jnp.array([0.45, 1.05])
+    barrier = jnp.sum(jnp.where((p < lo) | (p > hi), 1e6, 0.0))
+    return 0.5 * chi2 + barrier
+
+
+# Mass matrix from the Fisher information at the fiducial point — the
+# standard preconditioner, itself one jacfwd through the pipeline.
+jac = jax.jacfwd(vec_of)(jnp.array([cosmo0.omega_m0, cosmo0.sigma_8]))
+fisher = jac.T @ cov_inv @ jac
+mass = fisher                       # momenta ~ N(0, F): unit condition
+mass_inv = jnp.linalg.inv(fisher)
+chol_mass = jnp.linalg.cholesky(mass)
+
+N_STEPS = 120
+N_LEAP = 5
+EPS = 0.6                           # in mass-preconditioned units
+
+grad_u = jax.grad(neg_log_post)
+
+
+def hmc_step(carry, key):
+    q, u_q = carry
+    k1, k2 = jax.random.split(key)
+    p = chol_mass @ jax.random.normal(k1, (2,))
+
+    def leap(i, qp):
+        q, p = qp
+        p = p - 0.5 * EPS * grad_u(q)
+        q = q + EPS * (mass_inv @ p)
+        p = p - 0.5 * EPS * grad_u(q)
+        return (q, p)
+
+    q_new, p_new = jax.lax.fori_loop(0, N_LEAP, leap, (q, p))
+    u_new = neg_log_post(q_new)
+    dh = (u_new - u_q
+          + 0.5 * (p_new @ mass_inv @ p_new - p @ mass_inv @ p))
+    accept = jax.random.uniform(k2) < jnp.exp(-dh)
+    q = jnp.where(accept, q_new, q)
+    u_q = jnp.where(accept, u_new, u_q)
+    return (q, u_q), (q, accept)
+
+
+@jax.jit
+def run_chain(key, q0):
+    keys = jax.random.split(key, N_STEPS)
+    (_, _), (qs, acc) = jax.lax.scan(hmc_step, (q0, neg_log_post(q0)),
+                                     keys)
+    return qs, acc
+
+
+q0 = jnp.array([0.275, 0.82])       # start ~1 sigma off-fiducial
+qs, acc = run_chain(jax.random.PRNGKey(0), q0)
+qs, acc = np.asarray(qs), np.asarray(acc)
+burn = N_STEPS // 3
+post = qs[burn:]
+mean, sd = post.mean(axis=0), post.std(axis=0)
+fisher_sd = np.sqrt(np.diag(np.asarray(mass_inv)))
+print(f"acceptance: {acc.mean():.2f}")
+print(f"posterior Omega_m = {mean[0]:.4f} +- {sd[0]:.4f} "
+      f"(Fisher: {fisher_sd[0]:.4f}; truth {cosmo0.omega_m0})")
+print(f"posterior sigma_8 = {mean[1]:.4f} +- {sd[1]:.4f} "
+      f"(Fisher: {fisher_sd[1]:.4f}; truth {cosmo0.sigma_8})")
+assert acc.mean() > 0.5, "HMC acceptance collapsed"
+assert abs(mean[0] - cosmo0.omega_m0) < 5 * sd[0]
+assert abs(mean[1] - cosmo0.sigma_8) < 5 * sd[1]
+# The HMC spread should agree with the Fisher forecast to within the
+# sampling noise of ~80 correlated draws (loose factor-3 band).
+assert np.all(sd / fisher_sd > 0.3) and np.all(sd / fisher_sd < 3.0), (
+    sd, fisher_sd)
+print("OK")
