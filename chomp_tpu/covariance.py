@@ -1371,12 +1371,17 @@ def _tomographic_pair_fn(cls, n2d, sn, cl_zero):
 
 def _tomographic_ng_block_fn(cosmo, halo_p, model, lens_dists, src_dists,
                              edges, omega_s_sr, with_bao, grid, mask,
-                             ng_kwargs):
+                             ng_kwargs, curved_mask=None):
     """(probe_entry_a, probe_entry_b) -> connected (cNG) block, or None
     if no channel pair contributes.  B tracers carry no connected piece
     (the B field is zero in the E-only shear model), so each block is
     the nongaussian_covariance of its non-B channel pair with the
-    tracer legs mapped g -> lens window i, E -> convergence window j."""
+    tracer legs mapped g -> lens window i, E -> convergence window j.
+
+    ``curved_mask`` switches the engine to
+    curved.curved_nongaussian_covariance (exact sphere bin factors with
+    the probes' curved estimator codes, Ω_eff from the mask;
+    ``ng_kwargs`` should then carry the ell_max)."""
     from chomp_tpu.projection import WindowConvergence, WindowGalaxy
 
     if isinstance(model, (list, tuple)):
@@ -1394,9 +1399,26 @@ def _tomographic_ng_block_fn(cosmo, halo_p, model, lens_dists, src_dists,
             return wins_g[i], "g"
         return wins_k[i], "m"      # E legs project the kappa field
 
+    if curved_mask is not None:
+        from chomp_tpu.curved import (_curved_probe_code,
+                                      curved_nongaussian_covariance)
+
+        def block(ws, ts, entry_a, entry_b):
+            return curved_nongaussian_covariance(
+                cosmo, halo_p, model, lens_dists[0], edges, curved_mask,
+                windows=ws, tracers=ts,
+                mu_i=_curved_probe_code(entry_a[1], entry_a[2]),
+                mu_j=_curved_probe_code(entry_b[1], entry_b[2]),
+                with_bao=with_bao, grid=grid, **ng_kwargs)
+    else:
+        def block(ws, ts, entry_a, entry_b):
+            return nongaussian_covariance(
+                cosmo, halo_p, model, lens_dists[0], edges, omega_s_sr,
+                windows=ws, tracers=ts, mu_i=entry_a[1], mu_j=entry_b[1],
+                with_bao=with_bao, grid=grid, mask=mask, **ng_kwargs)
+
     def ng(entry_a, entry_b):
-        _, mu_a, ch_a = entry_a
-        _, mu_b, ch_b = entry_b
+        ch_a, ch_b = entry_a[2], entry_b[2]
         acc = None
         for (a, b), s_a in ch_a:
             if "B" in (a[0], b[0]):
@@ -1405,11 +1427,7 @@ def _tomographic_ng_block_fn(cosmo, halo_p, model, lens_dists, src_dists,
                 if "B" in (c[0], d[0]):
                     continue
                 ws, ts = zip(*(leg(t) for t in (a, b, c, d)))
-                blk = s_a * s_b * nongaussian_covariance(
-                    cosmo, halo_p, model, lens_dists[0], edges,
-                    omega_s_sr, windows=ws, tracers=ts, mu_i=mu_a,
-                    mu_j=mu_b, with_bao=with_bao, grid=grid, mask=mask,
-                    **ng_kwargs)
+                blk = s_a * s_b * block(ws, ts, entry_a, entry_b)
                 acc = blk if acc is None else acc + blk
         return acc
 

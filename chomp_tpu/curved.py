@@ -111,6 +111,8 @@ __all__ = [
     "curved_gaussian_covariance",
     "curved_joint_wtheta_gammat_covariance",
     "curved_joint_3x2pt_covariance",
+    "curved_tomographic_3x2pt_covariance",
+    "curved_nongaussian_covariance",
     "curved_bmode_null",
     "curved_lattice_operator",
     "curved_wtheta_fft",
@@ -1113,6 +1115,68 @@ def curved_wtheta_from_anchors(cosmo, anchors, win_a, win_b, theta_deg,
                       precision=jax.lax.Precision.HIGHEST)
 
 
+def curved_nongaussian_covariance(cosmo, halo_p, model, dist,
+                                  theta_edges_deg, mask, mu_i=0, mu_j=0,
+                                  ell_max: int = 2048,
+                                  n_ell_tbl: int = 96,
+                                  windows=None, tracers=None,
+                                  with_bao: bool = False, grid=None,
+                                  theta_edges_deg_j=None, **tri_kwargs):
+    """Connected (trispectrum) covariance block with EXACT curved-sky
+    bin factors — the sphere upgrade of
+    covariance.nongaussian_covariance (which contracts flat J̄-Bessel
+    factors against ∫ ℓdℓ/2π).  Here the same gather-free T̄(ℓ, ℓ')
+    lattice projection is built on a uniform-ln-ℓ table, mapped onto
+    the INTEGER multipoles by a static Catmull-Rom matrix, and summed
+    discretely against Legendre/Wigner bin factors:
+
+        Cov = (1/Ω_eff) Σ_{ℓℓ'≥1} (2ℓ+1)(2ℓ'+1)/(4π)² b̄_i b̄_j T̄
+
+    with ``mu_i``/``mu_j`` estimator codes {0, 2, "xip", "xim"} (P_ℓ /
+    d^ℓ_20 / d^ℓ_{2,±2}).  The flat measure ℓdℓ/2π ↔ Σ(2ℓ+1)/4π and
+    J̄ ↔ b̄ correspondences make this reduce to the flat engine at
+    sub-degree bins (tested); at wide bins the sphere geometry is
+    exact.  The footprint still enters as the uniform effective area
+    Ω_eff = A₂²/A₄ (``mask`` may also be a float Ω in sr) — cNG mask
+    coupling beyond Ω_eff is higher-order (broadband T̄), the same
+    treatment as the flat engine's mask= path.  The multipole sum
+    truncates at ``ell_max``: use bins ≳ 10/ell_max radians, as for
+    curved_gaussian_block.  ``tri_kwargs`` forward to
+    covariance.projected_trispectrum (n_k_tri, u_stride,
+    exact_z_anchors, ...)."""
+    from chomp_tpu.covariance import projected_trispectrum
+    from chomp_tpu.grids import catmull_rom_weights_np
+    from chomp_tpu.params import DEFAULT_GRID
+
+    if grid is None:
+        grid = DEFAULT_GRID
+    omega_eff = (float(mask) if isinstance(mask, (int, float))
+                 else mask.area2**2 / mask.area4)
+    edges_i = np.radians(np.asarray(theta_edges_deg, dtype=float))
+    edges_j = np.radians(np.asarray(
+        theta_edges_deg if theta_edges_deg_j is None
+        else theta_edges_deg_j, dtype=float))
+    # T̄ table nodes: uniform in ln ℓ over [1, ell_max] (T̄ is smooth
+    # and broadband in ln ℓ — same table density as the flat engine).
+    ln_tbl = np.linspace(0.0, np.log(ell_max), n_ell_tbl)
+    t_proj = projected_trispectrum(cosmo, halo_p, model, dist,
+                                   np.exp(ln_tbl), with_bao=with_bao,
+                                   grid=grid, windows=windows,
+                                   tracers=tracers, **tri_kwargs)
+    ells = np.arange(ell_max + 1)
+    pos = np.log(np.maximum(ells, 1.0)) / (ln_tbl[1] - ln_tbl[0])
+    w_int = catmull_rom_weights_np(n_ell_tbl, pos)    # (lmax+1, n_tbl)
+    meas = (2.0 * ells + 1.0) / (4.0 * np.pi)
+    meas[0] = 0.0            # ℓ ≥ 1, matching the flat engine's ell_lo
+    b_i = _curved_bin_factors(mu_i, ell_max, edges_i)
+    b_j = _curved_bin_factors(mu_j, ell_max, edges_j)
+    m_i = jnp.asarray((b_i * meas[None, :]) @ w_int)  # (nbi, n_tbl)
+    m_j = jnp.asarray((b_j * meas[None, :]) @ w_int)
+    hp = jax.lax.Precision.HIGHEST
+    return jnp.matmul(jnp.matmul(m_i, t_proj, precision=hp), m_j.T,
+                      precision=hp) / omega_eff
+
+
 def curved_joint_wtheta_gammat_covariance(
         cosmo, halo_p, model, dist_lens, dist_src, theta_edges_deg,
         n2d_lens, shape_noise, mask, ell_max: int = 4096,
@@ -1132,14 +1196,16 @@ def curved_joint_wtheta_gammat_covariance(
     truncates the multipole sums — use bins ≳ 10/ell_max radians.
 
     ``include_nongaussian=True`` adds the connected (trispectrum)
-    blocks via the FLAT projected-trispectrum engine at the effective
-    uniform area Ω_eff = A₂²/A₄ (``ng_kwargs`` forwarded to
-    covariance.nongaussian_covariance): the cNG term is broadband and
-    footprint-coupling corrections to it are higher-order — the same
-    uniform-Ω treatment chomp applied to its entire covariance.  The
-    spin-2 legs use C^{gκ} directly (the C^{gκ}→C^{gE} ℓ-prefactor is
-    sub-0.2% at ℓ ≥ 20 and is applied exactly in the PREDICTION
-    operator, curved_lattice_operator)."""
+    blocks via curved_nongaussian_covariance — the same gather-free
+    T̄ lattice projection contracted against EXACT sphere bin factors
+    (Legendre/d^ℓ_20 discrete multipole sums truncated at this
+    function's ``ell_max``), at the effective uniform area
+    Ω_eff = A₂²/A₄ (``ng_kwargs`` forwarded; cNG mask coupling beyond
+    Ω_eff is higher-order — the broadband-T̄ treatment chomp applied
+    to its entire covariance).  The spin-2 legs use C^{gκ} directly
+    (the C^{gκ}→C^{gE} ℓ-prefactor is sub-0.2% at ℓ ≥ 20 and is
+    applied exactly in the PREDICTION operator,
+    curved_lattice_operator)."""
     from chomp_tpu.covariance import lattice_cl_callables
     from chomp_tpu.params import DEFAULT_GRID
 
@@ -1160,23 +1226,22 @@ def curved_joint_wtheta_gammat_covariance(
                                    edges, mask, 2, 2, n_g,
                                    float(shape_noise), 0.0, 0.0, **kw)
     if include_nongaussian:
-        from chomp_tpu.covariance import nongaussian_covariance
         from chomp_tpu.projection import WindowConvergence, WindowGalaxy
 
-        omega_eff = mask.area2**2 / mask.area4
         win_g = WindowGalaxy(dist=dist_lens)
         win_k = WindowConvergence(dist=dist_src)
-        common = dict(with_bao=with_bao, grid=grid, **ng_kwargs)
-        cov_ww = cov_ww + nongaussian_covariance(
-            cosmo, halo_p, model, dist_lens, edges, omega_eff,
+        common = dict(with_bao=with_bao, grid=grid, ell_max=ell_max,
+                      **ng_kwargs)
+        cov_ww = cov_ww + curved_nongaussian_covariance(
+            cosmo, halo_p, model, dist_lens, edges, mask,
             windows=(win_g,) * 4, tracers=("g",) * 4,
             mu_i=0, mu_j=0, **common)
-        cov_wg = cov_wg + nongaussian_covariance(
-            cosmo, halo_p, model, dist_lens, edges, omega_eff,
+        cov_wg = cov_wg + curved_nongaussian_covariance(
+            cosmo, halo_p, model, dist_lens, edges, mask,
             windows=(win_g, win_g, win_g, win_k),
             tracers=("g", "g", "g", "m"), mu_i=0, mu_j=2, **common)
-        cov_gg = cov_gg + nongaussian_covariance(
-            cosmo, halo_p, model, dist_lens, edges, omega_eff,
+        cov_gg = cov_gg + curved_nongaussian_covariance(
+            cosmo, halo_p, model, dist_lens, edges, mask,
             windows=(win_g, win_k, win_g, win_k),
             tracers=("g", "m", "g", "m"), mu_i=2, mu_j=2, **common)
     top = jnp.concatenate([cov_ww, cov_wg], axis=1)
@@ -1203,9 +1268,10 @@ def curved_joint_3x2pt_covariance(
     pure-noise constants cancel EXACTLY between channels.  Cross
     blocks with w/γt couple through the E-mode only.
 
-    ``include_nongaussian=True`` adds the connected blocks via the
-    flat trispectrum engine at Ω_eff = A₂²/A₄ (see
-    curved_joint_wtheta_gammat_covariance)."""
+    ``include_nongaussian=True`` adds the connected blocks via
+    curved_nongaussian_covariance — exact sphere bin factors (incl.
+    the d^ℓ_{2,±2} ξ± codes) against the gather-free T̄ projection at
+    Ω_eff = A₂²/A₄ (see curved_joint_wtheta_gammat_covariance)."""
     from chomp_tpu.covariance import lattice_cl_callables
     from chomp_tpu.params import DEFAULT_GRID
 
@@ -1249,17 +1315,16 @@ def curved_joint_3x2pt_covariance(
                   ns, ns, ns, ns, nn_quadrature=True))
 
     if include_nongaussian:
-        from chomp_tpu.covariance import nongaussian_covariance
         from chomp_tpu.projection import WindowConvergence, WindowGalaxy
 
-        omega_eff = mask.area2**2 / mask.area4
         win_g = WindowGalaxy(dist=dist_lens)
         win_k = WindowConvergence(dist=dist_src)
-        common = dict(with_bao=with_bao, grid=grid, **ng_kwargs)
+        common = dict(with_bao=with_bao, grid=grid, ell_max=ell_max,
+                      **ng_kwargs)
 
         def ng(windows, tracers, mi, mj):
-            return nongaussian_covariance(
-                cosmo, halo_p, model, dist_lens, edges, omega_eff,
+            return curved_nongaussian_covariance(
+                cosmo, halo_p, model, dist_lens, edges, mask,
                 windows=windows, tracers=tracers, mu_i=mi, mu_j=mj,
                 **common)
 
@@ -1268,18 +1333,18 @@ def curved_joint_3x2pt_covariance(
         c_wg = c_wg + ng((win_g, win_g, win_g, win_k),
                          ("g", "g", "g", "m"), 0, 2)
         c_wp = c_wp + ng((win_g, win_g, win_k, win_k),
-                         ("g", "g", "m", "m"), 0, 0)
+                         ("g", "g", "m", "m"), 0, "xip")
         c_wm = c_wm + ng((win_g, win_g, win_k, win_k),
-                         ("g", "g", "m", "m"), 0, 4)
+                         ("g", "g", "m", "m"), 0, "xim")
         c_gg = c_gg + ng((win_g, win_k, win_g, win_k),
                          ("g", "m", "g", "m"), 2, 2)
         c_gp = c_gp + ng((win_g, win_k, win_k, win_k),
-                         ("g", "m", "m", "m"), 2, 0)
+                         ("g", "m", "m", "m"), 2, "xip")
         c_gm = c_gm + ng((win_g, win_k, win_k, win_k),
-                         ("g", "m", "m", "m"), 2, 4)
-        c_pp = c_pp + ng(k4, m4, 0, 0)
-        c_pm = c_pm + ng(k4, m4, 0, 4)
-        c_mm = c_mm + ng(k4, m4, 4, 4)
+                         ("g", "m", "m", "m"), 2, "xim")
+        c_pp = c_pp + ng(k4, m4, "xip", "xip")
+        c_pm = c_pm + ng(k4, m4, "xip", "xim")
+        c_mm = c_mm + ng(k4, m4, "xim", "xim")
 
     rows = [
         jnp.concatenate([c_ww, c_wg, c_wp, c_wm], axis=1),
@@ -1326,10 +1391,11 @@ def curved_tomographic_3x2pt_covariance(
     generalization of curved_joint_3x2pt_covariance's (+,-) cross).
 
     ``include_nongaussian`` ("autos" = diagonal probe blocks only,
-    True = every block) adds the connected term via the FLAT
-    trispectrum engine at Ω_eff = A₂²/A₄ — the same broadband
-    uniform-Ω treatment as curved_joint_3x2pt_covariance;
-    ``ng_kwargs`` forward to covariance.nongaussian_covariance."""
+    True = every block) adds the connected term via
+    curved_nongaussian_covariance — exact sphere bin factors at
+    Ω_eff = A₂²/A₄, truncated at this function's ``ell_max`` — the
+    same treatment as curved_joint_3x2pt_covariance; ``ng_kwargs``
+    forward (n_ell_tbl, n_k_tri, u_stride, exact_z_anchors, ...)."""
     from chomp_tpu.covariance import (_tomographic_ng_block_fn,
                                       _tomographic_noise_lists,
                                       _tomographic_pair_fn,
@@ -1354,8 +1420,9 @@ def curved_tomographic_3x2pt_covariance(
     pair = _tomographic_pair_fn(cls, n2d, sn, cl_zero)
     probes = tomographic_probes(n_lens, n_src)
     ng = (_tomographic_ng_block_fn(
-        cosmo, halo_p, model, lens_dists, src_dists, edges,
-        mask.area2**2 / mask.area4, with_bao, grid, None, ng_kwargs)
+        cosmo, halo_p, model, lens_dists, src_dists, edges, None,
+        with_bao, grid, None, dict(ell_max=ell_max, **ng_kwargs),
+        curved_mask=mask)
         if include_nongaussian else None)
     codes = [_curved_probe_code(mu, ch) for (_n, mu, ch) in probes]
     n_probe = len(probes)

@@ -213,6 +213,65 @@ def test_curved_tomographic_structure(fiducial, setup):
     np.testing.assert_allclose(got, direct, rtol=1e-12)
 
 
+@pytest.mark.slow
+def test_curved_nongaussian_flat_limit(fiducial, setup):
+    """curved_nongaussian_covariance (exact sphere bin factors,
+    discrete (2l+1)/4pi sums) reduces to the flat engine (Jbar against
+    l dl/2pi, ell-integral to 1e5) at sub-degree bins on a uniform sky,
+    for every estimator-code correspondence: 0<->J0, 2<->J2,
+    "xip"<->J0, "xim"<->J4."""
+    from chomp_tpu import covariance
+    from chomp_tpu.curved import curved_nongaussian_covariance
+    from chomp_tpu.projection import WindowConvergence, WindowGalaxy
+
+    h, model, lens, src, g = setup
+    omega = 0.25
+    edges = np.array([0.2, 0.4, 0.8])          # sub-degree bins
+    win_g, win_k = WindowGalaxy(dist=lens[0]), WindowConvergence(dist=src[0])
+    kw = dict(with_bao=False, grid=g, n_k_tri=48, u_stride=8)
+    cases = [((win_g,) * 4, ("g",) * 4, 0, 0, 0, 0),
+             ((win_g, win_k, win_g, win_k), ("g", "m", "g", "m"),
+              2, 2, 2, 2),
+             ((win_k,) * 4, ("m",) * 4, 0, 0, "xip", "xip"),
+             ((win_k,) * 4, ("m",) * 4, 4, 4, "xim", "xim"),
+             ((win_g, win_g, win_k, win_k), ("g", "g", "m", "m"),
+              0, 4, 0, "xim")]
+    for ws, ts, mf_i, mf_j, mc_i, mc_j in cases:
+        flat = np.asarray(covariance.nongaussian_covariance(
+            fiducial, h, model, lens[0], edges, omega, windows=ws,
+            tracers=ts, mu_i=mf_i, mu_j=mf_j, n_ell_cov=96, **kw))
+        curved = np.asarray(curved_nongaussian_covariance(
+            fiducial, h, model, lens[0], edges, omega, windows=ws,
+            tracers=ts, mu_i=mc_i, mu_j=mc_j, ell_max=8192, **kw))
+        scale = np.abs(flat).max()
+        np.testing.assert_allclose(curved / scale, flat / scale,
+                                   atol=0.03,
+                                   err_msg=f"codes {mc_i},{mc_j}")
+
+
+@pytest.mark.slow
+def test_curved_tomographic_ng_reduction(fiducial, setup):
+    """The curved tomographic cNG assembly (exact sphere bin factors)
+    reduces to curved_joint_3x2pt_covariance(include_nongaussian=True)
+    at nL = nS = 1."""
+    from chomp_tpu.curved import (SphericalCapMask,
+                                  curved_joint_3x2pt_covariance,
+                                  curved_tomographic_3x2pt_covariance)
+
+    h, model, lens, src, g = setup
+    edges = np.array([1.0, 2.0, 4.0])
+    cap = SphericalCapMask(np.radians(25.0))
+    kw = dict(ell_max=1024, grid=g)
+    ngk = dict(n_k_tri=48, u_stride=8)
+    tomo = np.asarray(curved_tomographic_3x2pt_covariance(
+        fiducial, h, model, lens[:1], src[:1], edges, [N2D], [NS], cap,
+        include_nongaussian=True, **kw, **ngk))
+    joint = np.asarray(curved_joint_3x2pt_covariance(
+        fiducial, h, model, lens[0], src[0], edges, N2D, NS, cap,
+        include_nongaussian=True, **kw, **ngk))
+    np.testing.assert_allclose(tomo, joint, rtol=1e-10, atol=0)
+
+
 def test_curved_tomographic_pipeline(fiducial, setup):
     """geometry="curved": shapes, and nL=nS=1 equality with
     make_pipeline(geometry="curved", include_shear=True)."""
