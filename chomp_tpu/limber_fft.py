@@ -167,6 +167,30 @@ def _conv_direct(p, g, j_lo: int, j_hi: int):
     return out[:, 0, :j_hi - j_lo].reshape(batch_shape + (j_hi - j_lo,))
 
 
+def _conv_direct_rows(p_rows, g_rows, j_lo: int, j_hi: int):
+    """Paired per-row convolution: row r convolves ``p_rows[r]``
+    against ``g_rows[r]`` — ONE grouped XLA conv for the whole stack
+    (feature_group_count=R), collapsing a multi-probe pipeline's R
+    separate convolutions into a single dispatched op (the axon
+    remote-TPU wall-clock scales with the sequential op count,
+    CLAUDE.md).  (R, n_k), (R, n_chi) -> (R, j_hi - j_lo); same
+    positive-summand direct-conv numerics as :func:`_conv_direct`."""
+    import jax
+
+    r, n_k = p_rows.shape
+    n_chi = g_rows.shape[-1]
+    lhs = p_rows[None]                        # (N=1, C=R, W)
+    rhs = g_rows[:, ::-1][:, None, :]         # (O=R, I=1, W)
+    pad_l = n_chi - 1 - j_lo
+    pad_r = max(j_hi - n_k, 0)
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding=[(pad_l, pad_r)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=r,
+        precision=jax.lax.Precision.HIGHEST)
+    return out[0, :, :j_hi - j_lo]
+
+
 def _window_on_lattice(cosmo, win, z, chi, grid, z_mid=None):
     """Window values at the (sorted, uniform-in-ln-chi) lattice nodes.
 

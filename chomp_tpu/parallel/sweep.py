@@ -372,16 +372,58 @@ def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
                 cosmo, wa, wb, theta_key, p[kind], grid, mu=mu,
                 growth_pivot=piv)
 
-        stat_p = "xip" if geometry == "curved" else None
-        stat_m = "xim" if geometry == "curved" else None
-        w_rows = [w_of(src_gg[i], w, w, 0.0)
-                  for i, w in enumerate(wins_g)]
-        gt_rows = [w_of(src_gm[i], wk, wg, 2.0)
-                   for i, wg in enumerate(wins_g) for wk in wins_k]
-        xip_rows = [w_of(src_mm, wins_k[j], wins_k[k], 0.0, stat_p)
-                    for j in range(n_src) for k in range(j, n_src)]
-        xim_rows = [w_of(src_mm, wins_k[j], wins_k[k], 4.0, stat_m)
-                    for j in range(n_src) for k in range(j, n_src)]
+        pairs_xi = [(j, k) for j in range(n_src) for k in range(j, n_src)]
+        if geometry == "flat" and not exact_z_anchors:
+            # Batched TPU fast path: every probe row shares the theta
+            # grid and the conv j-window (the interpolation stencil is
+            # mu-independent), so ALL lattice convolutions fuse into
+            # ONE grouped conv and the J0/J2/J4 transforms into three
+            # fused contractions — the dispatched-op count stays O(1)
+            # in the number of bins (axon wall-clock scales with op
+            # count, CLAUDE.md).  The xi rows' convs are shared between
+            # J0 (xi_+) and J4 (xi_-).
+            from chomp_tpu.ops.df32 import df_contract
+
+            tk = tuple(np.asarray(theta_key, dtype=float).tolist())
+            j_lo, j_hi, a0 = limber_fft.wtheta_lattice_operator(
+                tk, grid, 0.0)
+            jl2, jh2, a2 = limber_fft.wtheta_lattice_operator(
+                tk, grid, 2.0)
+            jl4, jh4, a4 = limber_fft.wtheta_lattice_operator(
+                tk, grid, 4.0)
+            assert (jl2, jh2) == (j_lo, j_hi) == (jl4, jh4)
+
+            def glat(wa, wb):
+                return limber_fft._lattice_g(cosmo, wa, wb, grid, piv)
+
+            g_rows = ([glat(w, w) for w in wins_g]
+                      + [glat(wk, wg) for wg in wins_g for wk in wins_k]
+                      + [glat(wins_k[j], wins_k[k]) for j, k in pairs_xi])
+            p_rows = ([src_gg[i][0][src_gg[i][1]] for i in range(len(wins_g))]
+                      + [src_gm[i][0][src_gm[i][1]]
+                         for i in range(len(wins_g)) for _ in wins_k]
+                      + [src_mm[0][src_mm[1]] for _ in pairs_xi])
+            conv = limber_fft._conv_direct_rows(
+                jnp.stack(p_rows), jnp.stack(g_rows), j_lo, j_hi)
+            n_l, n_gt = len(wins_g), len(wins_g) * n_src
+            w_theta = df_contract(conv[:n_l], a0)
+            gamma_t = df_contract(conv[n_l:n_l + n_gt], a2)
+            conv_xi = conv[n_l + n_gt:]
+            xip = df_contract(conv_xi, a0)
+            xim = df_contract(conv_xi, a4)
+            w_rows, gt_rows = list(w_theta), list(gamma_t)
+            xip_rows, xim_rows = list(xip), list(xim)
+        else:
+            stat_p = "xip" if geometry == "curved" else None
+            stat_m = "xim" if geometry == "curved" else None
+            w_rows = [w_of(src_gg[i], w, w, 0.0)
+                      for i, w in enumerate(wins_g)]
+            gt_rows = [w_of(src_gm[i], wk, wg, 2.0)
+                       for i, wg in enumerate(wins_g) for wk in wins_k]
+            xip_rows = [w_of(src_mm, wins_k[j], wins_k[k], 0.0, stat_p)
+                        for j, k in pairs_xi]
+            xim_rows = [w_of(src_mm, wins_k[j], wins_k[k], 4.0, stat_m)
+                        for j, k in pairs_xi]
         out = {
             "theta_deg": jnp.asarray(theta_key),
             "w_theta": jnp.stack(w_rows),
