@@ -216,12 +216,52 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
             p_all = (limber_fft.p_lattice_halo_all(cosmo, halo_params,
                                                    model, with_bao, grid)
                      if method == "fft" else None)
-        out = {
-            "theta_deg": theta_deg,
-            "w_theta": w_from_p(cosmo, model, win_g, win_g, p_all,
-                                power_spec, 0.0),
-            "n_g": model.n_g,
-        }
+        out = {"theta_deg": theta_deg, "n_g": model.n_g}
+        if method == "fft" and not exact_z_anchors and geometry == "flat":
+            # Batched fast path (the bench.py route): all probes'
+            # lattice convolutions fuse into ONE grouped conv
+            # (limber_fft._conv_direct_rows) and the J0 transforms of
+            # w and xi_+ share one fused contraction — dispatched-op
+            # count stays O(1) in the probe count (axon wall-clock
+            # scales with op count, CLAUDE.md).  Row outputs are the
+            # same sums as the per-row route (equality-tested 1e-12).
+            from chomp_tpu.ops.df32 import df_contract
+
+            tk = tuple(theta_key.tolist())
+            j_lo, j_hi, a0 = limber_fft.wtheta_lattice_operator(
+                tk, grid, 0.0)
+            piv = model.mass.growth
+
+            def glat(wa, wb):
+                return limber_fft._lattice_g(cosmo, wa, wb, grid, piv)
+
+            rows_g = [glat(win_g, win_g)]
+            rows_p = [p_all[power_spec]]
+            if include_lensing:
+                rows_g.append(glat(win_k, win_g))
+                rows_p.append(p_all["power_gm"])
+            if include_shear:
+                rows_g.append(glat(win_k, win_k))
+                rows_p.append(p_all["power_mm"])
+            conv = limber_fft._conv_direct_rows(
+                jnp.stack(rows_p), jnp.stack(rows_g), j_lo, j_hi)
+            # w and xi_+ share the J0 operator: one contraction
+            # (static slices, not a gather).
+            w_xi = df_contract(jnp.stack([conv[0], conv[-1]])
+                               if include_shear else conv[:1], a0)
+            out["w_theta"] = w_xi[0]
+            if include_lensing:
+                _, _, a2 = limber_fft.wtheta_lattice_operator(
+                    tk, grid, 2.0)
+                out["gamma_t"] = df_contract(conv[1], a2)
+            if include_shear:
+                _, _, a4 = limber_fft.wtheta_lattice_operator(
+                    tk, grid, 4.0)
+                out["xi_plus"] = w_xi[1]
+                out["xi_minus"] = df_contract(conv[-1], a4)
+            return out
+        out["w_theta"] = w_from_p(cosmo, model, win_g, win_g, p_all,
+                                  power_spec, 0.0)
         if include_lensing:
             out["gamma_t"] = w_from_p(cosmo, model, win_k, win_g, p_all,
                                       "power_gm", 2.0)
