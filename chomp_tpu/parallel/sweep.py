@@ -217,48 +217,27 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
                                                    model, with_bao, grid)
                      if method == "fft" else None)
         out = {"theta_deg": theta_deg, "n_g": model.n_g}
-        if method == "fft" and not exact_z_anchors and geometry == "flat":
-            # Batched fast path (the bench.py route): all probes'
-            # lattice convolutions fuse into ONE grouped conv
-            # (limber_fft._conv_direct_rows) and the J0 transforms of
-            # w and xi_+ share one fused contraction — dispatched-op
-            # count stays O(1) in the probe count (axon wall-clock
-            # scales with op count, CLAUDE.md).  Row outputs are the
-            # same sums as the per-row route (equality-tested 1e-12).
-            from chomp_tpu.ops.df32 import df_contract
-
-            tk = tuple(theta_key.tolist())
-            j_lo, j_hi, a0 = limber_fft.wtheta_lattice_operator(
-                tk, grid, 0.0)
-            piv = model.mass.growth
-
-            def glat(wa, wb):
-                return limber_fft._lattice_g(cosmo, wa, wb, grid, piv)
-
-            rows_g = [glat(win_g, win_g)]
-            rows_p = [p_all[power_spec]]
+        if method == "fft" and not exact_z_anchors:
+            # Batched fast path (the bench.py route): all probes fuse
+            # into ONE grouped conv + one contraction per distinct
+            # operator (_fused_probe_rows) — same sums as the per-row
+            # route (equality-tested 1e-12), flat AND curved.
+            stat_p = "xip" if geometry == "curved" else None
+            stat_m = "xim" if geometry == "curved" else None
+            rows = [(win_g, win_g, p_all[power_spec], [(0.0, None)])]
             if include_lensing:
-                rows_g.append(glat(win_k, win_g))
-                rows_p.append(p_all["power_gm"])
+                rows.append((win_k, win_g, p_all["power_gm"],
+                             [(2.0, None)]))
             if include_shear:
-                rows_g.append(glat(win_k, win_k))
-                rows_p.append(p_all["power_mm"])
-            conv = limber_fft._conv_direct_rows(
-                jnp.stack(rows_p), jnp.stack(rows_g), j_lo, j_hi)
-            # w and xi_+ share the J0 operator: one contraction
-            # (static slices, not a gather).
-            w_xi = df_contract(jnp.stack([conv[0], conv[-1]])
-                               if include_shear else conv[:1], a0)
-            out["w_theta"] = w_xi[0]
+                rows.append((win_k, win_k, p_all["power_mm"],
+                             [(0.0, stat_p), (4.0, stat_m)]))
+            outs = _fused_probe_rows(cosmo, grid, model.mass.growth,
+                                     theta_key, rows, geometry)
+            out["w_theta"] = outs[0][0]
             if include_lensing:
-                _, _, a2 = limber_fft.wtheta_lattice_operator(
-                    tk, grid, 2.0)
-                out["gamma_t"] = df_contract(conv[1], a2)
+                out["gamma_t"] = outs[1][0]
             if include_shear:
-                _, _, a4 = limber_fft.wtheta_lattice_operator(
-                    tk, grid, 4.0)
-                out["xi_plus"] = w_xi[1]
-                out["xi_minus"] = df_contract(conv[-1], a4)
+                out["xi_plus"], out["xi_minus"] = outs[-1]
             return out
         out["w_theta"] = w_from_p(cosmo, model, win_g, win_g, p_all,
                                   power_spec, 0.0)
@@ -293,6 +272,58 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
 
     fn.validate = _validate
     return fn
+
+
+def _fused_probe_rows(cosmo, grid, piv, theta_key, rows, geometry):
+    """ONE grouped lattice convolution for many probe rows, then one
+    fused contraction PER DISTINCT OPERATOR over all rows requesting it
+    — the dispatched-op count stays O(#operators), not O(#probes)
+    (the axon remote-TPU wall-clock scales with op count, CLAUDE.md).
+
+    ``rows``: list of (win_a, win_b, p_row, [(mu, stat), ...]) — e.g. a
+    shear row requests both the J0/ξ+ and J4/ξ- transforms of ONE conv.
+    Flat: wtheta_lattice_operator(mu).  Curved: curved_lattice_operator
+    (exact multipole sums; ``stat`` selects the d^ℓ_{2,±2} codes).
+    Operator conv j-windows are unioned and sliced per operator.
+    Returns, per row, the list of (nb,) outputs matching its specs."""
+    from chomp_tpu import limber_fft
+    from chomp_tpu.ops.df32 import df_contract
+
+    tk = tuple(np.asarray(theta_key, dtype=float).tolist())
+    ops = {}
+    for _wa, _wb, _p, specs in rows:
+        for spec in specs:
+            if spec not in ops:
+                mu, stat = spec
+                if geometry == "curved":
+                    from chomp_tpu.curved import curved_lattice_operator
+
+                    ops[spec] = curved_lattice_operator(tk, grid, mu,
+                                                        stat=stat)
+                else:
+                    ops[spec] = limber_fft.wtheta_lattice_operator(
+                        tk, grid, mu)
+    j_lo = min(o[0] for o in ops.values())
+    j_hi = max(o[1] for o in ops.values())
+    g_rows = jnp.stack([limber_fft._lattice_g(cosmo, wa, wb, grid, piv)
+                        for wa, wb, _p, _s in rows])
+    p_rows = jnp.stack([p for _wa, _wb, p, _s in rows])
+    conv = limber_fft._conv_direct_rows(p_rows, g_rows, j_lo, j_hi)
+    by_op = {}
+    for r, row in enumerate(rows):
+        for spec in row[3]:
+            by_op.setdefault(spec, []).append(r)
+    res = {}
+    for spec, rlist in by_op.items():
+        lo, hi, a = ops[spec]
+        contiguous = rlist == list(range(rlist[0], rlist[-1] + 1))
+        sub = (conv[rlist[0]:rlist[-1] + 1] if contiguous
+               else jnp.stack([conv[r] for r in rlist]))
+        vals = df_contract(sub[:, lo - j_lo:hi - j_lo], a)
+        for i, r in enumerate(rlist):
+            res[(r, spec)] = vals[i]
+    return [[res[(r, spec)] for spec in row[3]]
+            for r, row in enumerate(rows)]
 
 
 def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
@@ -413,49 +444,29 @@ def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
                 growth_pivot=piv)
 
         pairs_xi = [(j, k) for j in range(n_src) for k in range(j, n_src)]
-        if geometry == "flat" and not exact_z_anchors:
-            # Batched TPU fast path: every probe row shares the theta
-            # grid and the conv j-window (the interpolation stencil is
-            # mu-independent), so ALL lattice convolutions fuse into
-            # ONE grouped conv and the J0/J2/J4 transforms into three
-            # fused contractions — the dispatched-op count stays O(1)
-            # in the number of bins (axon wall-clock scales with op
-            # count, CLAUDE.md).  The xi rows' convs are shared between
-            # J0 (xi_+) and J4 (xi_-).
-            from chomp_tpu.ops.df32 import df_contract
-
-            tk = tuple(np.asarray(theta_key, dtype=float).tolist())
-            j_lo, j_hi, a0 = limber_fft.wtheta_lattice_operator(
-                tk, grid, 0.0)
-            jl2, jh2, a2 = limber_fft.wtheta_lattice_operator(
-                tk, grid, 2.0)
-            jl4, jh4, a4 = limber_fft.wtheta_lattice_operator(
-                tk, grid, 4.0)
-            assert (jl2, jh2) == (j_lo, j_hi) == (jl4, jh4)
-
-            def glat(wa, wb):
-                return limber_fft._lattice_g(cosmo, wa, wb, grid, piv)
-
-            g_rows = ([glat(w, w) for w in wins_g]
-                      + [glat(wk, wg) for wg in wins_g for wk in wins_k]
-                      + [glat(wins_k[j], wins_k[k]) for j, k in pairs_xi])
-            p_rows = ([src_gg[i][0][src_gg[i][1]] for i in range(len(wins_g))]
-                      + [src_gm[i][0][src_gm[i][1]]
-                         for i in range(len(wins_g)) for _ in wins_k]
-                      + [src_mm[0][src_mm[1]] for _ in pairs_xi])
-            conv = limber_fft._conv_direct_rows(
-                jnp.stack(p_rows), jnp.stack(g_rows), j_lo, j_hi)
+        stat_p = "xip" if geometry == "curved" else None
+        stat_m = "xim" if geometry == "curved" else None
+        if not exact_z_anchors:
+            # Batched TPU fast path (flat AND curved): ALL probe rows
+            # fuse into ONE grouped conv + one contraction per distinct
+            # operator (_fused_probe_rows); the xi rows' convs are
+            # shared between xi_+ and xi_-.
+            rows = ([(w, w, src_gg[i][0][src_gg[i][1]], [(0.0, None)])
+                     for i, w in enumerate(wins_g)]
+                    + [(wk, wg, src_gm[i][0][src_gm[i][1]],
+                        [(2.0, None)])
+                       for i, wg in enumerate(wins_g) for wk in wins_k]
+                    + [(wins_k[j], wins_k[k], src_mm[0][src_mm[1]],
+                        [(0.0, stat_p), (4.0, stat_m)])
+                       for j, k in pairs_xi])
+            outs = _fused_probe_rows(cosmo, grid, piv, theta_key, rows,
+                                     geometry)
             n_l, n_gt = len(wins_g), len(wins_g) * n_src
-            w_theta = df_contract(conv[:n_l], a0)
-            gamma_t = df_contract(conv[n_l:n_l + n_gt], a2)
-            conv_xi = conv[n_l + n_gt:]
-            xip = df_contract(conv_xi, a0)
-            xim = df_contract(conv_xi, a4)
-            w_rows, gt_rows = list(w_theta), list(gamma_t)
-            xip_rows, xim_rows = list(xip), list(xim)
+            w_rows = [o[0] for o in outs[:n_l]]
+            gt_rows = [o[0] for o in outs[n_l:n_l + n_gt]]
+            xip_rows = [o[0] for o in outs[n_l + n_gt:]]
+            xim_rows = [o[1] for o in outs[n_l + n_gt:]]
         else:
-            stat_p = "xip" if geometry == "curved" else None
-            stat_m = "xim" if geometry == "curved" else None
             w_rows = [w_of(src_gg[i], w, w, 0.0)
                       for i, w in enumerate(wins_g)]
             gt_rows = [w_of(src_gm[i], wk, wg, 2.0)

@@ -486,6 +486,55 @@ def test_per_bin_hods(fiducial, setup):
     np.testing.assert_allclose(got, want, rtol=1e-12)
 
 
+def test_fused_rows_equal_per_row(fiducial, setup):
+    """_fused_probe_rows (one grouped conv + per-operator fused
+    contractions) == the per-row limber_wtheta_fft /
+    curved_wtheta_fft calls at float roundoff, flat and curved —
+    pins the batched pipelines to the referee-anchored per-row
+    routes."""
+    from chomp_tpu import halo as halo_mod
+    from chomp_tpu import limber_fft, projection
+    from chomp_tpu.curved import curved_wtheta_fft
+    from chomp_tpu.hod import default_hod
+    from chomp_tpu.parallel.sweep import _fused_probe_rows
+
+    h, _m, lens, src, _g = setup
+    tiny = GridSpec(n_k=64, n_mass=64, n_ell=256, n_theta=6,
+                    lattice_dln=0.08)
+    theta = np.asarray([0.1, 0.3, 1.0, 3.0])
+    model = halo_mod.build_halo_model(fiducial, h, default_hod(), 0.6,
+                                      False, tiny)
+    p_all = limber_fft.p_lattice_halo_all(fiducial, h, model, False,
+                                          tiny)
+    piv = model.mass.growth
+    wg = projection.WindowGalaxy(dist=lens[0])
+    wk = projection.WindowConvergence(dist=src[1])
+    rows = [(wg, wg, p_all["power_gg"], [(0.0, None)]),
+            (wk, wg, p_all["power_gm"], [(2.0, None)]),
+            (wk, wk, p_all["power_mm"], [(0.0, None), (4.0, None)])]
+    outs = _fused_probe_rows(fiducial, tiny, piv, theta, rows, "flat")
+    for (wa, wb, p, specs), got_list in zip(rows, outs):
+        for (mu, _stat), got in zip(specs, got_list):
+            want = limber_fft.limber_wtheta_fft(
+                fiducial, wa, wb, theta, p, tiny, mu=mu,
+                growth_pivot=piv)
+            np.testing.assert_allclose(np.asarray(got),
+                                       np.asarray(want), rtol=1e-12)
+
+    rows_c = [(wg, wg, p_all["power_gg"], [(0.0, None)]),
+              (wk, wg, p_all["power_gm"], [(2.0, None)]),
+              (wk, wk, p_all["power_mm"],
+               [(0.0, "xip"), (4.0, "xim")])]
+    outs_c = _fused_probe_rows(fiducial, tiny, piv, theta, rows_c,
+                               "curved")
+    for (wa, wb, p, specs), got_list in zip(rows_c, outs_c):
+        for (mu, stat), got in zip(specs, got_list):
+            want = curved_wtheta_fft(fiducial, wa, wb, theta, p, tiny,
+                                     mu=mu, growth_pivot=piv, stat=stat)
+            np.testing.assert_allclose(np.asarray(got),
+                                       np.asarray(want), rtol=1e-12)
+
+
 def test_tomographic_exact_z(fiducial, setup):
     """exact_z_anchors: nL=nS=1 equality with the exact-z
     make_pipeline (shared Chebyshev anchors), finite 2x2 vector, and
