@@ -207,8 +207,16 @@ def _window_on_lattice(cosmo, win, z, chi, grid, z_mid=None):
     gather-free (validated against the generic GL window to ~1e-7).
     ``z_mid``: z at the lattice midpoints (caller provides, Newton-
     inverted like ``z`` itself)."""
-    from chomp_tpu.projection import WindowConvergence, dndz
+    from chomp_tpu.projection import (WindowConvergence,
+                                      WindowConvergenceIA, dndz)
 
+    if isinstance(win, WindowConvergenceIA):
+        # Lensing part on the cumulative fast path + the local NLA
+        # term evaluated directly at the nodes (it is window-like, no
+        # efficiency integral).
+        kappa = _window_on_lattice(cosmo, WindowConvergence(dist=win.dist),
+                                   z, chi, grid, z_mid)
+        return kappa + win.ia_term_z(cosmo, z, grid)
     if isinstance(win, WindowConvergence):
         if z_mid is None:
             raise ValueError("lattice lensing window needs z at midpoints")

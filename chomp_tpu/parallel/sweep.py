@@ -29,6 +29,36 @@ import numpy as np
 
 from chomp_tpu import correlation, projection
 from chomp_tpu.params import DEFAULT_GRID, CosmoParams, GridSpec
+from chomp_tpu.utils.tree import pytree_dataclass
+
+
+@pytree_dataclass
+class Nuisance3x2pt:
+    """The standard tomographic 3x2pt nuisance set (capability
+    extension beyond chomp): per-lens-bin and per-source-bin photo-z
+    shifts Δz (projection.DNdzShifted), per-source-bin multiplicative
+    shear calibration m (γ̂ = (1+m) γ: gt rows × (1+m_j), ξ± rows ×
+    (1+m_j)(1+m_k)), and NLA intrinsic alignments (A_ia, η_ia, pivot
+    z0_ia; projection.WindowConvergenceIA).  A pure pytree — vmap a
+    batch of nuisance vectors, differentiate, or HMC-sample them
+    through the whole pipeline."""
+
+    dz_lens: jnp.ndarray     # (n_lens,)
+    dz_src: jnp.ndarray      # (n_src,)
+    m: jnp.ndarray           # (n_src,)
+    a_ia: jnp.ndarray        # ()
+    eta_ia: jnp.ndarray      # ()
+    z0_ia: jnp.ndarray       # ()
+
+
+def default_nuisance(n_lens: int, n_src: int) -> Nuisance3x2pt:
+    """All-zero nuisance vector (identity calibration, no IA) —
+    make_tomographic_pipeline(with_nuisance=True) reduces exactly to
+    the plain pipeline at this point (tested)."""
+    return Nuisance3x2pt(
+        dz_lens=jnp.zeros(n_lens), dz_src=jnp.zeros(n_src),
+        m=jnp.zeros(n_src), a_ia=jnp.zeros(()), eta_ia=jnp.zeros(()),
+        z0_ia=jnp.asarray(0.62))
 
 
 def broadcast_cosmo(base: CosmoParams, **param_arrays) -> CosmoParams:
@@ -331,12 +361,21 @@ def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
                               with_bao: bool = False,
                               grid: GridSpec = DEFAULT_GRID,
                               geometry: str = "flat",
-                              exact_z_anchors: int | None = None):
+                              exact_z_anchors: int | None = None,
+                              with_nuisance: bool = False):
     """Tomographic 3x2pt prediction: fn(cosmo) -> dict with
     w_theta (n_lens, nb), gamma_t (n_lens*n_src, nb),
     xi_plus/xi_minus (n_src (n_src+1)/2, nb), and "vector" — the
     stacked 1-D data vector in covariance.tomographic_probes order
     (matching tomographic_3x2pt_covariance row order).
+
+    ``with_nuisance=True``: fn(cosmo, nuisance) with a Nuisance3x2pt
+    pytree — per-bin photo-z shifts (DNdzShifted), per-source-bin
+    multiplicative shear calibration, and NLA intrinsic alignments
+    (WindowConvergenceIA).  default_nuisance(...) reduces exactly to
+    the plain pipeline; every nuisance is traced (grad/vmap/HMC-able).
+    Not combinable with exact_z_anchors (the anchor window is sized at
+    build time from concrete z_max, incompatible with traced Δz).
 
     ONE halo evaluation per cosmology feeds every bin pair (the
     y-matrices dominate; the per-pair cost is one lattice convolution
@@ -366,12 +405,18 @@ def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
     if geometry not in ("flat", "curved"):
         raise ValueError(f"geometry must be 'flat' or 'curved', got "
                          f"{geometry!r}")
+    if with_nuisance and exact_z_anchors:
+        raise NotImplementedError(
+            "with_nuisance shifts dN/dz with traced dz; the exact-z "
+            "anchor window needs concrete z_max — use the separable "
+            "route (or apply DNdzShifted with concrete dz yourself)")
     if theta_deg is None:
         theta_deg = correlation.theta_bins_deg(grid)
     theta_key = np.asarray(theta_deg)
-    wins_g = [projection.WindowGalaxy(dist=d) for d in lens_dists]
-    wins_k = [projection.WindowConvergence(dist=d) for d in src_dists]
-    n_src = len(wins_k)
+    base_wins_g = [projection.WindowGalaxy(dist=d) for d in lens_dists]
+    base_wins_k = [projection.WindowConvergence(dist=d)
+                   for d in src_dists]
+    n_src = len(base_wins_k)
     hods = (list(hod) if isinstance(hod, (list, tuple)) else None)
     if hods is not None and len(hods) != len(lens_dists):
         raise ValueError(f"per-bin HODs: got {len(hods)} HODs for "
@@ -383,7 +428,21 @@ def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
         for d in (*lens_dists, *src_dists):
             _warn_if_separable_bias(d, z_pivot)
 
-    def fn(cosmo: CosmoParams):
+    def fn(cosmo: CosmoParams, nuisance: Nuisance3x2pt | None = None):
+        if with_nuisance:
+            if nuisance is None:
+                raise ValueError("with_nuisance=True: call "
+                                 "fn(cosmo, nuisance)")
+            nu = nuisance
+            wins_g = [projection.WindowGalaxy(dist=projection.DNdzShifted(
+                base=d, dz=nu.dz_lens[i]))
+                for i, d in enumerate(lens_dists)]
+            wins_k = [projection.WindowConvergenceIA(
+                dist=projection.DNdzShifted(base=d, dz=nu.dz_src[j]),
+                a_ia=nu.a_ia, eta_ia=nu.eta_ia, z0_ia=nu.z0_ia)
+                for j, d in enumerate(src_dists)]
+        else:
+            wins_g, wins_k = base_wins_g, base_wins_k
         if hods is not None:
             models = halo_mod.build_halo_models(cosmo, halo_params,
                                                 hods, z_pivot, with_bao,
@@ -475,6 +534,16 @@ def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
                         for j, k in pairs_xi]
             xim_rows = [w_of(src_mm, wins_k[j], wins_k[k], 4.0, stat_m)
                         for j, k in pairs_xi]
+        if with_nuisance:
+            # Multiplicative shear calibration: gamma_hat = (1+m) gamma.
+            cal = 1.0 + nuisance.m
+            gt_rows = [gt_rows[i * n_src + j] * cal[j]
+                       for i in range(len(wins_g))
+                       for j in range(n_src)]
+            xip_rows = [row * (cal[j] * cal[k])
+                        for (j, k), row in zip(pairs_xi, xip_rows)]
+            xim_rows = [row * (cal[j] * cal[k])
+                        for (j, k), row in zip(pairs_xi, xim_rows)]
         out = {
             "theta_deg": jnp.asarray(theta_key),
             "w_theta": jnp.stack(w_rows),

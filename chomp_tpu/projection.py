@@ -82,6 +82,31 @@ class DNdzInterpolation:
         return jnp.interp(z, self.z_array, self.n_array, left=0.0, right=0.0)
 
 
+@pytree_dataclass
+class DNdzShifted:
+    """Additive photo-z shift nuisance: p(z) = p_base(z - dz) on the
+    shifted support [z_min+dz, z_max+dz] — the standard Δz
+    marginalization parametrization (capability extension beyond
+    chomp, whose dN/dz classes are fixed at construction).  ``dz`` may
+    be a traced scalar: shift, differentiate, and sample through the
+    whole pipeline.  Exact-z anchor mode needs a CONCRETE z_max, so
+    use concrete dz there (or size the anchors from the base)."""
+
+    base: object
+    dz: jnp.ndarray
+
+    @property
+    def z_min(self):
+        return self.base.z_min + self.dz
+
+    @property
+    def z_max(self):
+        return self.base.z_max + self.dz
+
+    def raw_dndz(self, z):
+        return self.base.raw_dndz(jnp.asarray(z) - self.dz)
+
+
 def dndz_norm(dist, grid: GridSpec = DEFAULT_GRID):
     """∫ raw_dndz dz over [z_min, z_max] (chomp ``dNdz.normalize``)."""
     return gl_integrate(dist.raw_dndz, dist.z_min, dist.z_max, grid.n_z_dndz)
@@ -138,6 +163,49 @@ class WindowConvergence:
         integral = gl_integrate(efficiency, z, self.dist.z_max, grid.n_z_lens)
         pref = 1.5 * cosmo.omega_m0 / C_OVER_H0**2
         return pref * (1.0 + z) * chi * integral
+
+
+#: C1 * rho_crit for the NLA intrinsic-alignment amplitude (the
+#: conventional normalization C1 = 5e-14 h^-2 M_sun^-1 Mpc^3 times
+#: rho_crit — Hirata & Seljak 2004 / Bridle & King 2007).
+C1_RHOCRIT = 0.0134
+
+
+@pytree_dataclass
+class WindowConvergenceIA:
+    """Lensing efficiency PLUS the NLA intrinsic-alignment term — the
+    effective E-field window
+
+        W_E(χ) = W_κ(χ) + W_IA(χ),
+        W_IA(χ) = -A_ia C1ρ_c Ω_m / D(z) ((1+z)/(1+z0))^η p(z) dz/dχ
+
+    (nonlinear-linear alignment model: the IA contribution rides the
+    same matter field, so GI and II terms arise automatically from the
+    window products in every Limber integral — gt picks up W_g W_IA,
+    ξ± pick up 2 W_κ W_IA + W_IA².  Capability extension beyond chomp.)
+    All nuisance fields may be traced — differentiate/sample A_ia, η
+    through the pipeline.  Conventional pivot z0 = 0.62."""
+
+    dist: object
+    a_ia: jnp.ndarray
+    eta_ia: jnp.ndarray
+    z0_ia: jnp.ndarray
+
+    def support(self):
+        return jnp.zeros_like(self.dist.z_min), self.dist.z_max
+
+    def ia_term_z(self, cosmo: CosmoParams, z,
+                  grid: GridSpec = DEFAULT_GRID):
+        d = background.growth_factor(cosmo, z, grid.n_growth)
+        amp = (-self.a_ia * C1_RHOCRIT * cosmo.omega_m0 / d
+               * ((1.0 + z) / (1.0 + self.z0_ia)) ** self.eta_ia)
+        return amp * dndz(self.dist, z, grid) \
+            * background.ez(cosmo, z) / C_OVER_H0
+
+    def window_z(self, cosmo: CosmoParams, z,
+                 grid: GridSpec = DEFAULT_GRID):
+        base = WindowConvergence(dist=self.dist).window_z(cosmo, z, grid)
+        return base + self.ia_term_z(cosmo, z, grid)
 
 
 def window_chi(cosmo: CosmoParams, win, chi_query, z_max=5.0,

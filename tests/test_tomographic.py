@@ -6,6 +6,8 @@ tomographic blocks, structure (symmetry/PSD), and prediction/vector
 ordering consistency.
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -484,6 +486,97 @@ def test_per_bin_hods(fiducial, setup):
         fiducial, WindowGalaxy(dist=lens[0]), WindowGalaxy(dist=lens[1]),
         ells, p_cross, g, growth_pivot=models[0].mass.growth))
     np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_nuisance_pipeline(fiducial, setup):
+    """with_nuisance: zero nuisance reduces exactly to the plain
+    pipeline; shear m scales gt/xi rows exactly; DNdzShifted equals a
+    hand-shifted distribution to roundoff; IA moves source-window rows
+    only; the NLA window matches its closed formula; grads flow."""
+    from chomp_tpu import background, projection
+    from chomp_tpu.hod import default_hod
+    from chomp_tpu.parallel.sweep import (Nuisance3x2pt, default_nuisance,
+                                          make_tomographic_pipeline)
+
+    h, _m, lens, src, _g = setup
+    tiny = GridSpec(n_k=64, n_mass=64, n_ell=256, n_theta=6,
+                    lattice_dln=0.08)
+    hod = default_hod()
+    fn0 = make_tomographic_pipeline(h, hod, lens, src, grid=tiny,
+                                    z_pivot=0.6)
+    fn = make_tomographic_pipeline(h, hod, lens, src, grid=tiny,
+                                   z_pivot=0.6, with_nuisance=True)
+    nu0 = default_nuisance(2, 2)
+    a, b = fn(fiducial, nu0), fn0(fiducial)
+    np.testing.assert_allclose(np.asarray(a["vector"]),
+                               np.asarray(b["vector"]), rtol=1e-13)
+
+    # Multiplicative shear calibration: exact row scalings.
+    m = jnp.asarray([0.02, -0.03])
+    am = fn(fiducial, dataclasses.replace(nu0, m=m))
+    np.testing.assert_allclose(np.asarray(am["w_theta"]),
+                               np.asarray(b["w_theta"]), rtol=1e-13)
+    cal = np.asarray(1.0 + m)
+    gt0 = np.asarray(b["gamma_t"]).reshape(2, 2, -1)
+    gtm = np.asarray(am["gamma_t"]).reshape(2, 2, -1)
+    np.testing.assert_allclose(gtm, gt0 * cal[None, :, None], rtol=1e-13)
+    pairs = [(0, 0), (0, 1), (1, 1)]
+    for r, (j, k) in enumerate(pairs):
+        np.testing.assert_allclose(
+            np.asarray(am["xi_plus"][r]),
+            np.asarray(b["xi_plus"][r]) * cal[j] * cal[k], rtol=1e-13)
+
+    # Photo-z shift == a hand-shifted distribution (same support
+    # translation), to roundoff.
+    dz = 0.04
+    adz = fn(fiducial, dataclasses.replace(
+        nu0, dz_lens=jnp.asarray([dz, 0.0])))
+    lens_shift = projection.DNdzGaussian(
+        z_min=lens[0].z_min + dz, z_max=lens[0].z_max + dz,
+        z0=lens[0].z0 + dz, sigma_z=lens[0].sigma_z)
+    fn_ref = make_tomographic_pipeline(h, hod, [lens_shift, lens[1]],
+                                       src, grid=tiny, z_pivot=0.6)
+    ref = fn_ref(fiducial)
+    np.testing.assert_allclose(np.asarray(adz["w_theta"]),
+                               np.asarray(ref["w_theta"]), rtol=1e-11)
+    np.testing.assert_allclose(np.asarray(adz["gamma_t"]),
+                               np.asarray(ref["gamma_t"]), rtol=1e-11)
+
+    # IA enters SOURCE windows only: w rows untouched, gt/xi moved.
+    aia = fn(fiducial, dataclasses.replace(nu0, a_ia=jnp.asarray(1.0)))
+    np.testing.assert_allclose(np.asarray(aia["w_theta"]),
+                               np.asarray(b["w_theta"]), rtol=1e-13)
+    assert not np.allclose(np.asarray(aia["gamma_t"]),
+                           np.asarray(b["gamma_t"]), rtol=1e-4)
+    assert not np.allclose(np.asarray(aia["xi_plus"]),
+                           np.asarray(b["xi_plus"]), rtol=1e-4)
+
+    # NLA window closed-formula referee.
+    win = projection.WindowConvergenceIA(
+        dist=src[0], a_ia=jnp.asarray(0.7), eta_ia=jnp.asarray(1.5),
+        z0_ia=jnp.asarray(0.62))
+    z = jnp.asarray([0.3, 0.8, 1.3])
+    got = np.asarray(win.window_z(fiducial, z, tiny)
+                     - projection.WindowConvergence(dist=src[0])
+                     .window_z(fiducial, z, tiny))
+    d = np.asarray(background.growth_factor(fiducial, z, tiny.n_growth))
+    want = (-0.7 * projection.C1_RHOCRIT * fiducial.omega_m0 / d
+            * ((1 + np.asarray(z)) / 1.62) ** 1.5
+            * np.asarray(projection.dndz(src[0], z, tiny))
+            * np.asarray(background.ez(fiducial, z))
+            / np.asarray(projection.C_OVER_H0))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    # Gradients flow through every nuisance.
+    def loss(nu):
+        return jnp.sum(fn(fiducial, nu)["vector"] ** 2)
+
+    g = jax.grad(loss)(dataclasses.replace(
+        nu0, a_ia=jnp.asarray(0.5), m=jnp.asarray([0.01, 0.01])))
+    assert np.isfinite(float(g.a_ia)) and abs(float(g.a_ia)) > 0
+    assert np.all(np.isfinite(np.asarray(g.dz_src)))
+    assert np.all(np.abs(np.asarray(g.m)) > 0)
+    assert np.all(np.abs(np.asarray(g.dz_lens)) > 0)
 
 
 def test_fused_rows_equal_per_row(fiducial, setup):
