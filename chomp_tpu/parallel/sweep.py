@@ -49,16 +49,18 @@ class Nuisance3x2pt:
     a_ia: jnp.ndarray        # ()
     eta_ia: jnp.ndarray      # ()
     z0_ia: jnp.ndarray       # ()
+    alpha_lens: jnp.ndarray  # (n_lens,) magnification slopes (1 = off)
 
 
 def default_nuisance(n_lens: int, n_src: int) -> Nuisance3x2pt:
-    """All-zero nuisance vector (identity calibration, no IA) —
+    """All-zero nuisance vector (identity calibration, no IA,
+    magnification slope alpha = 1 so 2(alpha-1) = 0) —
     make_tomographic_pipeline(with_nuisance=True) reduces exactly to
     the plain pipeline at this point (tested)."""
     return Nuisance3x2pt(
         dz_lens=jnp.zeros(n_lens), dz_src=jnp.zeros(n_src),
         m=jnp.zeros(n_src), a_ia=jnp.zeros(()), eta_ia=jnp.zeros(()),
-        z0_ia=jnp.asarray(0.62))
+        z0_ia=jnp.asarray(0.62), alpha_lens=jnp.ones(n_lens))
 
 
 def broadcast_cosmo(base: CosmoParams, **param_arrays) -> CosmoParams:
@@ -362,7 +364,8 @@ def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
                               grid: GridSpec = DEFAULT_GRID,
                               geometry: str = "flat",
                               exact_z_anchors: int | None = None,
-                              with_nuisance: bool = False):
+                              with_nuisance: bool = False,
+                              include_magnification: bool = False):
     """Tomographic 3x2pt prediction: fn(cosmo) -> dict with
     w_theta (n_lens, nb), gamma_t (n_lens*n_src, nb),
     xi_plus/xi_minus (n_src (n_src+1)/2, nb), and "vector" — the
@@ -376,6 +379,15 @@ def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
     the plain pipeline; every nuisance is traced (grad/vmap/HMC-able).
     Not combinable with exact_z_anchors (the anchor window is sized at
     build time from concrete z_max, incompatible with traced Δz).
+
+    ``include_magnification=True`` (requires with_nuisance) adds lens
+    magnification bias with traced per-bin slopes α_i: the observed
+    lens overdensity δ_obs = δ_g + 2(α_i-1) κ_i, so w_i gains
+    2c w_{gκ_i}(P_gm) + c² w_{κ_iκ_i}(P_mm) and γt_{ij} gains
+    c ⟨κ_i E_j⟩(P_mm), c = 2(α_i-1) — each term with its own spectrum
+    (NOT a window substitution; the halo-model P_gg/P_gm/P_mm differ).
+    α_i = 1 switches it off exactly.  The extra rows ride the same
+    single grouped convolution.
 
     ONE halo evaluation per cosmology feeds every bin pair (the
     y-matrices dominate; the per-pair cost is one lattice convolution
@@ -410,6 +422,10 @@ def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
             "with_nuisance shifts dN/dz with traced dz; the exact-z "
             "anchor window needs concrete z_max — use the separable "
             "route (or apply DNdzShifted with concrete dz yourself)")
+    if include_magnification and not with_nuisance:
+        raise ValueError("include_magnification needs with_nuisance="
+                         "True (the slopes live in Nuisance3x2pt."
+                         "alpha_lens)")
     if theta_deg is None:
         theta_deg = correlation.theta_bins_deg(grid)
     theta_key = np.asarray(theta_deg)
@@ -434,15 +450,19 @@ def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
                 raise ValueError("with_nuisance=True: call "
                                  "fn(cosmo, nuisance)")
             nu = nuisance
-            wins_g = [projection.WindowGalaxy(dist=projection.DNdzShifted(
-                base=d, dz=nu.dz_lens[i]))
-                for i, d in enumerate(lens_dists)]
+            lens_cur = [projection.DNdzShifted(base=d, dz=nu.dz_lens[i])
+                        for i, d in enumerate(lens_dists)]
+            wins_g = [projection.WindowGalaxy(dist=d) for d in lens_cur]
             wins_k = [projection.WindowConvergenceIA(
                 dist=projection.DNdzShifted(base=d, dz=nu.dz_src[j]),
                 a_ia=nu.a_ia, eta_ia=nu.eta_ia, z0_ia=nu.z0_ia)
                 for j, d in enumerate(src_dists)]
+            wk_lens = ([projection.WindowConvergence(dist=d)
+                        for d in lens_cur] if include_magnification
+                       else None)
         else:
             wins_g, wins_k = base_wins_g, base_wins_k
+            wk_lens = None
         if hods is not None:
             models = halo_mod.build_halo_models(cosmo, halo_params,
                                                 hods, z_pivot, with_bao,
@@ -510,21 +530,45 @@ def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
             # fuse into ONE grouped conv + one contraction per distinct
             # operator (_fused_probe_rows); the xi rows' convs are
             # shared between xi_+ and xi_-.
-            rows = ([(w, w, src_gg[i][0][src_gg[i][1]], [(0.0, None)])
+            n_l, n_gt = len(wins_g), len(wins_g) * n_src
+            p_gg = [src_gg[i][0][src_gg[i][1]] for i in range(n_l)]
+            p_gm = [src_gm[i][0][src_gm[i][1]] for i in range(n_l)]
+            p_mm = src_mm[0][src_mm[1]]
+            rows = ([(w, w, p_gg[i], [(0.0, None)])
                      for i, w in enumerate(wins_g)]
-                    + [(wk, wg, src_gm[i][0][src_gm[i][1]],
-                        [(2.0, None)])
+                    + [(wk, wg, p_gm[i], [(2.0, None)])
                        for i, wg in enumerate(wins_g) for wk in wins_k]
-                    + [(wins_k[j], wins_k[k], src_mm[0][src_mm[1]],
+                    + [(wins_k[j], wins_k[k], p_mm,
                         [(0.0, stat_p), (4.0, stat_m)])
                        for j, k in pairs_xi])
+            if wk_lens is not None:
+                # Magnification rows: delta_obs = delta_g + c kappa,
+                # c_i = 2(alpha_i - 1) — each term couples its OWN
+                # spectrum (gm cross, mm auto); same grouped conv.
+                rows += [r for i in range(n_l) for r in
+                         ((wins_g[i], wk_lens[i], p_gm[i], [(0.0, None)]),
+                          (wk_lens[i], wk_lens[i], p_mm, [(0.0, None)]))]
+                rows += [(wk, wk_lens[i], p_mm, [(2.0, None)])
+                         for i in range(n_l) for wk in wins_k]
             outs = _fused_probe_rows(cosmo, grid, piv, theta_key, rows,
                                      geometry)
-            n_l, n_gt = len(wins_g), len(wins_g) * n_src
             w_rows = [o[0] for o in outs[:n_l]]
             gt_rows = [o[0] for o in outs[n_l:n_l + n_gt]]
-            xip_rows = [o[0] for o in outs[n_l + n_gt:]]
-            xim_rows = [o[1] for o in outs[n_l + n_gt:]]
+            xip_rows = [o[0] for o in outs[n_l + n_gt:n_l + n_gt
+                                           + len(pairs_xi)]]
+            xim_rows = [o[1] for o in outs[n_l + n_gt:n_l + n_gt
+                                           + len(pairs_xi)]]
+            if wk_lens is not None:
+                c = 2.0 * (nuisance.alpha_lens - 1.0)
+                b0 = n_l + n_gt + len(pairs_xi)
+                w_rows = [w_rows[i]
+                          + 2.0 * c[i] * outs[b0 + 2 * i][0]
+                          + c[i] ** 2 * outs[b0 + 2 * i + 1][0]
+                          for i in range(n_l)]
+                b1 = b0 + 2 * n_l
+                gt_rows = [gt_rows[i * n_src + j]
+                           + c[i] * outs[b1 + i * n_src + j][0]
+                           for i in range(n_l) for j in range(n_src)]
         else:
             w_rows = [w_of(src_gg[i], w, w, 0.0)
                       for i, w in enumerate(wins_g)]

@@ -579,6 +579,72 @@ def test_nuisance_pipeline(fiducial, setup):
     assert np.all(np.abs(np.asarray(g.dz_lens)) > 0)
 
 
+def test_magnification_bias(fiducial, setup):
+    """include_magnification: alpha=1 reduces exactly to the plain
+    nuisance pipeline; for alpha != 1 the w/gt rows match the manual
+    three-term assembly w_gg + 2c w_gk + c^2 w_kk (each term its own
+    spectrum through limber_wtheta_fft); grads flow through alpha."""
+    from chomp_tpu import halo as halo_mod
+    from chomp_tpu import limber_fft, projection
+    from chomp_tpu.hod import default_hod
+    from chomp_tpu.parallel.sweep import (default_nuisance,
+                                          make_tomographic_pipeline)
+
+    h, _m, lens, src, _g = setup
+    tiny = GridSpec(n_k=64, n_mass=64, n_ell=256, n_theta=6,
+                    lattice_dln=0.08)
+    hod = default_hod()
+    fn = make_tomographic_pipeline(h, hod, lens, src, grid=tiny,
+                                   z_pivot=0.6, with_nuisance=True,
+                                   include_magnification=True)
+    fn_plain = make_tomographic_pipeline(h, hod, lens, src, grid=tiny,
+                                         z_pivot=0.6, with_nuisance=True)
+    nu0 = default_nuisance(2, 2)
+    np.testing.assert_allclose(
+        np.asarray(fn(fiducial, nu0)["vector"]),
+        np.asarray(fn_plain(fiducial, nu0)["vector"]), rtol=1e-13)
+
+    alpha = jnp.asarray([2.3, 0.6])
+    nu = dataclasses.replace(nu0, alpha_lens=alpha)
+    out = fn(fiducial, nu)
+    base = fn_plain(fiducial, nu0)
+    # xi rows carry no lens magnification.
+    np.testing.assert_allclose(np.asarray(out["xi_plus"]),
+                               np.asarray(base["xi_plus"]), rtol=1e-13)
+
+    model = halo_mod.build_halo_model(fiducial, h, hod, 0.6, False,
+                                      tiny)
+    p_all = limber_fft.p_lattice_halo_all(fiducial, h, model, False,
+                                          tiny)
+    piv = model.mass.growth
+    theta = np.asarray(base["theta_deg"])
+    for i in range(2):
+        c = 2.0 * (float(alpha[i]) - 1.0)
+        wg = projection.WindowGalaxy(dist=lens[i])
+        wkl = projection.WindowConvergence(dist=lens[i])
+
+        def wt(wa, wb, kind, mu):
+            return np.asarray(limber_fft.limber_wtheta_fft(
+                fiducial, wa, wb, theta, p_all[kind], tiny, mu=mu,
+                growth_pivot=piv))
+
+        want_w = (wt(wg, wg, "power_gg", 0.0)
+                  + 2.0 * c * wt(wg, wkl, "power_gm", 0.0)
+                  + c * c * wt(wkl, wkl, "power_mm", 0.0))
+        np.testing.assert_allclose(np.asarray(out["w_theta"][i]),
+                                   want_w, rtol=1e-11)
+        for j in range(2):
+            wk = projection.WindowConvergence(dist=src[j])
+            want_gt = (wt(wk, wg, "power_gm", 2.0)
+                       + c * wt(wk, wkl, "power_mm", 2.0))
+            np.testing.assert_allclose(
+                np.asarray(out["gamma_t"][i * 2 + j]), want_gt,
+                rtol=1e-11)
+
+    g = jax.grad(lambda n: jnp.sum(fn(fiducial, n)["vector"] ** 2))(nu)
+    assert np.all(np.abs(np.asarray(g.alpha_lens)) > 0)
+
+
 def test_fused_rows_equal_per_row(fiducial, setup):
     """_fused_probe_rows (one grouped conv + per-operator fused
     contractions) == the per-row limber_wtheta_fft /
