@@ -9,7 +9,8 @@ chain (leapfrog + Metropolis inside one lax.scan): something the
 scipy-object reference cannot do at all (upstream:correlation.py
 computes one model at a time, no derivatives).
 
-Run: python examples/hmc_example.py        (CPU f64; ~4 min.  The same
+Run: python examples/hmc_example.py        (CPU f64; ~15 min
+for both chains.  The same
 sampler jit-compiles for the TPU — the pipeline is the bench.py fast
 path — where each chain step costs ~2 gradient evaluations at
 ~1 ms/cosmology-gradient.)
@@ -95,42 +96,51 @@ N_STEPS = 120
 N_LEAP = 5
 EPS = 0.6                           # in mass-preconditioned units
 
-grad_u = jax.grad(neg_log_post)
 
+def run_hmc(logp_neg, mass, q0, key, n_steps=N_STEPS, n_leap=N_LEAP,
+            eps=EPS):
+    """Fully jitted HMC chain (leapfrog + Metropolis in one lax.scan)
+    with a fixed mass-matrix preconditioner.  Dimension from q0; the
+    reverse-mode gradient costs the same at any parameter count."""
+    dim = q0.shape[0]
+    m_inv = jnp.linalg.inv(mass)
+    chol = jnp.linalg.cholesky(mass)
+    grad_u = jax.grad(logp_neg)
 
-def hmc_step(carry, key):
-    q, u_q = carry
-    k1, k2 = jax.random.split(key)
-    p = chol_mass @ jax.random.normal(k1, (2,))
+    def hmc_step(carry, key):
+        q, u_q = carry
+        k1, k2 = jax.random.split(key)
+        p = chol @ jax.random.normal(k1, (dim,))
 
-    def leap(i, qp):
-        q, p = qp
-        p = p - 0.5 * EPS * grad_u(q)
-        q = q + EPS * (mass_inv @ p)
-        p = p - 0.5 * EPS * grad_u(q)
-        return (q, p)
+        def leap(i, qp):
+            q, p = qp
+            p = p - 0.5 * eps * grad_u(q)
+            q = q + eps * (m_inv @ p)
+            p = p - 0.5 * eps * grad_u(q)
+            return (q, p)
 
-    q_new, p_new = jax.lax.fori_loop(0, N_LEAP, leap, (q, p))
-    u_new = neg_log_post(q_new)
-    dh = (u_new - u_q
-          + 0.5 * (p_new @ mass_inv @ p_new - p @ mass_inv @ p))
-    accept = jax.random.uniform(k2) < jnp.exp(-dh)
-    q = jnp.where(accept, q_new, q)
-    u_q = jnp.where(accept, u_new, u_q)
-    return (q, u_q), (q, accept)
+        q_new, p_new = jax.lax.fori_loop(0, n_leap, leap, (q, p))
+        u_new = logp_neg(q_new)
+        dh = (u_new - u_q
+              + 0.5 * (p_new @ m_inv @ p_new - p @ m_inv @ p))
+        accept = jax.random.uniform(k2) < jnp.exp(-dh)
+        q = jnp.where(accept, q_new, q)
+        u_q = jnp.where(accept, u_new, u_q)
+        return (q, u_q), (q, accept)
 
+    @jax.jit
+    def chain(key, q0):
+        keys = jax.random.split(key, n_steps)
+        (_, _), (qs, acc) = jax.lax.scan(hmc_step, (q0, logp_neg(q0)),
+                                         keys)
+        return qs, acc
 
-@jax.jit
-def run_chain(key, q0):
-    keys = jax.random.split(key, N_STEPS)
-    (_, _), (qs, acc) = jax.lax.scan(hmc_step, (q0, neg_log_post(q0)),
-                                     keys)
-    return qs, acc
+    qs, acc = chain(key, q0)
+    return np.asarray(qs), np.asarray(acc)
 
 
 q0 = jnp.array([0.275, 0.82])       # start ~1 sigma off-fiducial
-qs, acc = run_chain(jax.random.PRNGKey(0), q0)
-qs, acc = np.asarray(qs), np.asarray(acc)
+qs, acc = run_hmc(neg_log_post, mass, q0, jax.random.PRNGKey(0))
 burn = N_STEPS // 3
 post = qs[burn:]
 mean, sd = post.mean(axis=0), post.std(axis=0)
@@ -147,4 +157,58 @@ assert abs(mean[1] - cosmo0.sigma_8) < 5 * sd[1]
 # sampling noise of ~80 correlated draws (loose factor-3 band).
 assert np.all(sd / fisher_sd > 0.3) and np.all(sd / fisher_sd < 3.0), (
     sd, fisher_sd)
+
+# --- Part 2: sample cosmology AND systematics jointly ----------------
+# (Omega_m, sigma_8, A_ia, m): the nuisance layer is traced, so the
+# same reverse-mode gradient drives a joint cosmology+systematics
+# chain at unchanged per-step cost.  Gaussian prior m ~ N(0, 0.01).
+import dataclasses as _dc
+
+from chomp_tpu.parallel.sweep import (default_nuisance,
+                                      make_tomographic_pipeline)
+
+grid2 = GridSpec(n_k=64, n_mass=64, n_ell=256, lattice_dln=0.08)
+pipe_nu = make_tomographic_pipeline(h, hod, [dist], [dist_src],
+                                    theta_deg=theta_mid, z_pivot=0.6,
+                                    grid=grid2, with_nuisance=True)
+nu0 = default_nuisance(1, 1)
+
+
+def vec_nu(p):
+    om, s8, a_ia, m = p
+    c = dataclasses.replace(cosmo0, omega_m0=om, omega_l0=1.0 - om,
+                            sigma_8=s8)
+    nu = _dc.replace(nu0, a_ia=a_ia, m=m[None])
+    return pipe_nu(c, nu)["vector"][:2 * len(theta_mid)]   # w + gt
+
+
+data_nu = vec_nu(jnp.array([cosmo0.omega_m0, cosmo0.sigma_8, 0.4, 0.0]))
+
+
+def neg_log_post_nu(p):
+    r = vec_nu(p) - data_nu
+    prior = 0.5 * (p[3] / 0.01) ** 2 + 0.5 * (p[2] / 2.0) ** 2
+    lo = jnp.array([0.18, 0.55, -4.0, -0.2])
+    hi = jnp.array([0.45, 1.05, 4.0, 0.2])
+    barrier = jnp.sum(jnp.where((p < lo) | (p > hi), 1e6, 0.0))
+    return 0.5 * (r @ cov_inv @ r) + prior + barrier
+
+
+p0_nu = jnp.array([cosmo0.omega_m0, cosmo0.sigma_8, 0.4, 0.0])
+jac_nu = jax.jacfwd(vec_nu)(p0_nu)
+fisher_nu = jac_nu.T @ cov_inv @ jac_nu \
+    + jnp.diag(jnp.array([0.0, 0.0, 1 / 2.0**2, 1 / 0.01**2]))
+N2 = 60                             # short demo chain (1-core box)
+qs2, acc2 = run_hmc(neg_log_post_nu, fisher_nu,
+                    p0_nu + jnp.array([0.003, -0.005, 0.3, 0.005]),
+                    jax.random.PRNGKey(1), n_steps=N2, n_leap=3,
+                    eps=0.8)
+post2 = qs2[N2 // 3:]
+mean2, sd2 = post2.mean(axis=0), post2.std(axis=0)
+print(f"joint chain acceptance: {acc2.mean():.2f}")
+print(f"  A_ia = {mean2[2]:+.2f} +- {sd2[2]:.2f} (truth +0.40), "
+      f"m = {mean2[3]:+.4f} +- {sd2[3]:.4f} (prior 0.01)")
+assert acc2.mean() > 0.5
+assert abs(mean2[2] - 0.4) < 5 * max(sd2[2], 1e-3)
+assert sd2[3] < 0.02          # the m prior binds
 print("OK")
