@@ -725,3 +725,15 @@ def test_tomographic_exact_z(fiducial, setup):
                                np.asarray(b["gamma_t"]), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(a["xi_plus"][0]),
                                np.asarray(b["xi_plus"]), rtol=1e-12)
+
+    # Curved + exact-z: the remaining route combination.
+    fn1c = make_tomographic_pipeline(h, hod, src[1:], src[1:], grid=tiny,
+                                     exact_z_anchors=4,
+                                     geometry="curved")
+    refc = make_pipeline(h, hod, src[1], grid=tiny, exact_z_anchors=4,
+                         include_shear=True, geometry="curved")
+    ac, bc = fn1c(fiducial), refc(fiducial)
+    np.testing.assert_allclose(np.asarray(ac["w_theta"][0]),
+                               np.asarray(bc["w_theta"]), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(ac["xi_minus"][0]),
+                               np.asarray(bc["xi_minus"]), rtol=1e-12)
