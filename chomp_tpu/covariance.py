@@ -1249,7 +1249,8 @@ def joint_3x2pt_covariance(cosmo: CosmoParams, halo_p: HaloParams,
 
 def tomographic_lattice_cl_callables(cosmo, halo_p, model, lens_dists,
                                      src_dists, with_bao: bool = False,
-                                     grid: GridSpec = DEFAULT_GRID):
+                                     grid: GridSpec = DEFAULT_GRID,
+                                     nuisance=None):
     """All tomographic C_ℓ callables from ONE halo evaluation on the
     gather-free lattice: a dict keyed ("gg", i, j) (lens pairs, i ≤ j),
     ("gk", i, j) (lens i x source j), ("kk", j, k) (source pairs,
@@ -1259,12 +1260,34 @@ def tomographic_lattice_cl_callables(cosmo, halo_p, model, lens_dists,
     the single-sample tomography setup) or a LIST of per-lens-bin
     models sharing mass tables (halo.build_halo_models): then each bin
     pair gets its own spectra, with cross-bin clustering through
-    halo.power_gg_cross (independent-occupation cross 1-halo)."""
-    from chomp_tpu import limber_fft
-    from chomp_tpu.projection import WindowConvergence, WindowGalaxy
+    halo.power_gg_cross (independent-occupation cross 1-halo).
 
-    wins_g = [WindowGalaxy(dist=d) for d in lens_dists]
-    wins_k = [WindowConvergence(dist=d) for d in src_dists]
+    ``nuisance`` (a parallel.sweep.Nuisance3x2pt): evaluate the C_ℓs
+    at a FIDUCIAL systematics vector — photo-z-shifted windows, the
+    NLA IA term in every source window, and the multiplicative shear
+    calibration scaling the spectra exactly as it scales the data
+    (gk × (1+m_j), kk × (1+m_j)(1+m_k)); the standard
+    covariance-at-fiducial-nuisance treatment.  Magnification is NOT
+    applied here (its covariance effect is subdominant; add it per
+    block from the magnified spectra if needed)."""
+    from chomp_tpu import limber_fft
+    from chomp_tpu.projection import (DNdzShifted, WindowConvergence,
+                                      WindowConvergenceIA, WindowGalaxy)
+
+    if nuisance is None:
+        wins_g = [WindowGalaxy(dist=d) for d in lens_dists]
+        wins_k = [WindowConvergence(dist=d) for d in src_dists]
+        cal = None
+    else:
+        nu = nuisance
+        wins_g = [WindowGalaxy(dist=DNdzShifted(base=d,
+                                                dz=nu.dz_lens[i]))
+                  for i, d in enumerate(lens_dists)]
+        wins_k = [WindowConvergenceIA(
+            dist=DNdzShifted(base=d, dz=nu.dz_src[j]), a_ia=nu.a_ia,
+            eta_ia=nu.eta_ia, z0_ia=nu.z0_ia)
+            for j, d in enumerate(src_dists)]
+        cal = 1.0 + nu.m
     if isinstance(model, (list, tuple)):
         if len(model) != len(lens_dists):
             raise ValueError(
@@ -1290,15 +1313,28 @@ def tomographic_lattice_cl_callables(cosmo, halo_p, model, lens_dists,
                                             growth_pivot=piv)
         return cl
 
+    def scaled(fn, factor):
+        if factor is None:
+            return fn
+
+        def cl(ells_np):
+            return factor * fn(ells_np)
+
+        return cl
+
     out = {}
     for i in range(len(wins_g)):
         for j in range(i, len(wins_g)):
             out[("gg", i, j)] = make(wins_g[i], wins_g[j], key_gg(i, j))
         for j in range(len(wins_k)):
-            out[("gk", i, j)] = make(wins_g[i], wins_k[j], key_gm(i))
+            out[("gk", i, j)] = scaled(
+                make(wins_g[i], wins_k[j], key_gm(i)),
+                None if cal is None else cal[j])
     for j in range(len(wins_k)):
         for k in range(j, len(wins_k)):
-            out[("kk", j, k)] = make(wins_k[j], wins_k[k], "power_mm")
+            out[("kk", j, k)] = scaled(
+                make(wins_k[j], wins_k[k], "power_mm"),
+                None if cal is None else cal[j] * cal[k])
     return out
 
 
@@ -1442,7 +1478,7 @@ def tomographic_3x2pt_covariance(cosmo: CosmoParams, halo_p: HaloParams,
                                  grid: GridSpec = DEFAULT_GRID,
                                  n_ell_cov_g: int = 4096, mask=None,
                                  include_nongaussian=False,
-                                 **ng_kwargs):
+                                 nuisance=None, **ng_kwargs):
     """Gaussian (+ optionally connected) covariance of the FULL
     TOMOGRAPHIC 3x2pt data vector — (n_probe nb, n_probe nb) over the
     probe order of tomographic_probes (w autos, all gamma_t pairs,
@@ -1465,11 +1501,14 @@ def tomographic_3x2pt_covariance(cosmo: CosmoParams, halo_p: HaloParams,
     deduplicate under jit via CSE).  ``ng_kwargs`` forward to
     nongaussian_covariance (n_ell_cov, n_k_tri, u_stride,
     exact_z_anchors, ...).  ``mask`` applies the footprint treatment
-    to every block (Gaussian and connected)."""
+    to every block (Gaussian and connected).  ``nuisance`` evaluates
+    the Gaussian blocks' C_ℓs at a fiducial systematics vector
+    (tomographic_lattice_cl_callables; the cNG blocks stay at zero
+    nuisance — sub-leading)."""
     n_lens, n_src = len(lens_dists), len(src_dists)
     cls = tomographic_lattice_cl_callables(cosmo, halo_p, model,
                                            lens_dists, src_dists,
-                                           with_bao, grid)
+                                           with_bao, grid, nuisance)
     n2d, sn = _tomographic_noise_lists(n2d_lens_list, shape_noise_list,
                                        n_lens, n_src)
     edges = theta_edges_deg

@@ -1372,7 +1372,8 @@ def curved_tomographic_3x2pt_covariance(
         cosmo, halo_p, model, lens_dists, src_dists, theta_edges_deg,
         n2d_lens_list, shape_noise_list, mask, ell_max: int = 4096,
         ell_split: int | None = None, with_bao: bool = False,
-        grid=None, include_nongaussian=False, **ng_kwargs):
+        grid=None, include_nongaussian=False, nuisance=None,
+        **ng_kwargs):
     """Gaussian covariance of the full TOMOGRAPHIC 3x2pt data vector on
     a masked SPHERE — the curved analog of
     covariance.tomographic_3x2pt_covariance (same probe order:
@@ -1395,7 +1396,9 @@ def curved_tomographic_3x2pt_covariance(
     curved_nongaussian_covariance — exact sphere bin factors at
     Ω_eff = A₂²/A₄, truncated at this function's ``ell_max`` — the
     same treatment as curved_joint_3x2pt_covariance; ``ng_kwargs``
-    forward (n_ell_tbl, n_k_tri, u_stride, exact_z_anchors, ...)."""
+    forward (n_ell_tbl, n_k_tri, u_stride, exact_z_anchors, ...).
+    ``nuisance`` evaluates the Gaussian C_ℓs at a fiducial
+    systematics vector (see the flat builder)."""
     from chomp_tpu.covariance import (_tomographic_ng_block_fn,
                                       _tomographic_noise_lists,
                                       _tomographic_pair_fn,
@@ -1408,7 +1411,7 @@ def curved_tomographic_3x2pt_covariance(
     n_lens, n_src = len(lens_dists), len(src_dists)
     cls = tomographic_lattice_cl_callables(cosmo, halo_p, model,
                                            lens_dists, src_dists,
-                                           with_bao, grid)
+                                           with_bao, grid, nuisance)
     n2d, sn = _tomographic_noise_lists(n2d_lens_list, shape_noise_list,
                                        n_lens, n_src)
     edges = theta_edges_deg

@@ -579,6 +579,64 @@ def test_nuisance_pipeline(fiducial, setup):
     assert np.all(np.abs(np.asarray(g.dz_lens)) > 0)
 
 
+def test_nuisance_covariance(fiducial, setup):
+    """Covariance at a fiducial nuisance vector: zero nuisance equals
+    nuisance=None exactly; shear m scales the C_l callables exactly
+    (gk x (1+m_j), kk x (1+m_j)(1+m_k), gg untouched); IA moves kk/gk
+    only; the full matrix stays PSD."""
+    from chomp_tpu.parallel.sweep import default_nuisance
+
+    h, model, lens, src, g = setup
+    edges = np.logspace(-1.5, 0, 4)
+    nu0 = default_nuisance(2, 2)
+    base = np.asarray(covariance.tomographic_3x2pt_covariance(
+        fiducial, h, model, lens, src, edges, OMEGA_S, [N2D], [NS],
+        grid=g, n_ell_cov_g=1024))
+    zero = np.asarray(covariance.tomographic_3x2pt_covariance(
+        fiducial, h, model, lens, src, edges, OMEGA_S, [N2D], [NS],
+        grid=g, n_ell_cov_g=1024, nuisance=nu0))
+    np.testing.assert_allclose(zero, base, rtol=1e-13, atol=0)
+
+    m = jnp.asarray([0.03, -0.02])
+    nu_m = dataclasses.replace(nu0, m=m)
+    cls0 = covariance.tomographic_lattice_cl_callables(
+        fiducial, h, model, lens, src, grid=g)
+    cls_m = covariance.tomographic_lattice_cl_callables(
+        fiducial, h, model, lens, src, grid=g, nuisance=nu_m)
+    ells = np.array([30.0, 300.0])
+    cal = np.asarray(1.0 + m)
+    np.testing.assert_allclose(np.asarray(cls_m[("gg", 0, 1)](ells)),
+                               np.asarray(cls0[("gg", 0, 1)](ells)),
+                               rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(cls_m[("gk", 1, 0)](ells)),
+                               cal[0] * np.asarray(cls0[("gk", 1, 0)](ells)),
+                               rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(cls_m[("kk", 0, 1)](ells)),
+                               cal[0] * cal[1]
+                               * np.asarray(cls0[("kk", 0, 1)](ells)),
+                               rtol=1e-13)
+
+    nu_ia = dataclasses.replace(nu0, a_ia=jnp.asarray(1.0))
+    cls_ia = covariance.tomographic_lattice_cl_callables(
+        fiducial, h, model, lens, src, grid=g, nuisance=nu_ia)
+    np.testing.assert_allclose(np.asarray(cls_ia[("gg", 0, 0)](ells)),
+                               np.asarray(cls0[("gg", 0, 0)](ells)),
+                               rtol=1e-13)
+    kk_ia = np.asarray(cls_ia[("kk", 0, 0)](ells))
+    kk_0 = np.asarray(cls0[("kk", 0, 0)](ells))
+    # atol=0: the C_ls are ~1e-8, inside allclose's default atol.
+    assert not np.allclose(kk_ia, kk_0, rtol=1e-4, atol=0), (kk_ia, kk_0)
+
+    full = np.asarray(covariance.tomographic_3x2pt_covariance(
+        fiducial, h, model, lens, src, edges, OMEGA_S, [N2D], [NS],
+        grid=g, n_ell_cov_g=1024,
+        nuisance=dataclasses.replace(nu_m, a_ia=jnp.asarray(0.8),
+                                     dz_src=jnp.asarray([0.02, -0.02]))))
+    eig = np.linalg.eigvalsh(0.5 * (full + full.T))
+    assert np.all(np.isfinite(full)) and eig[0] > -1e-10 * eig[-1]
+    assert not np.allclose(full, base, rtol=1e-3, atol=0)
+
+
 def test_magnification_bias(fiducial, setup):
     """include_magnification: alpha=1 reduces exactly to the plain
     nuisance pipeline; for alpha != 1 the w/gt rows match the manual
