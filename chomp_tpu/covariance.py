@@ -465,6 +465,35 @@ def ovl_closure(edges_i, edges_j):
         - np.maximum(lo_i[:, None], lo_j[None, :]) ** 2, 0.0)
 
 
+def _tri_model_at(cosmo, halo_p, model, z_m, with_bao, grid):
+    """Rebuild projected_trispectrum's ``model`` argument at redshift
+    ``z_m``: a single HaloModel rebuilds directly; a per-leg sequence
+    (trispectrum_parallelogram_tracers' multi-sample form) rebuilds
+    each DISTINCT sample once on ONE shared mass-table build and
+    preserves the leg -> sample identity mapping."""
+    from chomp_tpu import halo as halo_mod
+
+    if not isinstance(model, (list, tuple)):
+        return halo_mod.build_halo_model(cosmo, halo_p, model.hod, z_m,
+                                         with_bao, grid)
+    from chomp_tpu.mass import build_mass_tables
+
+    t = build_mass_tables(cosmo, halo_p, z_m, with_bao, grid)
+    rebuilt: list = []
+    out = []
+    for m in model:
+        for m_old, m_new in rebuilt:
+            if m is m_old:
+                out.append(m_new)
+                break
+        else:
+            m_new = halo_mod.build_halo_model(
+                cosmo, halo_p, m.hod, z_m, with_bao, grid, mass_tables=t)
+            rebuilt.append((m, m_new))
+            out.append(m_new)
+    return tuple(out)
+
+
 def projected_trispectrum(cosmo: CosmoParams, halo_p: HaloParams,
                           model: HaloModel, dist, ells_cov,
                           galaxy: bool = True, with_bao: bool = False,
@@ -482,6 +511,10 @@ def projected_trispectrum(cosmo: CosmoParams, halo_p: HaloParams,
     blocks of the Morrison & Schneider 2013 program.  Default (None):
     four copies of the galaxy window built from ``dist`` with tracers set
     by the legacy ``galaxy`` flag (the w_gg auto-covariance).
+    ``model`` may also be a 4-sequence of PER-LEG HaloModels sharing
+    mass tables (multi-sample tomographic blocks — see
+    trispectrum_parallelogram_tracers); the exact-z routes rebuild each
+    distinct sample per node on one shared mass-table build.
 
     ``method="lattice"`` (default, TPU-first): the chi projection runs on
     a strided slice of the static ln-chi lattice (limber_fft), so every
@@ -613,8 +646,9 @@ def projected_trispectrum(cosmo: CosmoParams, halo_p: HaloParams,
     z = z_lo + (z_hi - z_lo) * z_nodes
     wz = z_w * (z_hi - z_lo)
     chi = background.comoving_distance(cosmo, z, grid.n_dist)
+    model0 = model[0] if isinstance(model, (list, tuple)) else model
     d = (background.growth_factor(cosmo, z, grid.n_growth)
-         / model.mass.growth)
+         / model0.mass.growth)
     w_prod = windows[0].window_z(cosmo, z, grid)
     for w_ in windows[1:]:
         w_prod = w_prod * w_.window_z(cosmo, z, grid)
@@ -626,15 +660,13 @@ def projected_trispectrum(cosmo: CosmoParams, halo_p: HaloParams,
     import jax
 
     if exact_z:
-        from chomp_tpu import halo as halo_mod
-
         # No D^6 factor — the per-z tables carry the full evolution.
         weight_exact = (w_prod / chi**6
                         * (C_OVER_H0 / background.ez(cosmo, z)) * wz)
 
         def body(carry, idx):
-            model_z = halo_mod.build_halo_model(
-                cosmo, halo_p, model.hod, z[idx], with_bao, grid)
+            model_z = _tri_model_at(cosmo, halo_p, model, z[idx],
+                                    with_bao, grid)
             tb = tri_fn(cosmo, halo_p, model_z, k1g.ravel(), k2g.ravel(),
                         with_bao, grid).reshape(n_k_tri, n_k_tri)
             sgn_tb, ln_tb = _sign_lnabs(tb)
@@ -828,10 +860,8 @@ def _projected_trispectrum_lattice(cosmo, halo_p, model, dist, ells_cov,
     if exact_z:
         def body(carry, xs):
             z_m, wgt_m, w_m = xs
-            from chomp_tpu import halo as halo_mod
-
-            model_z = halo_mod.build_halo_model(cosmo, halo_p, model.hod,
-                                                z_m, with_bao, grid)
+            model_z = _tri_model_at(cosmo, halo_p, model, z_m,
+                                    with_bao, grid)
             sgn_tb, ln_tb = tri_table(model_z)
             ln_q = jnp.matmul(jnp.matmul(w_m, ln_tb, precision=hp),
                               w_m.T, precision=hp)
@@ -853,7 +883,6 @@ def _projected_trispectrum_lattice(cosmo, halo_p, model, dist, ells_cov,
         # Lagrange rows, and run the same static-weight einsums on the
         # per-node tables.  Needs CONCRETE window supports for the
         # static anchor span (like the lattice node range).
-        from chomp_tpu import halo as halo_mod
         from chomp_tpu.limber_fft import _barycentric_rows, _cheb_nodes
 
         try:
@@ -868,12 +897,14 @@ def _projected_trispectrum_lattice(cosmo, halo_p, model, dist, ells_cov,
         z_nodes, w_bary = _cheb_nodes(z_lo_c, z_hi_c, exact_z_anchors)
 
         def t_at(z_j):
-            model_j = halo_mod.build_halo_model(cosmo, halo_p, model.hod,
-                                                z_j, with_bao, grid)
+            model_j = _tri_model_at(cosmo, halo_p, model, z_j,
+                                    with_bao, grid)
             t = trispectrum.trispectrum_parallelogram_tracers(
                 cosmo, halo_p, model_j, k1g.ravel(), k2g.ravel(),
                 tracers, with_bao, grid).reshape(n_k_tri, n_k_tri)
-            return t / model_j.mass.growth**6
+            g_j = (model_j[0] if isinstance(model_j, tuple)
+                   else model_j).mass.growth
+            return t / g_j**6
 
         # lax.map (sequential anchors): each anchor's halo build carries
         # large y matrices; batching them across anchors spills HBM
@@ -895,8 +926,9 @@ def _projected_trispectrum_lattice(cosmo, halo_p, model, dist, ells_cov,
         return jnp.einsum("m,mab->ab", base_wgt,
                           jnp.where(sg_q >= 0.0, mag, -mag), precision=hp)
 
+    model0 = model[0] if isinstance(model, (list, tuple)) else model
     d = (background.growth_factor(cosmo, z, grid.n_growth)
-         / model.mass.growth)
+         / model0.mass.growth)
     weight = base_wgt * d**6
     sgn_tbar, ln_tbar = tri_table(model)
     ln_q = jnp.einsum("mai,ij,mbj->mab", w_jnp, ln_tbar, w_jnp,
@@ -1250,7 +1282,8 @@ def joint_3x2pt_covariance(cosmo: CosmoParams, halo_p: HaloParams,
 def tomographic_lattice_cl_callables(cosmo, halo_p, model, lens_dists,
                                      src_dists, with_bao: bool = False,
                                      grid: GridSpec = DEFAULT_GRID,
-                                     nuisance=None):
+                                     nuisance=None,
+                                     include_magnification: bool = False):
     """All tomographic C_ℓ callables from ONE halo evaluation on the
     gather-free lattice: a dict keyed ("gg", i, j) (lens pairs, i ≤ j),
     ("gk", i, j) (lens i x source j), ("kk", j, k) (source pairs,
@@ -1267,27 +1300,45 @@ def tomographic_lattice_cl_callables(cosmo, halo_p, model, lens_dists,
     NLA IA term in every source window, and the multiplicative shear
     calibration scaling the spectra exactly as it scales the data
     (gk × (1+m_j), kk × (1+m_j)(1+m_k)); the standard
-    covariance-at-fiducial-nuisance treatment.  Magnification is NOT
-    applied here (its covariance effect is subdominant; add it per
-    block from the magnified spectra if needed)."""
+    covariance-at-fiducial-nuisance treatment.
+
+    ``include_magnification=True`` (needs ``nuisance``) carries lens
+    magnification bias into the covariance spectra with the SAME
+    per-term structure as the prediction (make_tomographic_pipeline's
+    δ_obs,i = δ_g,i + c_i κ_i with c_i = 2(α_i - 1), each term with
+    its own halo spectrum):
+
+      C^obs_gg(i,j) = C^{g_i g_j}_gg + c_j C^{g_i κ_j}_gm
+                      + c_i C^{g_j κ_i}_gm + c_i c_j C^{κ_i κ_j}_mm
+      C^obs_gk(i,j) = [C^{g_i κ_j}_gm + c_i C^{κ_i κ_j}_mm] (1+m_j)
+
+    where κ_i is the CONVERGENCE window of (photo-z-shifted) lens bin
+    i and the g_i×κ cross terms use bin i's P_gm in per-bin-HOD mode.
+    α_i = 1 reduces exactly to the unmagnified callables."""
     from chomp_tpu import limber_fft
     from chomp_tpu.projection import (DNdzShifted, WindowConvergence,
                                       WindowConvergenceIA, WindowGalaxy)
 
+    if include_magnification and nuisance is None:
+        raise ValueError("include_magnification needs nuisance= (the "
+                         "slopes live in Nuisance3x2pt.alpha_lens)")
     if nuisance is None:
         wins_g = [WindowGalaxy(dist=d) for d in lens_dists]
         wins_k = [WindowConvergence(dist=d) for d in src_dists]
         cal = None
+        wk_lens = None
     else:
         nu = nuisance
-        wins_g = [WindowGalaxy(dist=DNdzShifted(base=d,
-                                                dz=nu.dz_lens[i]))
-                  for i, d in enumerate(lens_dists)]
+        lens_cur = [DNdzShifted(base=d, dz=nu.dz_lens[i])
+                    for i, d in enumerate(lens_dists)]
+        wins_g = [WindowGalaxy(dist=d) for d in lens_cur]
         wins_k = [WindowConvergenceIA(
             dist=DNdzShifted(base=d, dz=nu.dz_src[j]), a_ia=nu.a_ia,
             eta_ia=nu.eta_ia, z0_ia=nu.z0_ia)
             for j, d in enumerate(src_dists)]
         cal = 1.0 + nu.m
+        wk_lens = ([WindowConvergence(dist=d) for d in lens_cur]
+                   if include_magnification else None)
     if isinstance(model, (list, tuple)):
         if len(model) != len(lens_dists):
             raise ValueError(
@@ -1322,14 +1373,43 @@ def tomographic_lattice_cl_callables(cosmo, halo_p, model, lens_dists,
 
         return cl
 
+    def summed(terms):
+        """Σ coeff_t × fn_t(ℓ) — one callable per observed spectrum;
+        the shared lattice convolutions deduplicate under jit (CSE)."""
+        def cl(ells_np):
+            acc = None
+            for coeff, f in terms:
+                v = coeff * f(ells_np)
+                acc = v if acc is None else acc + v
+            return acc
+
+        return cl
+
+    c_mag = (2.0 * (nuisance.alpha_lens - 1.0) if wk_lens is not None
+             else None)
     out = {}
     for i in range(len(wins_g)):
         for j in range(i, len(wins_g)):
-            out[("gg", i, j)] = make(wins_g[i], wins_g[j], key_gg(i, j))
+            base = make(wins_g[i], wins_g[j], key_gg(i, j))
+            if c_mag is None:
+                out[("gg", i, j)] = base
+            else:
+                out[("gg", i, j)] = summed([
+                    (1.0, base),
+                    (c_mag[j], make(wins_g[i], wk_lens[j], key_gm(i))),
+                    (c_mag[i], make(wins_g[j], wk_lens[i], key_gm(j))),
+                    (c_mag[i] * c_mag[j],
+                     make(wk_lens[i], wk_lens[j], "power_mm")),
+                ])
         for j in range(len(wins_k)):
+            base = make(wins_g[i], wins_k[j], key_gm(i))
+            if c_mag is not None:
+                base = summed([
+                    (1.0, base),
+                    (c_mag[i], make(wk_lens[i], wins_k[j], "power_mm")),
+                ])
             out[("gk", i, j)] = scaled(
-                make(wins_g[i], wins_k[j], key_gm(i)),
-                None if cal is None else cal[j])
+                base, None if cal is None else cal[j])
     for j in range(len(wins_k)):
         for k in range(j, len(wins_k)):
             out[("kk", j, k)] = scaled(
@@ -1407,7 +1487,7 @@ def _tomographic_pair_fn(cls, n2d, sn, cl_zero):
 
 def _tomographic_ng_block_fn(cosmo, halo_p, model, lens_dists, src_dists,
                              edges, omega_s_sr, with_bao, grid, mask,
-                             ng_kwargs, curved_mask=None):
+                             ng_kwargs, curved_mask=None, nuisance=None):
     """(probe_entry_a, probe_entry_b) -> connected (cNG) block, or None
     if no channel pair contributes.  B tracers carry no connected piece
     (the B field is zero in the E-only shear model), so each block is
@@ -1417,39 +1497,65 @@ def _tomographic_ng_block_fn(cosmo, halo_p, model, lens_dists, src_dists,
     ``curved_mask`` switches the engine to
     curved.curved_nongaussian_covariance (exact sphere bin factors with
     the probes' curved estimator codes, Ω_eff from the mask;
-    ``ng_kwargs`` should then carry the ell_max)."""
-    from chomp_tpu.projection import WindowConvergence, WindowGalaxy
+    ``ng_kwargs`` should then carry the ell_max).
 
-    if isinstance(model, (list, tuple)):
-        raise NotImplementedError(
-            "connected covariance with per-bin HOD models is not "
-            "implemented (the trispectrum engine binds one galaxy "
-            "sample); pass include_nongaussian=False and add cNG per "
-            "block with nongaussian_covariance where needed")
-    wins_g = [WindowGalaxy(dist=d) for d in lens_dists]
-    wins_k = [WindowConvergence(dist=d) for d in src_dists]
+    Per-bin HOD ``model`` lists: each "g" leg binds its lens bin's
+    halo model and the engine runs the multi-sample trispectrum
+    (trispectrum_parallelogram_tracers' per-leg form — independent-
+    occupation cross moments on the breakpoint-union pack); "E" legs
+    use the shared matter sector.
+
+    ``nuisance`` evaluates the blocks at the fiducial systematics
+    vector, mirroring the Gaussian treatment: photo-z-shifted windows,
+    the NLA IA term in every E-leg window (NLA rides the matter field,
+    so the window-level treatment is exact within Limber), and one
+    (1+m_j) factor per E leg.  Requires CONCRETE nuisance values (the
+    lattice projection sizes its static stride from the window
+    supports).  Lens magnification stays Gaussian-only (its cNG terms
+    are doubly sub-leading)."""
+    from chomp_tpu.projection import (DNdzShifted, WindowConvergence,
+                                      WindowConvergenceIA, WindowGalaxy)
+
+    per_bin = isinstance(model, (list, tuple))
+    if nuisance is None:
+        wins_g = [WindowGalaxy(dist=d) for d in lens_dists]
+        wins_k = [WindowConvergence(dist=d) for d in src_dists]
+        cal = None
+    else:
+        nu = nuisance
+        wins_g = [WindowGalaxy(dist=DNdzShifted(base=d,
+                                                dz=nu.dz_lens[i]))
+                  for i, d in enumerate(lens_dists)]
+        wins_k = [WindowConvergenceIA(
+            dist=DNdzShifted(base=d, dz=nu.dz_src[j]), a_ia=nu.a_ia,
+            eta_ia=nu.eta_ia, z0_ia=nu.z0_ia)
+            for j, d in enumerate(src_dists)]
+        cal = 1.0 + nu.m
 
     def leg(t):
         kind, i = t
         if kind == "g":
-            return wins_g[i], "g"
-        return wins_k[i], "m"      # E legs project the kappa field
+            return (wins_g[i], "g", (model[i] if per_bin else model),
+                    1.0)
+        # E legs project the kappa field; matter sector is shared.
+        return (wins_k[i], "m", (model[0] if per_bin else model),
+                1.0 if cal is None else cal[i])
 
     if curved_mask is not None:
         from chomp_tpu.curved import (_curved_probe_code,
                                       curved_nongaussian_covariance)
 
-        def block(ws, ts, entry_a, entry_b):
+        def block(ws, ts, ms, entry_a, entry_b):
             return curved_nongaussian_covariance(
-                cosmo, halo_p, model, lens_dists[0], edges, curved_mask,
+                cosmo, halo_p, ms, lens_dists[0], edges, curved_mask,
                 windows=ws, tracers=ts,
                 mu_i=_curved_probe_code(entry_a[1], entry_a[2]),
                 mu_j=_curved_probe_code(entry_b[1], entry_b[2]),
                 with_bao=with_bao, grid=grid, **ng_kwargs)
     else:
-        def block(ws, ts, entry_a, entry_b):
+        def block(ws, ts, ms, entry_a, entry_b):
             return nongaussian_covariance(
-                cosmo, halo_p, model, lens_dists[0], edges, omega_s_sr,
+                cosmo, halo_p, ms, lens_dists[0], edges, omega_s_sr,
                 windows=ws, tracers=ts, mu_i=entry_a[1], mu_j=entry_b[1],
                 with_bao=with_bao, grid=grid, mask=mask, **ng_kwargs)
 
@@ -1462,8 +1568,10 @@ def _tomographic_ng_block_fn(cosmo, halo_p, model, lens_dists, src_dists,
             for (c, d), s_b in ch_b:
                 if "B" in (c[0], d[0]):
                     continue
-                ws, ts = zip(*(leg(t) for t in (a, b, c, d)))
-                blk = s_a * s_b * block(ws, ts, entry_a, entry_b)
+                ws, ts, ms, fs = zip(*(leg(t) for t in (a, b, c, d)))
+                f_cal = fs[0] * fs[1] * fs[2] * fs[3]
+                blk = s_a * s_b * f_cal * block(
+                    ws, ts, ms if per_bin else model, entry_a, entry_b)
                 acc = blk if acc is None else acc + blk
         return acc
 
@@ -1478,7 +1586,9 @@ def tomographic_3x2pt_covariance(cosmo: CosmoParams, halo_p: HaloParams,
                                  grid: GridSpec = DEFAULT_GRID,
                                  n_ell_cov_g: int = 4096, mask=None,
                                  include_nongaussian=False,
-                                 nuisance=None, **ng_kwargs):
+                                 nuisance=None,
+                                 include_magnification: bool = False,
+                                 **ng_kwargs):
     """Gaussian (+ optionally connected) covariance of the FULL
     TOMOGRAPHIC 3x2pt data vector — (n_probe nb, n_probe nb) over the
     probe order of tomographic_probes (w autos, all gamma_t pairs,
@@ -1502,13 +1612,19 @@ def tomographic_3x2pt_covariance(cosmo: CosmoParams, halo_p: HaloParams,
     nongaussian_covariance (n_ell_cov, n_k_tri, u_stride,
     exact_z_anchors, ...).  ``mask`` applies the footprint treatment
     to every block (Gaussian and connected).  ``nuisance`` evaluates
-    the Gaussian blocks' C_ℓs at a fiducial systematics vector
-    (tomographic_lattice_cl_callables; the cNG blocks stay at zero
-    nuisance — sub-leading)."""
+    EVERY block at a fiducial systematics vector — the Gaussian C_ℓs
+    through tomographic_lattice_cl_callables and the cNG blocks
+    through nuisance-shifted windows, IA-augmented E legs, and one
+    (1+m_j) factor per E leg (_tomographic_ng_block_fn; needs concrete
+    nuisance values).  ``include_magnification`` (needs
+    ``nuisance``) carries the lens magnification terms into the gg/gk
+    spectra with per-term halo spectra, exactly as in the
+    prediction — see tomographic_lattice_cl_callables."""
     n_lens, n_src = len(lens_dists), len(src_dists)
     cls = tomographic_lattice_cl_callables(cosmo, halo_p, model,
                                            lens_dists, src_dists,
-                                           with_bao, grid, nuisance)
+                                           with_bao, grid, nuisance,
+                                           include_magnification)
     n2d, sn = _tomographic_noise_lists(n2d_lens_list, shape_noise_list,
                                        n_lens, n_src)
     edges = theta_edges_deg
@@ -1521,7 +1637,8 @@ def tomographic_3x2pt_covariance(cosmo: CosmoParams, halo_p: HaloParams,
     probes = tomographic_probes(n_lens, n_src)
     ng = (_tomographic_ng_block_fn(cosmo, halo_p, model, lens_dists,
                                    src_dists, edges, omega_s_sr,
-                                   with_bao, grid, mask, ng_kwargs)
+                                   with_bao, grid, mask, ng_kwargs,
+                                   nuisance=nuisance)
           if include_nongaussian else None)
     n_probe = len(probes)
     blocks = [[None] * n_probe for _ in range(n_probe)]

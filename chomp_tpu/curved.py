@@ -1373,7 +1373,7 @@ def curved_tomographic_3x2pt_covariance(
         n2d_lens_list, shape_noise_list, mask, ell_max: int = 4096,
         ell_split: int | None = None, with_bao: bool = False,
         grid=None, include_nongaussian=False, nuisance=None,
-        **ng_kwargs):
+        include_magnification: bool = False, **ng_kwargs):
     """Gaussian covariance of the full TOMOGRAPHIC 3x2pt data vector on
     a masked SPHERE — the curved analog of
     covariance.tomographic_3x2pt_covariance (same probe order:
@@ -1397,8 +1397,10 @@ def curved_tomographic_3x2pt_covariance(
     Ω_eff = A₂²/A₄, truncated at this function's ``ell_max`` — the
     same treatment as curved_joint_3x2pt_covariance; ``ng_kwargs``
     forward (n_ell_tbl, n_k_tri, u_stride, exact_z_anchors, ...).
-    ``nuisance`` evaluates the Gaussian C_ℓs at a fiducial
-    systematics vector (see the flat builder)."""
+    ``nuisance`` evaluates every block (Gaussian AND connected) at a
+    fiducial systematics vector (see the flat builder);
+    ``include_magnification`` carries the lens magnification terms
+    into the gg/gk spectra (tomographic_lattice_cl_callables)."""
     from chomp_tpu.covariance import (_tomographic_ng_block_fn,
                                       _tomographic_noise_lists,
                                       _tomographic_pair_fn,
@@ -1411,7 +1413,8 @@ def curved_tomographic_3x2pt_covariance(
     n_lens, n_src = len(lens_dists), len(src_dists)
     cls = tomographic_lattice_cl_callables(cosmo, halo_p, model,
                                            lens_dists, src_dists,
-                                           with_bao, grid, nuisance)
+                                           with_bao, grid, nuisance,
+                                           include_magnification)
     n2d, sn = _tomographic_noise_lists(n2d_lens_list, shape_noise_list,
                                        n_lens, n_src)
     edges = theta_edges_deg
@@ -1425,7 +1428,7 @@ def curved_tomographic_3x2pt_covariance(
     ng = (_tomographic_ng_block_fn(
         cosmo, halo_p, model, lens_dists, src_dists, edges, None,
         with_bao, grid, None, dict(ell_max=ell_max, **ng_kwargs),
-        curved_mask=mask)
+        curved_mask=mask, nuisance=nuisance)
         if include_nongaussian else None)
     codes = [_curved_probe_code(mu, ch) for (_n, mu, ch) in probes]
     n_probe = len(probes)

@@ -288,6 +288,39 @@ def _cross_gal_pack(cosmo, halo, model_a: HaloModel, model_b: HaloModel,
     return ln_g, cat("w_lnm"), jnp.exp(ln_g), cat("dndlnm"), sw
 
 
+def union_gal_pack(cosmo, halo, models, with_bao: bool = False,
+                   grid: GridSpec = DEFAULT_GRID):
+    """(ln_m, w_lnm, m, dndlnm, bias) GL quadrature pack with panel
+    edges at EVERY sample's HOD breakpoints — the shared rule for mass
+    integrals mixing occupation moments of several galaxy samples
+    (e.g. cross-sample trispectrum legs, where each galaxy leg carries
+    its own <(N_s)_p>/n_{g,s}^p factor and the integrand kinks at each
+    HOD's onset masses).  No Scranton edges: the trispectrum U
+    integrals carry one y factor per leg, never a y-exponent switch.
+    All models must share mass tables (halo.build_halo_models)."""
+    from chomp_tpu.mass import node_pack
+
+    t = models[0].mass
+    bps = []
+    for mdl in models:
+        if hasattr(mdl.hod, "breakpoints"):
+            bps.extend(mdl.hod.breakpoints())
+    if bps:
+        marks = jnp.sort(jnp.stack(
+            [jnp.clip(b, t.ln_m[0], t.ln_m[-1]) for b in bps]))
+        inner = [marks[i] for i in range(marks.shape[0])]
+    else:
+        inner = []
+    n_panels = len(inner) + 1
+    n_per = max(grid.n_mass // n_panels, 64)
+    edges = [t.ln_m[0], *inner, t.ln_m[-1]]
+    packs = [node_pack(cosmo, halo, t, lo, hi, n_per, with_bao, grid)
+             for lo, hi in zip(edges[:-1], edges[1:])]
+    cat = lambda attr: jnp.concatenate([getattr(p, attr) for p in packs])
+    ln_g = cat("ln_m")
+    return ln_g, cat("w_lnm"), jnp.exp(ln_g), cat("dndlnm"), cat("bias")
+
+
 def power_gg_cross(cosmo: CosmoParams, halo: HaloParams,
                    model_a: HaloModel, model_b: HaloModel, k,
                    with_bao: bool = False, grid: GridSpec = DEFAULT_GRID):

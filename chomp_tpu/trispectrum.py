@@ -209,25 +209,74 @@ def trispectrum_parallelogram_tracers(cosmo: CosmoParams, halo: HaloParams,
 
     where "opposite pairs" are the four (leg-at-k1, leg-at-k2) choices —
     same-k pairs carry P(0) = 0 and drop.  For uniform tracers this
-    reduces EXACTLY to the classic 2/2/4 coefficients (tested)."""
+    reduces EXACTLY to the classic 2/2/4 coefficients (tested).
+
+    ``model`` is ONE HaloModel (every "g" leg = the same galaxy sample)
+    OR a sequence of FOUR per-leg HaloModels sharing mass tables
+    (halo.build_halo_models) — the multi-sample trispectrum behind
+    per-bin-HOD tomographic cNG blocks.  Same-halo galaxy legs from
+    distinct samples take the independent-occupation product moment
+    <(N_A)_p (N_B)_q> = <(N_A)_p><(N_B)_q> (the convention of
+    halo.power_gg_cross), integrated on the breakpoint-union pack
+    (halo.union_gal_pack).  Entries at "m" legs are ignored; a
+    4-sequence of identical models reproduces the single-model result
+    exactly (same quadrature packs, tested)."""
+    from chomp_tpu.halo import union_gal_pack
+
     k1 = jnp.asarray(k1)
     k2 = jnp.asarray(k2)
+    if isinstance(model, (list, tuple)):
+        if len(model) != 4:
+            raise ValueError(f"per-leg models: need 4, got {len(model)}")
+        leg_models = list(model)
+        model = leg_models[0]
+    else:
+        leg_models = [model] * 4
+    # Distinct galaxy samples by object identity (trace-time Python).
+    samples: list = []
+    leg_sample: list = [None] * 4
+    for i in range(4):
+        if tracers[i] != "g":
+            continue
+        for s, m_s in enumerate(samples):
+            if leg_models[i] is m_s:
+                leg_sample[i] = s
+                break
+        else:
+            leg_sample[i] = len(samples)
+            samples.append(leg_models[i])
     t = model.mass
-    g = model.gal
     zm = t.z  # all P factors at the model's redshift (halo U's already are)
     p1 = linear.linear_power(cosmo, k1, zm, with_bao, grid)
     p2 = linear.linear_power(cosmo, k2, zm, with_bao, grid)
 
-    # y(k, M) on the quadrature packs, built lazily per pack (mass-table
-    # rule for pure-matter integrals; kink-safe galaxy pack whenever an
-    # HOD moment enters) — the y matrices are the dominant eager cost and
-    # uniform-tracer calls only ever touch one pack.
+    # Quadrature packs, (w_lnm, dndlnm, bias, m) per key: "t" for
+    # pure-matter integrals (mass-table rule), a sample index for
+    # single-sample galaxy integrals (that sample's kink-refined pack),
+    # "u" for mixed-sample integrals (breakpoint-union pack, built
+    # lazily at most once).
+    _packs: dict = {"t": (t.w_lnm, t.dndlnm, t.bias, t.m)}
+
+    def _pack(key):
+        if key not in _packs:
+            if key == "u":
+                _, w_u, m_u, dn_u, b_u = union_gal_pack(
+                    cosmo, halo, samples, with_bao, grid)
+                _packs["u"] = (w_u, dn_u, b_u, m_u)
+            else:
+                g_s = samples[key].gal
+                _packs[key] = (g_s.w_lnm, g_s.dndlnm, g_s.bias, g_s.m)
+        return _packs[key]
+
+    # y(k, M) built lazily per (pack, k-group) — the y matrices are the
+    # dominant eager cost and uniform-tracer calls only ever touch two
+    # pack keys.
     _y_cache: dict = {}
 
-    def _y(pack_m, i):
-        key = (pack_m, 0 if i < 2 else 2)      # legs 0/1 share k1, 2/3 k2
+    def _y(pack_key, i):
+        key = (pack_key, 0 if i < 2 else 2)    # legs 0/1 share k1, 2/3 k2
         if key not in _y_cache:
-            m_nodes = t.m if pack_m else g.m
+            m_nodes = _pack(pack_key)[3]
             kk = k1 if i < 2 else k2
             _y_cache[key] = y_nfw(cosmo, halo, kk[..., None], m_nodes,
                                   model.m_star, t.z)
@@ -237,31 +286,39 @@ def trispectrum_parallelogram_tracers(cosmo: CosmoParams, halo: HaloParams,
 
     def u(leg_idx, beta):
         """U^beta over the given legs: ∫ dlnM dn/dlnM b^beta
-        <(N)_p>/n_g^p (M/rho_bar)^q prod_i y(k_i, M).  Memoized on the
-        (sorted legs, beta) key — the 2h/3h/4h assembly reuses the
-        single-leg integrals many times."""
+        prod_s <(N_s)_{p_s}>/n_{g,s}^{p_s} (M/rho_bar)^q
+        prod_i y(k_i, M).  Memoized on the (sorted legs, beta) key —
+        the 2h/3h/4h assembly reuses the single-leg integrals many
+        times."""
         key = (tuple(sorted(leg_idx)), beta)
         if key in _u_cache:
             return _u_cache[key]
-        n_gal = sum(1 for i in leg_idx if tracers[i] == "g")
-        n_mat = len(leg_idx) - n_gal
-        if n_gal:
-            w = g.w_lnm * g.dndlnm
-            w = w * model.hod.nth_moment(g.m, n_gal) / model.n_g**n_gal
+        gal_legs = [i for i in leg_idx if tracers[i] == "g"]
+        n_mat = len(leg_idx) - len(gal_legs)
+        if gal_legs:
+            counts: dict = {}
+            for i in gal_legs:
+                counts[leg_sample[i]] = counts.get(leg_sample[i], 0) + 1
+            pack_key = (next(iter(counts)) if len(counts) == 1 else "u")
+            w_lnm, dndlnm, bias, m_nodes = _pack(pack_key)
+            w = w_lnm * dndlnm
+            for s, p in counts.items():
+                w = w * (samples[s].hod.nth_moment(m_nodes, p)
+                         / samples[s].n_g ** p)
             if n_mat:
-                w = w * (g.m / cosmo.rho_bar) ** n_mat
+                w = w * (m_nodes / cosmo.rho_bar) ** n_mat
             if beta:
-                w = w * g.bias
+                w = w * bias
             prod = w
             for i in leg_idx:
-                prod = prod * _y(False, i)
+                prod = prod * _y(pack_key, i)
         else:
             w = t.w_lnm * t.dndlnm * (t.m / cosmo.rho_bar) ** n_mat
             if beta:
                 w = w * t.bias
             prod = w
             for i in leg_idx:
-                prod = prod * _y(True, i)
+                prod = prod * _y("t", i)
         out = jnp.sum(prod, axis=-1)
         _u_cache[key] = out
         return out

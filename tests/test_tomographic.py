@@ -488,6 +488,104 @@ def test_per_bin_hods(fiducial, setup):
     np.testing.assert_allclose(got, want, rtol=1e-12)
 
 
+@pytest.mark.slow
+def test_per_bin_cng(fiducial, setup):
+    """Connected covariance with per-bin HOD models: a list of the SAME
+    model object twice adds exactly the single-sample cNG increment
+    (every auto block's legs bind one sample); two distinct HODs give a
+    finite symmetric matrix whose w0 x w1 cross block equals the direct
+    nongaussian_covariance call with per-leg models (A,A,B,B)."""
+    from chomp_tpu import halo as halo_mod
+    from chomp_tpu.hod import default_hod
+
+    h, model, lens, src, g = setup
+    edges = np.logspace(-1.5, 0, 4)
+    nb = len(edges) - 1
+    kw = dict(n_k_tri=48, u_stride=8, n_ell_cov=48)
+    args = (edges, OMEGA_S, [N2D], [NS])
+
+    def cov(m, ng):
+        return np.asarray(covariance.tomographic_3x2pt_covariance(
+            fiducial, h, m, lens, src[:1], *args, grid=g,
+            n_ell_cov_g=1024, include_nongaussian=ng,
+            **(kw if ng else {})))
+
+    # Same object twice: the cNG INCREMENT (autos) must equal the
+    # single-sample one exactly — every auto block's galaxy legs bind
+    # the same sample, so the engine takes the single-sample path.
+    inc_list = cov([model, model], "autos") - cov([model, model], False)
+    inc_one = cov(model, "autos") - cov(model, False)
+    np.testing.assert_allclose(inc_list, inc_one, rtol=1e-12, atol=0)
+
+    # Distinct samples: full cNG matrix, spot-check the w0 x w1 block
+    # against the direct per-leg-model engine call.
+    hod_b = default_hod(log10_m_min=12.6, log10_m_0=12.6,
+                        log10_m_1p=13.9, alpha=1.05)
+    models = halo_mod.build_halo_models(fiducial, h,
+                                        [default_hod(), hod_b], 0.0,
+                                        False, g)
+    full = cov(models, True)
+    gauss = cov(models, False)
+    assert np.all(np.isfinite(full))
+    np.testing.assert_allclose(full, full.T, rtol=1e-10)
+    w01_inc = (full - gauss)[0:nb, nb:2 * nb]
+    wg = [projection.WindowGalaxy(dist=d) for d in lens]
+    direct = np.asarray(covariance.nongaussian_covariance(
+        fiducial, h, (models[0], models[0], models[1], models[1]),
+        lens[0], edges, OMEGA_S,
+        windows=(wg[0], wg[0], wg[1], wg[1]),
+        tracers=("g", "g", "g", "g"), mu_i=0, mu_j=0, grid=g, **kw))
+    np.testing.assert_allclose(w01_inc, direct, rtol=1e-10, atol=0)
+
+
+@pytest.mark.slow
+def test_cng_at_nuisance(fiducial, setup):
+    """Connected blocks at the fiducial nuisance vector: zero nuisance
+    reduces exactly to nuisance=None; a pure shear-m vector scales each
+    cNG auto increment by (1+m) per E leg — (1+m)^4 on the xi+ auto,
+    (1+m)^2 on gamma_t, untouched on w — while a photo-z shift moves
+    the w-auto increment."""
+    from chomp_tpu.parallel.sweep import default_nuisance
+
+    h, model, lens, src, g = setup
+    edges = np.logspace(-1.5, 0, 4)
+    nb = len(edges) - 1
+    kw = dict(n_k_tri=48, u_stride=8, n_ell_cov=48)
+    nu0 = default_nuisance(1, 1)
+
+    def inc(nuis):
+        a = np.asarray(covariance.tomographic_3x2pt_covariance(
+            fiducial, h, model, lens[:1], src[:1], edges, OMEGA_S,
+            [N2D], [NS], grid=g, n_ell_cov_g=1024,
+            include_nongaussian="autos", nuisance=nuis, **kw))
+        b = np.asarray(covariance.tomographic_3x2pt_covariance(
+            fiducial, h, model, lens[:1], src[:1], edges, OMEGA_S,
+            [N2D], [NS], grid=g, n_ell_cov_g=1024, nuisance=nuis))
+        return a - b
+
+    base = inc(None)
+    np.testing.assert_allclose(inc(nu0), base, rtol=1e-12, atol=0)
+
+    m = 0.05
+    nu_m = dataclasses.replace(nu0, m=jnp.asarray([m]))
+    got = inc(nu_m)
+    # probe order: w_0, gt_00, xip_00, xim_00 (nb bins each).
+    blk = lambda c, i: c[i * nb:(i + 1) * nb, i * nb:(i + 1) * nb]
+    np.testing.assert_allclose(blk(got, 0), blk(base, 0), rtol=1e-12,
+                               atol=0)
+    np.testing.assert_allclose(blk(got, 1), (1 + m) ** 2 * blk(base, 1),
+                               rtol=1e-11, atol=0)
+    np.testing.assert_allclose(blk(got, 2), (1 + m) ** 4 * blk(base, 2),
+                               rtol=1e-11, atol=0)
+    np.testing.assert_allclose(blk(got, 3), (1 + m) ** 4 * blk(base, 3),
+                               rtol=1e-11, atol=0)
+
+    nu_dz = dataclasses.replace(nu0, dz_lens=jnp.asarray([0.05]))
+    got_dz = inc(nu_dz)
+    assert not np.allclose(blk(got_dz, 0), blk(base, 0), rtol=1e-3,
+                           atol=0)
+
+
 def test_nuisance_pipeline(fiducial, setup):
     """with_nuisance: zero nuisance reduces exactly to the plain
     pipeline; shear m scales gt/xi rows exactly; DNdzShifted equals a
@@ -635,6 +733,77 @@ def test_nuisance_covariance(fiducial, setup):
     eig = np.linalg.eigvalsh(0.5 * (full + full.T))
     assert np.all(np.isfinite(full)) and eig[0] > -1e-10 * eig[-1]
     assert not np.allclose(full, base, rtol=1e-3, atol=0)
+
+
+def test_magnification_covariance(fiducial, setup):
+    """include_magnification in the COVARIANCE spectra: alpha = 1
+    reduces exactly to the nuisance-only callables; alpha != 1 matches
+    the manual per-term assembly (gg: 4 terms, gk: 2 terms, each with
+    its own halo spectrum through limber_cl_fft); kk is untouched; the
+    full matrix stays PSD; nuisance=None raises."""
+    from chomp_tpu import limber_fft
+    from chomp_tpu.parallel.sweep import default_nuisance
+
+    h, model, lens, src, g = setup
+    ells = np.array([30.0, 300.0])
+    nu0 = default_nuisance(2, 2)
+    cls0 = covariance.tomographic_lattice_cl_callables(
+        fiducial, h, model, lens, src, grid=g)
+    cls1 = covariance.tomographic_lattice_cl_callables(
+        fiducial, h, model, lens, src, grid=g, nuisance=nu0,
+        include_magnification=True)
+    for key in (("gg", 0, 1), ("gk", 1, 0), ("kk", 0, 0)):
+        np.testing.assert_allclose(np.asarray(cls1[key](ells)),
+                                   np.asarray(cls0[key](ells)),
+                                   rtol=1e-12, atol=0)
+
+    alpha = jnp.asarray([1.8, 0.4])
+    nu_a = dataclasses.replace(nu0, alpha_lens=alpha)
+    cls_a = covariance.tomographic_lattice_cl_callables(
+        fiducial, h, model, lens, src, grid=g, nuisance=nu_a,
+        include_magnification=True)
+    c = 2.0 * (np.asarray(alpha) - 1.0)
+    p_lat = limber_fft.p_lattice_halo_all(fiducial, h, model, False, g)
+    piv = model.mass.growth
+    wg = [projection.WindowGalaxy(dist=d) for d in lens]
+    wkl = [projection.WindowConvergence(dist=d) for d in lens]
+    wk = [projection.WindowConvergence(dist=d) for d in src]
+
+    def cl(wa, wb, kind):
+        return np.asarray(limber_fft.limber_cl_fft(
+            fiducial, wa, wb, ells, p_lat[kind], g, growth_pivot=piv))
+
+    want_gg = (cl(wg[0], wg[1], "power_gg")
+               + c[1] * cl(wg[0], wkl[1], "power_gm")
+               + c[0] * cl(wg[1], wkl[0], "power_gm")
+               + c[0] * c[1] * cl(wkl[0], wkl[1], "power_mm"))
+    np.testing.assert_allclose(np.asarray(cls_a[("gg", 0, 1)](ells)),
+                               want_gg, rtol=1e-11, atol=0)
+    want_gk = (cl(wg[1], wk[0], "power_gm")
+               + c[1] * cl(wkl[1], wk[0], "power_mm"))
+    np.testing.assert_allclose(np.asarray(cls_a[("gk", 1, 0)](ells)),
+                               want_gk, rtol=1e-11, atol=0)
+    np.testing.assert_allclose(np.asarray(cls_a[("kk", 0, 1)](ells)),
+                               np.asarray(cls0[("kk", 0, 1)](ells)),
+                               rtol=1e-12, atol=0)
+
+    edges = np.logspace(-1.5, 0, 4)
+    base = np.asarray(covariance.tomographic_3x2pt_covariance(
+        fiducial, h, model, lens, src, edges, OMEGA_S, [N2D], [NS],
+        grid=g, n_ell_cov_g=1024))
+    full = np.asarray(covariance.tomographic_3x2pt_covariance(
+        fiducial, h, model, lens, src, edges, OMEGA_S, [N2D], [NS],
+        grid=g, n_ell_cov_g=1024, nuisance=nu_a,
+        include_magnification=True))
+    eig = np.linalg.eigvalsh(0.5 * (full + full.T))
+    assert np.all(np.isfinite(full)) and eig[0] > -1e-10 * eig[-1]
+    # atol=0: raw covariance entries sit inside allclose's default atol.
+    assert not np.allclose(full, base, rtol=1e-4, atol=0)
+
+    with pytest.raises(ValueError, match="alpha_lens"):
+        covariance.tomographic_lattice_cl_callables(
+            fiducial, h, model, lens, src, grid=g,
+            include_magnification=True)
 
 
 def test_magnification_bias(fiducial, setup):

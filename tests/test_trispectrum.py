@@ -320,3 +320,118 @@ def test_mixed_tracer_terms_vs_quad(fiducial, model):
         fiducial, h, model, jnp.asarray(k1), jnp.asarray(k2),
         ("g", "g", "g", "m"), terms=("2h",)))
     np.testing.assert_allclose(ours_2h, ref_2h31 + ref_2h22, rtol=1e-3)
+
+
+def test_multi_sample_legs(fiducial, model):
+    """Per-leg models (the multi-sample trispectrum behind per-bin-HOD
+    tomographic cNG): a 4-tuple of the SAME model object reproduces the
+    single-model engine bit-for-bit (same quadrature packs); two
+    DISTINCT Zheng samples sharing mass tables referee against scipy
+    quadrature of the independent-occupation U integrals (1h and the
+    four-leg 2h sum, none of the engine's code paths); the 4h term's
+    leg bookkeeping factorizes into single-leg U's."""
+    from scipy import integrate
+    from scipy.special import erf as sp_erf
+
+    h = default_halo()
+    hod_b = default_hod(log10_m_min=12.6, sigma=0.25, log10_m_0=12.3,
+                        log10_m_1p=13.8, alpha=1.15)
+    model_b = halo.build_halo_model(fiducial, h, hod_b,
+                                    mass_tables=model.mass)
+    k1, k2 = jnp.asarray(0.8), jnp.asarray(2.5)
+
+    # Identity: 4 copies of the same object == the single-model call.
+    same = trispectrum.trispectrum_parallelogram_tracers(
+        fiducial, h, (model, model, model, model), k1, k2,
+        ("g", "g", "g", "m"))
+    single = trispectrum.trispectrum_parallelogram_tracers(
+        fiducial, h, model, k1, k2, ("g", "g", "g", "m"))
+    np.testing.assert_allclose(float(same), float(single), rtol=0,
+                               atol=0)
+
+    # scipy referee for legs (A@k1, A@-k1, B@k2, B@-k2), all galaxies.
+    m_star_val = float(jnp.exp(model.mass.ln_m_star))
+    rho_bar = oracle.RHO_CRIT * oracle.OM
+
+    def falling_fn(l_mmin, sig, l_m0, l_m1p, alpha):
+        def n_cen(m):
+            return 0.5 * (1 + sp_erf((np.log10(m) - l_mmin) / sig))
+
+        def n_sat(m):
+            frac = max(m - 10.0**l_m0, 0.0) / 10.0**l_m1p
+            return n_cen(m) * frac**alpha if frac > 0 else 0.0
+
+        def falling(m, p):
+            nc, ns = n_cen(m), n_sat(m)
+            return p * nc * ns ** (p - 1) + ns**p if p > 1 else nc + ns
+
+        return falling
+
+    fall_a = falling_fn(12.14, 0.15, 12.14, 13.43, 1.0)
+    fall_b = falling_fn(12.6, 0.25, 12.3, 13.8, 1.15)
+
+    def n_g_ref(fall):
+        v, _ = integrate.quad(
+            lambda lnm: oracle._dndlnm_spl(lnm) * fall(np.exp(lnm), 1),
+            oracle.LN_M_MIN, oracle.LN_M_MAX, epsrel=1e-9, limit=400)
+        return v
+
+    n_a, n_b = n_g_ref(fall_a), n_g_ref(fall_b)
+
+    def u_ref(kfacs, p_a, p_b, beta):
+        def integrand(lnm):
+            m = np.exp(lnm)
+            val = oracle._dndlnm_spl(lnm)
+            if p_a:
+                val = val * fall_a(m, p_a) / n_a**p_a
+            if p_b:
+                val = val * fall_b(m, p_b) / n_b**p_b
+            if beta:
+                val = val * oracle._bias_n_spl(lnm)
+            for kk in kfacs:
+                val = val * oracle.y_nfw_mstar(kk, m, m_star_val)
+            return val
+
+        v, _ = integrate.quad(integrand, oracle.LN_M_MIN, oracle.LN_M_MAX,
+                              epsrel=1e-9, limit=400)
+        return v
+
+    kf1, kf2 = float(k1), float(k2)
+    leg_models = (model, model, model_b, model_b)
+
+    # 1h: independent-occupation product moment on the union pack.
+    ours_1h = float(trispectrum.trispectrum_parallelogram_tracers(
+        fiducial, h, leg_models, k1, k2, ("g", "g", "g", "g"),
+        terms=("1h",)))
+    ref_1h = u_ref([kf1, kf1, kf2, kf2], 2, 2, 0)
+    np.testing.assert_allclose(ours_1h, ref_1h, rtol=5e-4)
+
+    # 2h: explicit four-leg 31 sum + 22 pairings from quad U's.
+    p1, p2 = oracle.pk_lin(kf1), oracle.pk_lin(kf2)
+    ref_2h31 = (2.0 * p1 * u_ref([kf1], 1, 0, 1)
+                * u_ref([kf1, kf2, kf2], 1, 2, 1)
+                + 2.0 * p2 * u_ref([kf2], 0, 1, 1)
+                * u_ref([kf1, kf1, kf2], 2, 1, 1))
+
+    def ps_avg_ref():
+        def integrand(mu):
+            s = np.sqrt(kf1**2 + kf2**2 + 2 * kf1 * kf2 * mu)
+            return oracle.pk_lin(s)
+
+        v, _ = integrate.quad(integrand, -1, 1, epsrel=1e-10, limit=200)
+        return 0.5 * v
+
+    ref_2h22 = 2.0 * ps_avg_ref() * u_ref([kf1, kf2], 1, 1, 1) ** 2
+    ours_2h = float(trispectrum.trispectrum_parallelogram_tracers(
+        fiducial, h, leg_models, k1, k2, ("g", "g", "g", "g"),
+        terms=("2h",)))
+    np.testing.assert_allclose(ours_2h, ref_2h31 + ref_2h22, rtol=1e-3)
+
+    # 4h bookkeeping: U_A^1(k1)^2 U_B^1(k2)^2 T_PT.
+    ours_4h = float(trispectrum.trispectrum_parallelogram_tracers(
+        fiducial, h, leg_models, k1, k2, ("g", "g", "g", "g"),
+        terms=("4h",)))
+    t_pt = float(trispectrum.t_pt_parallelogram(fiducial, k1, k2))
+    ref_4h = (u_ref([kf1], 1, 0, 1) ** 2 * u_ref([kf2], 0, 1, 1) ** 2
+              * t_pt)
+    np.testing.assert_allclose(ours_4h, ref_4h, rtol=1e-3)
