@@ -25,6 +25,8 @@ Layer map (mirrors SURVEY.md §1, reimagined TPU-first):
     covariance    ->  covariance.py
     mask/curved   ->  (new) survey-footprint mode-coupling covariance,
                       flat-sky (mask.py) and curved-sky (curved.py)
+    ssc           ->  (new) super-sample covariance: halo-model power
+                      responses + footprint sigma_b^2 on both geometries
     compat        ->  object API mirroring the reference's classes
 """
 

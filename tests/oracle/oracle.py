@@ -556,3 +556,49 @@ def cosmo_funcs(om=OM, ob=OB, h=H, s8=SIG8, ns=NS, tcmb=TCMB,
 
     return dict(ez=ez_g, chi=chi_g, growth=growth_g, pk_lin=pk_lin_g,
                 sigma_m=sigma_m_g, norm=lambda: norm_g)
+
+
+# ---------------------------------------------------------------------------
+# SSC bias-weighted 1-halo response integrals (referee for
+# chomp_tpu.ssc.response_one_halo_integrals): the one_halo integrands of
+# halo_powers with an extra b(nu) factor.
+# ---------------------------------------------------------------------------
+
+
+def ssc_response_one_halo(k, z=0.0, m_star_val=None):
+    """(i_mm_b, i_gg_b, i_gm_b) at one k by adaptive quadrature."""
+    if m_star_val is None:
+        m_star_val = 10 ** mstar()
+    rho_bar = RHO_CRIT * OM
+    ngal = n_g(z)
+
+    def quad_lnm(fn):
+        v, _ = integrate.quad(fn, LN_M_MIN, LN_M_MAX, epsrel=1e-9,
+                              limit=400)
+        return v
+
+    def y(lnm):
+        return y_nfw_mstar(k, np.exp(lnm), m_star_val, z)
+
+    i_mm = quad_lnm(lambda lnm: _f_n_spl(lnm, z) * _dnu_dlnm_spl(lnm, z)
+                    * _bias_n_spl(lnm, z) * np.exp(lnm) / rho_bar
+                    * y(lnm) ** 2)
+
+    def gg_integrand(lnm):
+        m = np.exp(lnm)
+        n2 = hod_second_moment(m)
+        p = np.where(n2 < 1.0, 1.0, 2.0)
+        return (_dndlnm_spl(lnm, z) * _bias_n_spl(lnm, z) * n2
+                * y(lnm) ** p)
+
+    i_gg = quad_lnm(gg_integrand) / ngal**2
+
+    def gm_integrand(lnm):
+        m = np.exp(lnm)
+        n1 = hod_first_moment(m)
+        p = np.where(n1 < 1.0, 1.0, 2.0)
+        return (_dndlnm_spl(lnm, z) * _bias_n_spl(lnm, z) * m * n1
+                * y(lnm) ** p)
+
+    i_gm = quad_lnm(gm_integrand) / (ngal * rho_bar)
+    return i_mm, i_gg, i_gm
