@@ -127,6 +127,21 @@ def main(batch_size: int = 100):
     rows.append((f"tomographic 12-probe covariance [{b_cov}]",
                  dt_tcov / b_cov * 1e3))
 
+    # Super-sample block (responses x footprint sigma_b^2 on the
+    # gather-free lattice): the w(theta) auto SSC on a 0.1 sr disc.
+    from chomp_tpu import ssc as ssc_mod
+    from chomp_tpu.mask import DiscMask
+
+    ssc_mask = DiscMask(float(np.sqrt(0.1 / np.pi)))
+
+    def ssc_fn(c):
+        model = halo.build_halo_model(c, h, hod)
+        return ssc_mod.ssc_covariance(c, h, model, dist, edges, ssc_mask)
+
+    f_ssc = jax.jit(jax.vmap(ssc_fn))
+    dt_ssc = timed(f_ssc, batch_cov, reps=2)
+    rows.append((f"SSC w-auto block [{b_cov}]", dt_ssc / b_cov * 1e3))
+
     print(f"{'stage':34s} ms/cosmology")
     for name, ms in rows:
         print(f"  {name:32s} {ms:8.3f}")

@@ -1051,10 +1051,19 @@ def joint_wtheta_gammat_covariance(cosmo: CosmoParams, halo_p: HaloParams,
                                    cl_method: str = "lattice",
                                    tri_method: str | None = None,
                                    u_stride: int = 4, mask=None,
-                                   exact_z_anchors: int | None = None):
+                                   exact_z_anchors: int | None = None,
+                                   include_ssc: bool = False,
+                                   ssc_kwargs: dict | None = None):
     """Joint covariance of the stacked data vector [w_gg bins, gamma_t
     bins] — the full Morrison & Schneider 2013 clustering + g-g lensing
     program (upstream:covariance.py; SURVEY.md §2 row 13).
+
+    ``include_ssc`` adds the super-sample term to every block
+    (ssc.ssc_covariance — responses x footprint sigma_b^2; the
+    footprint is ``mask`` if given, else an equal-area disc at
+    ``omega_s_sr``); ``ssc_kwargs`` forward (n_k_ssc, local_counts,
+    ...).  For wide footprints SSC usually DOMINATES the connected
+    term — see the ssc module docstring.
 
     ``n2d_lens``: lens galaxies per steradian (shot noise N_gg = 1/n2d).
     ``shape_noise``: the white shear-noise level N_kk = sigma_eps^2 /
@@ -1149,6 +1158,24 @@ def joint_wtheta_gammat_covariance(cosmo: CosmoParams, halo_p: HaloParams,
             cosmo, halo_p, model, dist_lens, edges, omega_s_sr,
             windows=(win_g, win_k, win_g, win_k),
             tracers=("g", "m", "g", "m"), mu_i=2, mu_j=2, **common)
+    if include_ssc:
+        from chomp_tpu.ssc import ssc_covariance
+
+        skw = dict(with_bao=with_bao, grid=grid, u_stride=u_stride,
+                   exact_z_anchors=exact_z_anchors, **(ssc_kwargs or {}))
+        fp = mask if mask is not None else omega_s_sr
+        cov_ww = cov_ww + ssc_covariance(
+            cosmo, halo_p, model, dist_lens, edges, fp,
+            windows=(win_g,) * 4, tracers=("g",) * 4,
+            mu_i=0, mu_j=0, **skw)
+        cov_wg = cov_wg + ssc_covariance(
+            cosmo, halo_p, model, dist_lens, edges, fp,
+            windows=(win_g, win_g, win_g, win_k),
+            tracers=("g", "g", "g", "m"), mu_i=0, mu_j=2, **skw)
+        cov_gg = cov_gg + ssc_covariance(
+            cosmo, halo_p, model, dist_lens, edges, fp,
+            windows=(win_g, win_k, win_g, win_k),
+            tracers=("g", "m", "g", "m"), mu_i=2, mu_j=2, **skw)
     top = jnp.concatenate([cov_ww, cov_wg], axis=1)
     bot = jnp.concatenate([cov_wg.T, cov_gg], axis=1)
     return jnp.concatenate([top, bot], axis=0)
@@ -1168,9 +1195,15 @@ def joint_3x2pt_covariance(cosmo: CosmoParams, halo_p: HaloParams,
                            cl_method: str = "lattice",
                            tri_method: str | None = None,
                            u_stride: int = 4, mask=None,
-                           exact_z_anchors: int | None = None):
+                           exact_z_anchors: int | None = None,
+                           include_ssc: bool = False,
+                           ssc_kwargs: dict | None = None):
     """Joint covariance of the FULL 3x2pt data vector
     [w_gg, gamma_t, xi_+, xi_-] — (4 nb, 4 nb).
+
+    ``include_ssc`` adds the super-sample term to every block
+    (ssc.ssc_covariance; footprint = ``mask`` if given, else an
+    equal-area disc at ``omega_s_sr``; ``ssc_kwargs`` forward).
 
     Extends joint_wtheta_gammat_covariance (the Morrison & Schneider
     2013 clustering + g-g lensing program, SURVEY.md §2 row 13) with
@@ -1237,38 +1270,50 @@ def joint_3x2pt_covariance(cosmo: CosmoParams, halo_p: HaloParams,
     c_pm = shear_auto(0, 4, -1.0)
     c_mm = shear_auto(4, 4, +1.0)
 
+    # Connected + super-sample additions share one (windows, tracers,
+    # mu_i, mu_j) table over the 10 unique probe-pair blocks.
+    g4, k4, m4 = (win_g,) * 4, (win_k,) * 4, ("m",) * 4
+    gk2 = (win_g, win_g, win_k, win_k)
+    combos = {
+        "ww": (g4, ("g",) * 4, 0, 0),
+        "wg": ((win_g, win_g, win_g, win_k), ("g", "g", "g", "m"), 0, 2),
+        "wp": (gk2, ("g", "g", "m", "m"), 0, 0),
+        "wm": (gk2, ("g", "g", "m", "m"), 0, 4),
+        "gg": ((win_g, win_k, win_g, win_k), ("g", "m", "g", "m"), 2, 2),
+        "gp": ((win_g, win_k, win_k, win_k), ("g", "m", "m", "m"), 2, 0),
+        "gm": ((win_g, win_k, win_k, win_k), ("g", "m", "m", "m"), 2, 4),
+        "pp": (k4, m4, 0, 0),
+        "pm": (k4, m4, 0, 4),
+        "mm": (k4, m4, 4, 4),
+    }
+    adders = []
     if include_nongaussian:
         common = dict(with_bao=with_bao, grid=grid, exact_z=exact_z,
                       n_ell_cov=n_ell_cov_ng, n_k_tri=n_k_tri,
                       n_z_tri=n_z_tri, method=tri_method,
                       u_stride=u_stride, mask=mask,
                       exact_z_anchors=exact_z_anchors)
+        adders.append(lambda ws, ts, mi, mj: nongaussian_covariance(
+            cosmo, halo_p, model, dist_lens, edges, omega_s_sr,
+            windows=ws, tracers=ts, mu_i=mi, mu_j=mj, **common))
+    if include_ssc:
+        from chomp_tpu.ssc import ssc_covariance
 
-        def ng(windows, tracers, mi, mj):
-            return nongaussian_covariance(
-                cosmo, halo_p, model, dist_lens, edges, omega_s_sr,
-                windows=windows, tracers=tracers, mu_i=mi, mu_j=mj,
-                **common)
-
-        g4 = (win_g,) * 4
-        c_ww = c_ww + ng(g4, ("g",) * 4, 0, 0)
-        c_wg = c_wg + ng((win_g, win_g, win_g, win_k),
-                         ("g", "g", "g", "m"), 0, 2)
-        c_wp = c_wp + ng((win_g, win_g, win_k, win_k),
-                         ("g", "g", "m", "m"), 0, 0)
-        c_wm = c_wm + ng((win_g, win_g, win_k, win_k),
-                         ("g", "g", "m", "m"), 0, 4)
-        c_gg = c_gg + ng((win_g, win_k, win_g, win_k),
-                         ("g", "m", "g", "m"), 2, 2)
-        c_gp = c_gp + ng((win_g, win_k, win_k, win_k),
-                         ("g", "m", "m", "m"), 2, 0)
-        c_gm = c_gm + ng((win_g, win_k, win_k, win_k),
-                         ("g", "m", "m", "m"), 2, 4)
-        k4 = (win_k,) * 4
-        m4 = ("m",) * 4
-        c_pp = c_pp + ng(k4, m4, 0, 0)
-        c_pm = c_pm + ng(k4, m4, 0, 4)
-        c_mm = c_mm + ng(k4, m4, 4, 4)
+        skw = dict(with_bao=with_bao, grid=grid, u_stride=u_stride,
+                   exact_z_anchors=exact_z_anchors, **(ssc_kwargs or {}))
+        fp = mask if mask is not None else omega_s_sr
+        adders.append(lambda ws, ts, mi, mj: ssc_covariance(
+            cosmo, halo_p, model, dist_lens, edges, fp,
+            windows=ws, tracers=ts, mu_i=mi, mu_j=mj, **skw))
+    blocks = {"ww": c_ww, "wg": c_wg, "wp": c_wp, "wm": c_wm,
+              "gg": c_gg, "gp": c_gp, "gm": c_gm, "pp": c_pp,
+              "pm": c_pm, "mm": c_mm}
+    for add in adders:
+        for key, (ws, ts, mi, mj) in combos.items():
+            blocks[key] = blocks[key] + add(ws, ts, mi, mj)
+    c_ww, c_wg, c_wp, c_wm = (blocks[k] for k in ("ww", "wg", "wp", "wm"))
+    c_gg, c_gp, c_gm = (blocks[k] for k in ("gg", "gp", "gm"))
+    c_pp, c_pm, c_mm = (blocks[k] for k in ("pp", "pm", "mm"))
 
     rows = [
         jnp.concatenate([c_ww, c_wg, c_wp, c_wm], axis=1),
@@ -1487,12 +1532,22 @@ def _tomographic_pair_fn(cls, n2d, sn, cl_zero):
 
 def _tomographic_ng_block_fn(cosmo, halo_p, model, lens_dists, src_dists,
                              edges, omega_s_sr, with_bao, grid, mask,
-                             ng_kwargs, curved_mask=None, nuisance=None):
+                             ng_kwargs, curved_mask=None, nuisance=None,
+                             engine: str = "cng"):
     """(probe_entry_a, probe_entry_b) -> connected (cNG) block, or None
     if no channel pair contributes.  B tracers carry no connected piece
     (the B field is zero in the E-only shear model), so each block is
     the nongaussian_covariance of its non-B channel pair with the
     tracer legs mapped g -> lens window i, E -> convergence window j.
+
+    ``engine="ssc"`` swaps the block engine for the super-sample term
+    (ssc.ssc_covariance / ssc.curved_ssc_covariance) — the channel,
+    leg-window, per-bin-model, and nuisance treatment is IDENTICAL;
+    the per-SIDE halo model is the side's g-leg bin (matter-only sides
+    use the shared mass sector, which every bin's model carries), and
+    ``ng_kwargs`` then holds the ssc engine kwargs (n_k_ssc, ...).
+    The flat footprint is ``mask`` if given, else omega_s_sr's
+    equal-area disc.
 
     ``curved_mask`` switches the engine to
     curved.curved_nongaussian_covariance (exact sphere bin factors with
@@ -1541,7 +1596,40 @@ def _tomographic_ng_block_fn(cosmo, halo_p, model, lens_dists, src_dists,
         return (wins_k[i], "m", (model[0] if per_bin else model),
                 1.0 if cal is None else cal[i])
 
-    if curved_mask is not None:
+    def _side_model(ts_pair, ms_pair):
+        # The side's galaxy sample sets its response/trispectrum bin;
+        # matter-only sides carry no HOD dependence in the kinds used.
+        return ms_pair[0] if ts_pair[0] == "g" else ms_pair[1]
+
+    if engine == "ssc":
+        from chomp_tpu.ssc import curved_ssc_covariance, ssc_covariance
+
+        if curved_mask is not None:
+            from chomp_tpu.curved import _curved_probe_code
+
+            def block(ws, ts, ms, entry_a, entry_b):
+                m_pair = ((_side_model(ts[:2], ms[:2]),
+                           _side_model(ts[2:], ms[2:]))
+                          if per_bin else model)
+                return curved_ssc_covariance(
+                    cosmo, halo_p, m_pair, lens_dists[0], edges,
+                    curved_mask, windows=ws, tracers=ts,
+                    mu_i=_curved_probe_code(entry_a[1], entry_a[2]),
+                    mu_j=_curved_probe_code(entry_b[1], entry_b[2]),
+                    with_bao=with_bao, grid=grid, **ng_kwargs)
+        else:
+            fp = mask if mask is not None else omega_s_sr
+
+            def block(ws, ts, ms, entry_a, entry_b):
+                m_pair = ((_side_model(ts[:2], ms[:2]),
+                           _side_model(ts[2:], ms[2:]))
+                          if per_bin else model)
+                return ssc_covariance(
+                    cosmo, halo_p, m_pair, lens_dists[0], edges, fp,
+                    windows=ws, tracers=ts, mu_i=entry_a[1],
+                    mu_j=entry_b[1], with_bao=with_bao, grid=grid,
+                    **ng_kwargs)
+    elif curved_mask is not None:
         from chomp_tpu.curved import (_curved_probe_code,
                                       curved_nongaussian_covariance)
 
@@ -1588,12 +1676,24 @@ def tomographic_3x2pt_covariance(cosmo: CosmoParams, halo_p: HaloParams,
                                  include_nongaussian=False,
                                  nuisance=None,
                                  include_magnification: bool = False,
+                                 include_ssc=False,
+                                 ssc_kwargs: dict | None = None,
                                  **ng_kwargs):
     """Gaussian (+ optionally connected) covariance of the FULL
     TOMOGRAPHIC 3x2pt data vector — (n_probe nb, n_probe nb) over the
     probe order of tomographic_probes (w autos, all gamma_t pairs,
     xi_+- source pairs).  Capability extension beyond chomp
     (single-sample only).
+
+    ``include_ssc`` (False / "autos" / True, same semantics as
+    ``include_nongaussian``) adds the super-sample term through the
+    SAME channel/leg/per-bin-model/nuisance machinery
+    (_tomographic_ng_block_fn with the ssc engine; footprint = ``mask``
+    if given else omega_s_sr's equal-area disc; ``ssc_kwargs``
+    forward to ssc.ssc_covariance).  Unlike the cNG, SSC couples bins
+    STRONGLY across probes (every probe responds to the same
+    background modes), so "autos" is a much cruder approximation here
+    — prefer True.
 
     Every block assembles from gaussian_block over the probes' E/B
     channel decompositions: tracer pairs carry C_ℓ from ONE lattice
@@ -1640,6 +1740,12 @@ def tomographic_3x2pt_covariance(cosmo: CosmoParams, halo_p: HaloParams,
                                    with_bao, grid, mask, ng_kwargs,
                                    nuisance=nuisance)
           if include_nongaussian else None)
+    sscf = (_tomographic_ng_block_fn(cosmo, halo_p, model, lens_dists,
+                                     src_dists, edges, omega_s_sr,
+                                     with_bao, grid, mask,
+                                     ssc_kwargs or {},
+                                     nuisance=nuisance, engine="ssc")
+            if include_ssc else None)
     n_probe = len(probes)
     blocks = [[None] * n_probe for _ in range(n_probe)]
     for pa in range(n_probe):
@@ -1672,6 +1778,11 @@ def tomographic_3x2pt_covariance(cosmo: CosmoParams, halo_p: HaloParams,
                 c_ng = ng(probes[pa], probes[pb])
                 if c_ng is not None:
                     acc = acc + c_ng
+            if sscf is not None and (include_ssc != "autos"
+                                     or pb == pa):
+                c_s = sscf(probes[pa], probes[pb])
+                if c_s is not None:
+                    acc = acc + c_s
             blocks[pa][pb] = acc
             if pb != pa:
                 blocks[pb][pa] = acc.T

@@ -1181,7 +1181,9 @@ def curved_joint_wtheta_gammat_covariance(
         cosmo, halo_p, model, dist_lens, dist_src, theta_edges_deg,
         n2d_lens, shape_noise, mask, ell_max: int = 4096,
         ell_split: int | None = None, with_bao: bool = False,
-        grid=None, include_nongaussian: bool = False, **ng_kwargs):
+        grid=None, include_nongaussian: bool = False,
+        include_ssc: bool = False, ssc_kwargs: dict | None = None,
+        **ng_kwargs):
     """Joint [w_gg, γt] covariance on a masked SPHERE — the curved
     analog of covariance.joint_wtheta_gammat_covariance, with the same
     TPU-first dataflow: the three C_ℓ's come from ONE halo evaluation
@@ -1225,25 +1227,40 @@ def curved_joint_wtheta_gammat_covariance(
     cov_gg = curved_gaussian_block(cl_gg, cl_kk, cl_gk, cl_gk, edges,
                                    edges, mask, 2, 2, n_g,
                                    float(shape_noise), 0.0, 0.0, **kw)
-    if include_nongaussian:
+    if include_nongaussian or include_ssc:
         from chomp_tpu.projection import WindowConvergence, WindowGalaxy
 
         win_g = WindowGalaxy(dist=dist_lens)
         win_k = WindowConvergence(dist=dist_src)
-        common = dict(with_bao=with_bao, grid=grid, ell_max=ell_max,
-                      **ng_kwargs)
-        cov_ww = cov_ww + curved_nongaussian_covariance(
-            cosmo, halo_p, model, dist_lens, edges, mask,
-            windows=(win_g,) * 4, tracers=("g",) * 4,
-            mu_i=0, mu_j=0, **common)
-        cov_wg = cov_wg + curved_nongaussian_covariance(
-            cosmo, halo_p, model, dist_lens, edges, mask,
-            windows=(win_g, win_g, win_g, win_k),
-            tracers=("g", "g", "g", "m"), mu_i=0, mu_j=2, **common)
-        cov_gg = cov_gg + curved_nongaussian_covariance(
-            cosmo, halo_p, model, dist_lens, edges, mask,
-            windows=(win_g, win_k, win_g, win_k),
-            tracers=("g", "m", "g", "m"), mu_i=2, mu_j=2, **common)
+        combos = (
+            ("ww", (win_g,) * 4, ("g",) * 4, 0, 0),
+            ("wg", (win_g, win_g, win_g, win_k),
+             ("g", "g", "g", "m"), 0, 2),
+            ("gg", (win_g, win_k, win_g, win_k),
+             ("g", "m", "g", "m"), 2, 2),
+        )
+        adders = []
+        if include_nongaussian:
+            common = dict(with_bao=with_bao, grid=grid, ell_max=ell_max,
+                          **ng_kwargs)
+            adders.append(lambda ws, ts, mi, mj:
+                          curved_nongaussian_covariance(
+                              cosmo, halo_p, model, dist_lens, edges,
+                              mask, windows=ws, tracers=ts, mu_i=mi,
+                              mu_j=mj, **common))
+        if include_ssc:
+            from chomp_tpu.ssc import curved_ssc_covariance
+
+            skw = dict(with_bao=with_bao, grid=grid, ell_max=ell_max,
+                       **(ssc_kwargs or {}))
+            adders.append(lambda ws, ts, mi, mj: curved_ssc_covariance(
+                cosmo, halo_p, model, dist_lens, edges, mask,
+                windows=ws, tracers=ts, mu_i=mi, mu_j=mj, **skw))
+        blocks = {"ww": cov_ww, "wg": cov_wg, "gg": cov_gg}
+        for add in adders:
+            for key, ws, ts, mi, mj in combos:
+                blocks[key] = blocks[key] + add(ws, ts, mi, mj)
+        cov_ww, cov_wg, cov_gg = (blocks[k] for k in ("ww", "wg", "gg"))
     top = jnp.concatenate([cov_ww, cov_wg], axis=1)
     bot = jnp.concatenate([cov_wg.T, cov_gg], axis=1)
     return jnp.concatenate([top, bot], axis=0)
@@ -1253,11 +1270,18 @@ def curved_joint_3x2pt_covariance(
         cosmo, halo_p, model, dist_lens, dist_src, theta_edges_deg,
         n2d_lens, shape_noise, mask, ell_max: int = 4096,
         ell_split: int | None = None, with_bao: bool = False,
-        grid=None, include_nongaussian: bool = False, **ng_kwargs):
+        grid=None, include_nongaussian: bool = False,
+        include_ssc: bool = False, ssc_kwargs: dict | None = None,
+        **ng_kwargs):
     """Joint [w_gg, γt, ξ_+, ξ_-] covariance on a masked SPHERE —
     (4 nb, 4 nb); the curved analog of
     covariance.joint_3x2pt_covariance, extending
     curved_joint_wtheta_gammat_covariance with the shear-shear rows.
+
+    ``include_ssc`` adds the super-sample term to every block
+    (ssc.curved_ssc_covariance: responses x the footprint's per-ℓ
+    mask power sigma_b² — exact sphere bin factors, same ``ell_max``;
+    ``ssc_kwargs`` forward).
 
     Shear model: E-only signal (C_EE = f_ℓ² C_κκ via the exact
     prediction operator; the covariance uses C_κκ directly — the f_ℓ
@@ -1314,37 +1338,56 @@ def curved_joint_3x2pt_covariance(
             - blk(cl_zero, cl_zero, cl_zero, cl_zero, "xip", "xim",
                   ns, ns, ns, ns, nn_quadrature=True))
 
-    if include_nongaussian:
+    if include_nongaussian or include_ssc:
         from chomp_tpu.projection import WindowConvergence, WindowGalaxy
 
         win_g = WindowGalaxy(dist=dist_lens)
         win_k = WindowConvergence(dist=dist_src)
-        common = dict(with_bao=with_bao, grid=grid, ell_max=ell_max,
-                      **ng_kwargs)
-
-        def ng(windows, tracers, mi, mj):
-            return curved_nongaussian_covariance(
-                cosmo, halo_p, model, dist_lens, edges, mask,
-                windows=windows, tracers=tracers, mu_i=mi, mu_j=mj,
-                **common)
-
         g4, k4, m4 = (win_g,) * 4, (win_k,) * 4, ("m",) * 4
-        c_ww = c_ww + ng(g4, ("g",) * 4, 0, 0)
-        c_wg = c_wg + ng((win_g, win_g, win_g, win_k),
-                         ("g", "g", "g", "m"), 0, 2)
-        c_wp = c_wp + ng((win_g, win_g, win_k, win_k),
-                         ("g", "g", "m", "m"), 0, "xip")
-        c_wm = c_wm + ng((win_g, win_g, win_k, win_k),
-                         ("g", "g", "m", "m"), 0, "xim")
-        c_gg = c_gg + ng((win_g, win_k, win_g, win_k),
-                         ("g", "m", "g", "m"), 2, 2)
-        c_gp = c_gp + ng((win_g, win_k, win_k, win_k),
-                         ("g", "m", "m", "m"), 2, "xip")
-        c_gm = c_gm + ng((win_g, win_k, win_k, win_k),
-                         ("g", "m", "m", "m"), 2, "xim")
-        c_pp = c_pp + ng(k4, m4, "xip", "xip")
-        c_pm = c_pm + ng(k4, m4, "xip", "xim")
-        c_mm = c_mm + ng(k4, m4, "xim", "xim")
+        gk2 = (win_g, win_g, win_k, win_k)
+        combos = {
+            "ww": (g4, ("g",) * 4, 0, 0),
+            "wg": ((win_g, win_g, win_g, win_k),
+                   ("g", "g", "g", "m"), 0, 2),
+            "wp": (gk2, ("g", "g", "m", "m"), 0, "xip"),
+            "wm": (gk2, ("g", "g", "m", "m"), 0, "xim"),
+            "gg": ((win_g, win_k, win_g, win_k),
+                   ("g", "m", "g", "m"), 2, 2),
+            "gp": ((win_g, win_k, win_k, win_k),
+                   ("g", "m", "m", "m"), 2, "xip"),
+            "gm": ((win_g, win_k, win_k, win_k),
+                   ("g", "m", "m", "m"), 2, "xim"),
+            "pp": (k4, m4, "xip", "xip"),
+            "pm": (k4, m4, "xip", "xim"),
+            "mm": (k4, m4, "xim", "xim"),
+        }
+        adders = []
+        if include_nongaussian:
+            common = dict(with_bao=with_bao, grid=grid, ell_max=ell_max,
+                          **ng_kwargs)
+            adders.append(lambda ws, ts, mi, mj:
+                          curved_nongaussian_covariance(
+                              cosmo, halo_p, model, dist_lens, edges,
+                              mask, windows=ws, tracers=ts, mu_i=mi,
+                              mu_j=mj, **common))
+        if include_ssc:
+            from chomp_tpu.ssc import curved_ssc_covariance
+
+            skw = dict(with_bao=with_bao, grid=grid, ell_max=ell_max,
+                       **(ssc_kwargs or {}))
+            adders.append(lambda ws, ts, mi, mj: curved_ssc_covariance(
+                cosmo, halo_p, model, dist_lens, edges, mask,
+                windows=ws, tracers=ts, mu_i=mi, mu_j=mj, **skw))
+        blocks = {"ww": c_ww, "wg": c_wg, "wp": c_wp, "wm": c_wm,
+                  "gg": c_gg, "gp": c_gp, "gm": c_gm, "pp": c_pp,
+                  "pm": c_pm, "mm": c_mm}
+        for add in adders:
+            for key, (ws, ts, mi, mj) in combos.items():
+                blocks[key] = blocks[key] + add(ws, ts, mi, mj)
+        c_ww, c_wg = blocks["ww"], blocks["wg"]
+        c_wp, c_wm = blocks["wp"], blocks["wm"]
+        c_gg, c_gp, c_gm = blocks["gg"], blocks["gp"], blocks["gm"]
+        c_pp, c_pm, c_mm = blocks["pp"], blocks["pm"], blocks["mm"]
 
     rows = [
         jnp.concatenate([c_ww, c_wg, c_wp, c_wm], axis=1),
@@ -1373,7 +1416,8 @@ def curved_tomographic_3x2pt_covariance(
         n2d_lens_list, shape_noise_list, mask, ell_max: int = 4096,
         ell_split: int | None = None, with_bao: bool = False,
         grid=None, include_nongaussian=False, nuisance=None,
-        include_magnification: bool = False, **ng_kwargs):
+        include_magnification: bool = False, include_ssc=False,
+        ssc_kwargs: dict | None = None, **ng_kwargs):
     """Gaussian covariance of the full TOMOGRAPHIC 3x2pt data vector on
     a masked SPHERE — the curved analog of
     covariance.tomographic_3x2pt_covariance (same probe order:
@@ -1400,7 +1444,11 @@ def curved_tomographic_3x2pt_covariance(
     ``nuisance`` evaluates every block (Gaussian AND connected) at a
     fiducial systematics vector (see the flat builder);
     ``include_magnification`` carries the lens magnification terms
-    into the gg/gk spectra (tomographic_lattice_cl_callables)."""
+    into the gg/gk spectra (tomographic_lattice_cl_callables).
+    ``include_ssc`` (False/"autos"/True) adds the super-sample term
+    via ssc.curved_ssc_covariance through the same channel/leg/
+    nuisance machinery (``ssc_kwargs`` forward; SSC couples bins
+    strongly across probes — prefer True over "autos")."""
     from chomp_tpu.covariance import (_tomographic_ng_block_fn,
                                       _tomographic_noise_lists,
                                       _tomographic_pair_fn,
@@ -1430,6 +1478,11 @@ def curved_tomographic_3x2pt_covariance(
         with_bao, grid, None, dict(ell_max=ell_max, **ng_kwargs),
         curved_mask=mask, nuisance=nuisance)
         if include_nongaussian else None)
+    sscf = (_tomographic_ng_block_fn(
+        cosmo, halo_p, model, lens_dists, src_dists, edges, None,
+        with_bao, grid, None, dict(ell_max=ell_max, **(ssc_kwargs or {})),
+        curved_mask=mask, nuisance=nuisance, engine="ssc")
+        if include_ssc else None)
     codes = [_curved_probe_code(mu, ch) for (_n, mu, ch) in probes]
     n_probe = len(probes)
     blocks = [[None] * n_probe for _ in range(n_probe)]
@@ -1465,6 +1518,11 @@ def curved_tomographic_3x2pt_covariance(
                 c_ng = ng(probes[pa], probes[pb])
                 if c_ng is not None:
                     acc = acc + c_ng
+            if sscf is not None and (include_ssc != "autos"
+                                     or pb == pa):
+                c_s = sscf(probes[pa], probes[pb])
+                if c_s is not None:
+                    acc = acc + c_s
             blocks[pa][pb] = acc
             if pb != pa:
                 blocks[pb][pa] = acc.T

@@ -1,13 +1,14 @@
 """Super-sample covariance: responses vs the quad oracle, sigma_b^2
 analytic/harmonic referees, lattice projection vs a dense-z quadrature,
-and flat/curved block consistency."""
+flat/curved block consistency, and the include_ssc joint/tomographic
+builder integrations (exact block assembly + single-bin reduction)."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from chomp_tpu import background, default_halo, halo, linear, ssc
+from chomp_tpu import background, covariance, default_halo, halo, linear, ssc
 from chomp_tpu.mask import DiscMask, UniformMask
 from chomp_tpu.params import DEFAULT_GRID
 from chomp_tpu.projection import DNdzGaussian, WindowConvergence, WindowGalaxy
@@ -295,3 +296,76 @@ def test_projected_ssc_exact_z_anchors(fiducial, model):
         fiducial, h, model_mid, ells, ells, (win,) * 4, ("g",) * 4, sfn,
         exact_z_anchors=6))
     np.testing.assert_allclose(np.diag(anc_m), np.diag(sep_m), rtol=0.25)
+
+
+# ---------------------------------------------------------------------------
+# Builder integration: include_ssc on the joint + tomographic matrices
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tomo_setup(fiducial, fiducial_model):
+    from chomp_tpu.params import GridSpec
+
+    g = GridSpec(n_mass=128, n_mu=8, sigma_panels=8,
+                 sigma_n_per_panel=32, n_growth=32, n_dist=32)
+    lens = gauss_dist(0.4, 0.12, z_max=2.5)
+    src = gauss_dist(0.8, 0.2, z_max=2.5)
+    return default_halo(), fiducial_model, lens, src, g
+
+
+@pytest.mark.slow
+def test_joint_3x2pt_include_ssc_assembly(fiducial, tomo_setup):
+    """include_ssc adds exactly the ten ssc_covariance blocks: the
+    difference's ww corner equals the directly-built ww SSC block, and
+    the addition keeps the matrix symmetric with a larger diagonal."""
+    from chomp_tpu.projection import WindowGalaxy
+
+    h, model, lens, src, g = tomo_setup
+    edges = np.logspace(-1.5, 0, 4)
+    nb = len(edges) - 1
+    kw = dict(grid=g, include_nongaussian=False, n_ell_cov_g=1024)
+    base = np.asarray(covariance.joint_3x2pt_covariance(
+        fiducial, h, model, lens, src, edges, 0.2, 3.0e7, 4.0e-9, **kw))
+    tot = np.asarray(covariance.joint_3x2pt_covariance(
+        fiducial, h, model, lens, src, edges, 0.2, 3.0e7, 4.0e-9,
+        include_ssc=True, **kw))
+    diff = tot - base
+    np.testing.assert_allclose(diff, diff.T, rtol=1e-8, atol=0)
+    assert np.all(np.diag(diff) > 0)
+    win_g = WindowGalaxy(dist=lens)
+    ww = np.asarray(ssc.ssc_covariance(
+        fiducial, h, model, lens, edges, 0.2, windows=(win_g,) * 4,
+        tracers=("g",) * 4, grid=g))
+    np.testing.assert_allclose(diff[:nb, :nb], ww, rtol=1e-10, atol=0)
+
+
+@pytest.mark.slow
+def test_tomographic_single_bin_ssc_reduction(fiducial, tomo_setup):
+    """nL = nS = 1 tomographic include_ssc=True == the joint 3x2pt
+    builder with include_ssc=True (every channel-pair -> window/
+    tracer/mu mapping identical), flat and curved."""
+    h, model, lens, src, g = tomo_setup
+    edges = np.logspace(-1.5, 0, 4)
+    kw = dict(grid=g, n_ell_cov_g=1024, include_ssc=True)
+    tomo = np.asarray(covariance.tomographic_3x2pt_covariance(
+        fiducial, h, model, [lens], [src], edges, 0.2,
+        [3.0e7], [4.0e-9], **kw))
+    joint = np.asarray(covariance.joint_3x2pt_covariance(
+        fiducial, h, model, lens, src, edges, 0.2, 3.0e7, 4.0e-9,
+        include_nongaussian=False, **kw))
+    np.testing.assert_allclose(tomo, joint, rtol=1e-10, atol=0)
+
+    from chomp_tpu.curved import (SphericalCapMask,
+                                  curved_joint_3x2pt_covariance,
+                                  curved_tomographic_3x2pt_covariance)
+
+    cap = SphericalCapMask(0.25)
+    ckw = dict(grid=g, ell_max=1024, include_ssc=True)
+    ctomo = np.asarray(curved_tomographic_3x2pt_covariance(
+        fiducial, h, model, [lens], [src], edges,
+        [3.0e7], [4.0e-9], cap, **ckw))
+    cjoint = np.asarray(curved_joint_3x2pt_covariance(
+        fiducial, h, model, lens, src, edges, 3.0e7, 4.0e-9, cap,
+        include_nongaussian=False, **ckw))
+    np.testing.assert_allclose(ctomo, cjoint, rtol=1e-10, atol=0)
