@@ -27,6 +27,9 @@ Layer map (mirrors SURVEY.md §1, reimagined TPU-first):
                       flat-sky (mask.py) and curved-sky (curved.py)
     ssc           ->  (new) super-sample covariance: halo-model power
                       responses + footprint sigma_b^2 on both geometries
+    nonlimber     ->  (new) exact low-ell spherical-Bessel projection
+                      (FFTLog + analytic Mellin kernels) repairing the
+                      Limber approximation, + linear Kaiser RSD
     compat        ->  object API mirroring the reference's classes
 """
 

@@ -145,6 +145,26 @@ def growth_factor(cosmo: CosmoParams, z, n: int = 64):
     return _growth_unnorm(cosmo, a, n) / _growth_unnorm(cosmo, jnp.asarray(1.0), n)
 
 
+def growth_rate(cosmo: CosmoParams, z, n: int = 64):
+    """Linear growth rate f(z) = dlnD/dlna, differentiating the
+    integral form of :func:`growth_factor` analytically:
+
+      D_un(a) = 2.5 Om E(a) I(a),  I(a) = ∫_0^a da'/(a' E)^3
+      f = (1/2) dlnE^2/dlna + a I'(a)/I(a)
+        = (1/2) dlnE^2/dlna + 2.5 Om / (a^2 E^2 D_un(a)).
+
+    (a I' = 1/(a^2 E^3); the last form reuses D_un = 2.5 Om E I.)
+    Matches Omega_m(z)^0.55 to ~2e-3 for LCDM; exact for the integral-
+    form growth, i.e. consistent with what the separable pipelines use.
+    Capability extension beyond chomp (no upstream counterpart) — the
+    RSD kernel of the non-Limber module consumes it."""
+    z = jnp.asarray(z)
+    a = 1.0 / (1.0 + z)
+    d_un = _growth_unnorm(cosmo, a, n)
+    return (0.5 * _dln_e2_dlna(cosmo, a)
+            + 2.5 * cosmo.omega_m0 / (a * a * e2z(cosmo, z) * d_un))
+
+
 #: EdS spherical-collapse threshold (3/20)(12 pi)^(2/3).
 DELTA_C_EDS = 0.15 * (12.0 * jnp.pi) ** (2.0 / 3.0)
 

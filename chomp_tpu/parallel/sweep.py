@@ -120,7 +120,9 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
                   include_lensing: bool = True, method: str = "fft",
                   exact_z_anchors: int | None = None,
                   geometry: str = "flat",
-                  include_shear: bool = False):
+                  include_shear: bool = False,
+                  nonlimber_ell_switch: int | None = None,
+                  nonlimber_rsd: bool = False):
     """Build the flagship single-cosmology program: halo model ->
     clustering w(theta) (+ lensing gamma_t) — the BASELINE.json configs[4]
     "batched w(theta) lensing+clustering pipeline".
@@ -155,6 +157,26 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
     geometry="curved") — the full 3x2pt data vector.  Capability
     extension beyond chomp (correlation.xi_plus docstring).
 
+    ``nonlimber_ell_switch`` (fft routes only): repair the Limber
+    approximation below that multipole with the EXACT spherical-Bessel
+    projection (chomp_tpu.nonlimber — FFTLog with analytic Mellin
+    kernels; for a sigma_z ~ 0.05 lens bin Limber is ~2x wrong on
+    C_gg at ell = 2 and ~8% at ell = 10).  Applied to w(theta) and
+    gamma_t as additive tapered corrections; xi_+/- keep plain Limber
+    (both legs are broad lensing kernels — their non-Limber error is
+    <0.1% at every ell >= 2).  The correction is computed in the
+    separable approximation even when ``exact_z_anchors`` is set (the
+    cross term Limber-error x evolution-error is second order); that
+    combination costs one extra pivot halo evaluation.  ell_switch ~
+    40-100 is ample: the residual Limber error at the switch is
+    <~0.5% and decays as ell^-2.  ``nonlimber_rsd=True`` additionally
+    carries the linear Kaiser redshift-space term on the galaxy leg
+    (nonlimber.rsd_delta_cl_nodes — the -j_ell'' kernel on P_lin
+    h_a h_b; for a sigma_z ~ 0.05 bin it DOMINATES C_gg at the lowest
+    multipoles — measured 156% of the density C_gg at ell=2, 48% at
+    ell=10 — and is zero in any Limber pipeline) through the same
+    tapered operators.
+
     Returns ``fn(cosmo) -> dict`` (pure; jit/vmap/grad-able).
     ``halo_params``/``hod``/``dist`` are closed over but traced, so they
     can also carry batch axes via vmap in_axes if desired (except
@@ -173,6 +195,14 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
             "geometry='curved' requires method='fft' (the curved "
             "multipole operators consume the lattice convolution; the "
             "table route has no integer-ell surface)")
+    if nonlimber_ell_switch and method != "fft":
+        raise ValueError(
+            "nonlimber_ell_switch requires method='fft' (the exact "
+            "projection consumes the pipeline's k-lattice spectrum row)")
+    if nonlimber_rsd and not nonlimber_ell_switch:
+        raise ValueError("nonlimber_rsd requires nonlimber_ell_switch "
+                         "(the RSD term rides the same correction "
+                         "operators)")
 
     if theta_deg is None:
         theta_deg = correlation.theta_bins_deg(grid)
@@ -224,6 +254,41 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
         cl = projection.limber_cl(cosmo, wa, wb, ells, pt, grid)
         return correlation.wtheta_from_cl_fused(cl, theta_key, grid, mu)
 
+    def _apply_nonlimber(cosmo, model, out, p_lat):
+        """Additive low-ell repair of the Limber projection (w + gt;
+        see the nonlimber_ell_switch docstring note).  ``p_lat``: the
+        separable pivot-epoch lattice spectra dict."""
+        from chomp_tpu import nonlimber
+
+        piv = model.mass.growth
+        sw = int(nonlimber_ell_switch)
+        tk = tuple(np.asarray(theta_key, dtype=float).tolist())
+        d_w = nonlimber.delta_cl_nodes(cosmo, win_g, win_g,
+                                       p_lat[power_spec], sw, grid,
+                                       ("d", "d"), piv)
+        if nonlimber_rsd:
+            d_w = d_w + nonlimber.rsd_delta_cl_nodes(
+                cosmo, halo_params, model, win_g, win_g, sw, grid,
+                "d", piv, with_bao=with_bao)
+        op_w = nonlimber.correction_operator(tk, 0.0, sw, 20, geometry)
+        out["w_theta"] = out["w_theta"] + jnp.matmul(
+            jnp.asarray(op_w), d_w, precision=jax.lax.Precision.HIGHEST)
+        if include_lensing:
+            kk = "k_E" if geometry == "curved" else "k_flat"
+            d_g = nonlimber.delta_cl_nodes(cosmo, win_g, win_k,
+                                           p_lat["power_gm"], sw, grid,
+                                           ("d", kk), piv)
+            if nonlimber_rsd:
+                d_g = d_g + nonlimber.rsd_delta_cl_nodes(
+                    cosmo, halo_params, model, win_g, win_k, sw, grid,
+                    kk, piv, with_bao=with_bao)
+            op_g = nonlimber.correction_operator(tk, 2.0, sw, 20,
+                                                 geometry)
+            out["gamma_t"] = out["gamma_t"] + jnp.matmul(
+                jnp.asarray(op_g), d_g,
+                precision=jax.lax.Precision.HIGHEST)
+        return out
+
     def fn(cosmo: CosmoParams):
         model = halo_mod.build_halo_model(cosmo, halo_params, hod, z_pivot,
                                           with_bao, grid)
@@ -270,6 +335,8 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
                 out["gamma_t"] = outs[1][0]
             if include_shear:
                 out["xi_plus"], out["xi_minus"] = outs[-1]
+            if nonlimber_ell_switch:
+                out = _apply_nonlimber(cosmo, model, out, p_all)
             return out
         out["w_theta"] = w_from_p(cosmo, model, win_g, win_g, p_all,
                                   power_spec, 0.0)
@@ -285,6 +352,13 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
                                       "power_mm", 0.0, stat_p)
             out["xi_minus"] = w_from_p(cosmo, model, win_k, win_k, p_all,
                                        "power_mm", 4.0, stat_m)
+        if nonlimber_ell_switch:
+            # Exact-z route: the correction runs separably off one
+            # extra pivot halo evaluation (second-order cross error).
+            p_sep = (p_all if (method == "fft" and not exact_z_anchors)
+                     else limber_fft.p_lattice_halo_all(
+                         cosmo, halo_params, model, with_bao, grid))
+            out = _apply_nonlimber(cosmo, model, out, p_sep)
         return out
 
     def _validate(cosmo_batch):
@@ -365,7 +439,9 @@ def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
                               geometry: str = "flat",
                               exact_z_anchors: int | None = None,
                               with_nuisance: bool = False,
-                              include_magnification: bool = False):
+                              include_magnification: bool = False,
+                              nonlimber_ell_switch: int | None = None,
+                              nonlimber_rsd: bool = False):
     """Tomographic 3x2pt prediction: fn(cosmo) -> dict with
     w_theta (n_lens, nb), gamma_t (n_lens*n_src, nb),
     xi_plus/xi_minus (n_src (n_src+1)/2, nb), and "vector" — the
@@ -408,7 +484,22 @@ def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
     >10% off on C_ℓ for deep kernels pivoted at z=0, tests/
     test_exact_z_lattice.py).  Requires concrete dist.z_max (anchor
     window sized at build time).  Pure, jit/vmap/grad-able over
-    ``cosmo``."""
+    ``cosmo``.
+
+    ``nonlimber_ell_switch`` / ``nonlimber_rsd``: exact low-multipole
+    repair of the Limber projection per bin pair, as in
+    ``make_pipeline`` — every w_i and γt_{ij} row gains the additive
+    tapered dC_ℓ correction (chomp_tpu.nonlimber; narrow tomographic
+    lens bins are exactly where Limber fails: ~2x on C_gg at ℓ=2 for
+    σ_z ~ 0.05); ξ± keep plain Limber (broad kernels, <0.1% error).
+    Computed in the separable approximation (exact-z mode pays one
+    extra pivot lattice evaluation per distinct HOD; the Limber-error ×
+    evolution-error cross term is second order).  In nuisance mode the
+    corrections use the shifted/IA windows and ride inside the (1+m_j)
+    calibration; the IA piece of the source window is projected through
+    the convergence kernel (its separate density-kernel correction is
+    second-order small), and the magnification add-on rows keep plain
+    Limber (doubly sub-leading)."""
     import numpy as np
 
     from chomp_tpu import halo as halo_mod
@@ -426,6 +517,10 @@ def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
         raise ValueError("include_magnification needs with_nuisance="
                          "True (the slopes live in Nuisance3x2pt."
                          "alpha_lens)")
+    if nonlimber_rsd and not nonlimber_ell_switch:
+        raise ValueError("nonlimber_rsd requires nonlimber_ell_switch "
+                         "(the RSD term rides the same correction "
+                         "operators)")
     if theta_deg is None:
         theta_deg = correlation.theta_bins_deg(grid)
     theta_key = np.asarray(theta_deg)
@@ -578,6 +673,65 @@ def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
                         for j, k in pairs_xi]
             xim_rows = [w_of(src_mm, wins_k[j], wins_k[k], 4.0, stat_m)
                         for j, k in pairs_xi]
+        if nonlimber_ell_switch:
+            # Exact low-ell Limber repair per bin pair (before the
+            # (1+m) calibration — it scales the full theory gt).  See
+            # the docstring note; xi rows keep plain Limber.
+            from chomp_tpu import nonlimber
+
+            sw = int(nonlimber_ell_switch)
+            tkk = tuple(np.asarray(theta_key, dtype=float).tolist())
+            kk = "k_E" if geometry == "curved" else "k_flat"
+            n_l = len(wins_g)
+            if exact_z_anchors:
+                # One extra pivot lattice evaluation per distinct HOD
+                # (the correction runs separably; cross error is
+                # second order — same policy as make_pipeline).
+                if hods is not None:
+                    p_nl = limber_fft.p_lattice_tomographic(
+                        cosmo, halo_params, models, with_bao, grid)
+                    pgg_nl = [p_nl[("power_gg", i, i)]
+                              for i in range(n_l)]
+                    pgm_nl = [p_nl[("power_gm", i)] for i in range(n_l)]
+                else:
+                    p_nl = limber_fft.p_lattice_halo_all(
+                        cosmo, halo_params, models[0], with_bao, grid)
+                    pgg_nl = [p_nl["power_gg"]] * n_l
+                    pgm_nl = [p_nl["power_gm"]] * n_l
+            elif hods is not None:
+                pgg_nl = [p_all[("power_gg", i, i)] for i in range(n_l)]
+                pgm_nl = [p_all[("power_gm", i)] for i in range(n_l)]
+            else:
+                pgg_nl = [p_all["power_gg"]] * n_l
+                pgm_nl = [p_all["power_gm"]] * n_l
+            op_w = jnp.asarray(nonlimber.correction_operator(
+                tkk, 0.0, sw, 20, geometry))
+            op_g = jnp.asarray(nonlimber.correction_operator(
+                tkk, 2.0, sw, 20, geometry))
+            hp = jax.lax.Precision.HIGHEST
+            for i in range(n_l):
+                m_i = models[i] if hods is not None else models[0]
+                d_w = nonlimber.delta_cl_nodes(
+                    cosmo, wins_g[i], wins_g[i], pgg_nl[i], sw, grid,
+                    ("d", "d"), piv)
+                if nonlimber_rsd:
+                    d_w = d_w + nonlimber.rsd_delta_cl_nodes(
+                        cosmo, halo_params, m_i, wins_g[i], wins_g[i],
+                        sw, grid, "d", piv, with_bao=with_bao)
+                w_rows[i] = w_rows[i] + jnp.matmul(op_w, d_w,
+                                                   precision=hp)
+                for j in range(n_src):
+                    d_g = nonlimber.delta_cl_nodes(
+                        cosmo, wins_g[i], wins_k[j], pgm_nl[i], sw,
+                        grid, ("d", kk), piv)
+                    if nonlimber_rsd:
+                        d_g = d_g + nonlimber.rsd_delta_cl_nodes(
+                            cosmo, halo_params, m_i, wins_g[i],
+                            wins_k[j], sw, grid, kk, piv,
+                            with_bao=with_bao)
+                    gt_rows[i * n_src + j] = (
+                        gt_rows[i * n_src + j]
+                        + jnp.matmul(op_g, d_g, precision=hp))
         if with_nuisance:
             # Multiplicative shear calibration: gamma_hat = (1+m) gamma.
             cal = 1.0 + nuisance.m
