@@ -116,6 +116,22 @@ def main(batch_size: int = 100):
                                      z_pivot=0.6)
     stage("tomographic 2x2 vector (12 probes)", tomo)
 
+    # Non-Limber low-ell repair + Kaiser RSD (nonlimber.py): the same
+    # w+gamma_t pipeline with the exact spherical-Bessel correction
+    # below ell=40 — measures the cost of the Mellin-kernel transfer
+    # stages on top of the separable fast path.
+    full_nl = make_pipeline(h, hod, dist, nonlimber_ell_switch=40,
+                            nonlimber_rsd=True)
+    stage("w+gt + non-Limber/RSD (ell<40)", full_nl)
+
+    # 5x2pt + kappa_CMB: the tomographic vector with per-lens-bin
+    # w_{g kappa_CMB} rows (cmblens.py) — one extra fused-conv row per
+    # lens bin.
+    tomo5 = make_tomographic_pipeline(h, hod, lens_bins, src_bins,
+                                      z_pivot=0.6,
+                                      include_cmb_lensing=True)
+    stage("tomographic + kappa_CMB (14 probes)", tomo5)
+
     def tomo_cov_fn(c):
         model = halo.build_halo_model(c, h, hod, 0.6)
         return cov_mod.tomographic_3x2pt_covariance(

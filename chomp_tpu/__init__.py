@@ -30,6 +30,9 @@ Layer map (mirrors SURVEY.md §1, reimagined TPU-first):
     nonlimber     ->  (new) exact low-ell spherical-Bessel projection
                       (FFTLog + analytic Mellin kernels) repairing the
                       Limber approximation, + linear Kaiser RSD
+    cmblens       ->  (new) kappa_CMB tracer: single-source-plane
+                      window, w_{g kappa_CMB} probes, N_L noise in the
+                      covariance ("5x2pt + kappa")
     compat        ->  object API mirroring the reference's classes
 """
 

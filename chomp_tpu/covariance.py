@@ -1328,11 +1328,21 @@ def tomographic_lattice_cl_callables(cosmo, halo_p, model, lens_dists,
                                      src_dists, with_bao: bool = False,
                                      grid: GridSpec = DEFAULT_GRID,
                                      nuisance=None,
-                                     include_magnification: bool = False):
+                                     include_magnification: bool = False,
+                                     cmb=None):
     """All tomographic C_ℓ callables from ONE halo evaluation on the
     gather-free lattice: a dict keyed ("gg", i, j) (lens pairs, i ≤ j),
     ("gk", i, j) (lens i x source j), ("kk", j, k) (source pairs,
     j ≤ k).
+
+    ``cmb`` (a cmblens.CMBLensingSpec) adds the kappa_CMB pairings:
+    ("gK", i) = lens i x kappa_CMB (bin i's P_gm; magnification adds
+    c_i x mm through the lens convergence window, mirroring gk),
+    ("kK", j) = source j x kappa_CMB (P_mm; scaled by (1+m_j), IA term
+    riding the source window), and ("KK",) = the kappa_CMB auto P_mm
+    spectrum PLUS the decaying part of the reconstruction noise
+    (cmb.nl_resid — static numpy, folded in at trace time; the white
+    floor nl_inf is the _tomographic_pair_fn noise constant).
 
     ``model`` is either ONE HaloModel (every lens bin shares the HOD —
     the single-sample tomography setup) or a LIST of per-lens-bin
@@ -1460,16 +1470,41 @@ def tomographic_lattice_cl_callables(cosmo, halo_p, model, lens_dists,
             out[("kk", j, k)] = scaled(
                 make(wins_k[j], wins_k[k], "power_mm"),
                 None if cal is None else cal[j] * cal[k])
+    if cmb is not None:
+        win_kcmb = cmb.window()
+        for i in range(len(wins_g)):
+            base = make(wins_g[i], win_kcmb, key_gm(i))
+            if c_mag is not None:
+                base = summed([
+                    (1.0, base),
+                    (c_mag[i], make(wk_lens[i], win_kcmb, "power_mm")),
+                ])
+            out[("gK", i)] = base
+        for j in range(len(wins_k)):
+            out[("kK", j)] = scaled(
+                make(wins_k[j], win_kcmb, "power_mm"),
+                None if cal is None else cal[j])
+        kk_base = make(win_kcmb, win_kcmb, "power_mm")
+
+        def cl_kk_cmb(ells_np):
+            return kk_base(ells_np) + jnp.asarray(cmb.nl_resid(ells_np))
+
+        out[("KK",)] = cl_kk_cmb
     return out
 
 
-def tomographic_probes(n_lens: int, n_src: int):
+def tomographic_probes(n_lens: int, n_src: int,
+                       cmb_lensing: bool = False):
     """The canonical tomographic 3x2pt probe list, in data-vector
     order: w_i (lens autos), gamma_t_{ij} (every lens x source), then
     xi_+^{jk} and xi_-^{jk} (source pairs, j <= k).  Each entry is
     (name, mu, channels) with channels a list of ((tracer_a, tracer_b),
     sign) over the E/B decomposition; tracers are ("g", i) / ("E", j) /
-    ("B", j)."""
+    ("B", j).
+
+    ``cmb_lensing=True`` appends the kappa_CMB cross-correlations
+    wgk_i = w_{g_i kappa_CMB}(theta) (mu = 0, tracer ("K", 0)) — the
+    5x2pt-plus-kappa data vector (chomp_tpu.cmblens)."""
     probes = []
     for i in range(n_lens):
         probes.append((f"w_{i}", 0, [((("g", i), ("g", i)), 1.0)]))
@@ -1487,6 +1522,10 @@ def tomographic_probes(n_lens: int, n_src: int):
             probes.append((f"xim_{j}{k}", 4,
                            [((("E", j), ("E", k)), 1.0),
                             ((("B", j), ("B", k)), -1.0)]))
+    if cmb_lensing:
+        for i in range(n_lens):
+            probes.append((f"wgk_{i}", 0,
+                           [((("g", i), ("K", 0)), 1.0)]))
     return probes
 
 
@@ -1502,13 +1541,16 @@ def _tomographic_noise_lists(n2d_lens_list, shape_noise_list, n_lens,
     return n2d, sn
 
 
-def _tomographic_pair_fn(cls, n2d, sn, cl_zero):
+def _tomographic_pair_fn(cls, n2d, sn, cl_zero, nl_inf: float = 0.0):
     """(C_ℓ callable, noise level) for any tracer pair over the
-    tomographic_probes tracer alphabet ("g", i) / ("E", j) / ("B", j),
-    given the callables dict from tomographic_lattice_cl_callables and
-    per-bin noise lists.  Shared by the flat and curved tomographic
-    builders — the E/B channel bookkeeping (and the exact xi_+ x xi_-
-    noise cancellation it encodes) is geometry-independent."""
+    tomographic_probes tracer alphabet ("g", i) / ("E", j) / ("B", j)
+    / ("K", 0) (kappa_CMB), given the callables dict from
+    tomographic_lattice_cl_callables and per-bin noise lists.  Shared
+    by the flat and curved tomographic builders — the E/B channel
+    bookkeeping (and the exact xi_+ x xi_- noise cancellation it
+    encodes) is geometry-independent.  ``nl_inf``: the WHITE floor of
+    the kappa reconstruction noise (cmblens.CMBLensingSpec.nl_inf);
+    the decaying residual lives inside the ("KK",) callable."""
     def pair(t1, t2):
         k1, i1 = t1
         k2, i2 = t2
@@ -1516,6 +1558,13 @@ def _tomographic_pair_fn(cls, n2d, sn, cl_zero):
             if t1 == t2:
                 return cl_zero, sn[i1]
             return cl_zero, 0.0
+        if "K" in (k1, k2):
+            if (k1, k2) == ("K", "K"):
+                return cls[("KK",)], nl_inf
+            kind, idx = (k2, i2) if k1 == "K" else (k1, i1)
+            if kind == "g":
+                return cls[("gK", idx)], 0.0
+            return cls[("kK", idx)], 0.0       # ("E", j) x kappa_CMB
         if (k1, k2) == ("g", "g"):
             lo, hi = min(i1, i2), max(i1, i2)
             return cls[("gg", lo, hi)], (1.0 / n2d[i1] if i1 == i2
@@ -1533,7 +1582,7 @@ def _tomographic_pair_fn(cls, n2d, sn, cl_zero):
 def _tomographic_ng_block_fn(cosmo, halo_p, model, lens_dists, src_dists,
                              edges, omega_s_sr, with_bao, grid, mask,
                              ng_kwargs, curved_mask=None, nuisance=None,
-                             engine: str = "cng"):
+                             engine: str = "cng", cmb=None):
     """(probe_entry_a, probe_entry_b) -> connected (cNG) block, or None
     if no channel pair contributes.  B tracers carry no connected piece
     (the B field is zero in the E-only shear model), so each block is
@@ -1591,6 +1640,11 @@ def _tomographic_ng_block_fn(cosmo, halo_p, model, lens_dists, src_dists,
         kind, i = t
         if kind == "g":
             return (wins_g[i], "g", (model[i] if per_bin else model),
+                    1.0)
+        if kind == "K":
+            # kappa_CMB legs project the matter field through the
+            # single-plane window (cmblens); no calibration factor.
+            return (cmb.window(), "m", (model[0] if per_bin else model),
                     1.0)
         # E legs project the kappa field; matter sector is shared.
         return (wins_k[i], "m", (model[0] if per_bin else model),
@@ -1678,12 +1732,22 @@ def tomographic_3x2pt_covariance(cosmo: CosmoParams, halo_p: HaloParams,
                                  include_magnification: bool = False,
                                  include_ssc=False,
                                  ssc_kwargs: dict | None = None,
+                                 cmb_lensing=None,
                                  **ng_kwargs):
     """Gaussian (+ optionally connected) covariance of the FULL
     TOMOGRAPHIC 3x2pt data vector — (n_probe nb, n_probe nb) over the
     probe order of tomographic_probes (w autos, all gamma_t pairs,
     xi_+- source pairs).  Capability extension beyond chomp
     (single-sample only).
+
+    ``cmb_lensing`` (True or a cmblens.CMBLensingSpec) extends the
+    data vector with the w_{g_i kappa_CMB}(theta) probes (appended
+    after xi_-; matching make_tomographic_pipeline's
+    include_cmb_lensing vector order) and every cross block against
+    the 3x2pt probes.  The spec's N_L table enters as C^{kk}_total =
+    C^{kk} + N_L with the white floor through the exact noise closure
+    (cmblens module docstring).  cNG/SSC blocks treat kappa_CMB as a
+    matter leg through its single-plane window.
 
     ``include_ssc`` (False / "autos" / True, same semantics as
     ``include_nongaussian``) adds the super-sample term through the
@@ -1721,10 +1785,16 @@ def tomographic_3x2pt_covariance(cosmo: CosmoParams, halo_p: HaloParams,
     spectra with per-term halo spectra, exactly as in the
     prediction — see tomographic_lattice_cl_callables."""
     n_lens, n_src = len(lens_dists), len(src_dists)
+    cmb = None
+    if cmb_lensing is not None and cmb_lensing is not False:
+        from chomp_tpu.cmblens import as_cmb_spec
+
+        cmb = as_cmb_spec(cmb_lensing)
     cls = tomographic_lattice_cl_callables(cosmo, halo_p, model,
                                            lens_dists, src_dists,
                                            with_bao, grid, nuisance,
-                                           include_magnification)
+                                           include_magnification,
+                                           cmb=cmb)
     n2d, sn = _tomographic_noise_lists(n2d_lens_list, shape_noise_list,
                                        n_lens, n_src)
     edges = theta_edges_deg
@@ -1733,18 +1803,21 @@ def tomographic_3x2pt_covariance(cosmo: CosmoParams, halo_p: HaloParams,
     def cl_zero(ells_np):
         return jnp.zeros(len(np.asarray(ells_np)))
 
-    pair = _tomographic_pair_fn(cls, n2d, sn, cl_zero)
-    probes = tomographic_probes(n_lens, n_src)
+    pair = _tomographic_pair_fn(cls, n2d, sn, cl_zero,
+                                nl_inf=(cmb.nl_inf if cmb else 0.0))
+    probes = tomographic_probes(n_lens, n_src,
+                                cmb_lensing=cmb is not None)
     ng = (_tomographic_ng_block_fn(cosmo, halo_p, model, lens_dists,
                                    src_dists, edges, omega_s_sr,
                                    with_bao, grid, mask, ng_kwargs,
-                                   nuisance=nuisance)
+                                   nuisance=nuisance, cmb=cmb)
           if include_nongaussian else None)
     sscf = (_tomographic_ng_block_fn(cosmo, halo_p, model, lens_dists,
                                      src_dists, edges, omega_s_sr,
                                      with_bao, grid, mask,
                                      ssc_kwargs or {},
-                                     nuisance=nuisance, engine="ssc")
+                                     nuisance=nuisance, engine="ssc",
+                                     cmb=cmb)
             if include_ssc else None)
     n_probe = len(probes)
     blocks = [[None] * n_probe for _ in range(n_probe)]

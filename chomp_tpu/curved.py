@@ -1417,7 +1417,7 @@ def curved_tomographic_3x2pt_covariance(
         ell_split: int | None = None, with_bao: bool = False,
         grid=None, include_nongaussian=False, nuisance=None,
         include_magnification: bool = False, include_ssc=False,
-        ssc_kwargs: dict | None = None, **ng_kwargs):
+        ssc_kwargs: dict | None = None, cmb_lensing=None, **ng_kwargs):
     """Gaussian covariance of the full TOMOGRAPHIC 3x2pt data vector on
     a masked SPHERE — the curved analog of
     covariance.tomographic_3x2pt_covariance (same probe order:
@@ -1448,7 +1448,12 @@ def curved_tomographic_3x2pt_covariance(
     ``include_ssc`` (False/"autos"/True) adds the super-sample term
     via ssc.curved_ssc_covariance through the same channel/leg/
     nuisance machinery (``ssc_kwargs`` forward; SSC couples bins
-    strongly across probes — prefer True over "autos")."""
+    strongly across probes — prefer True over "autos").
+
+    ``cmb_lensing`` (True or a cmblens.CMBLensingSpec) appends the
+    w_{g_i kappa_CMB} probes exactly as in the flat builder — their
+    curved bin factors are the spin-0 Legendre family (code 0), and
+    the N_L white floor rides the curved noise closure."""
     from chomp_tpu.covariance import (_tomographic_ng_block_fn,
                                       _tomographic_noise_lists,
                                       _tomographic_pair_fn,
@@ -1459,10 +1464,16 @@ def curved_tomographic_3x2pt_covariance(
     if grid is None:
         grid = DEFAULT_GRID
     n_lens, n_src = len(lens_dists), len(src_dists)
+    cmb = None
+    if cmb_lensing is not None and cmb_lensing is not False:
+        from chomp_tpu.cmblens import as_cmb_spec
+
+        cmb = as_cmb_spec(cmb_lensing)
     cls = tomographic_lattice_cl_callables(cosmo, halo_p, model,
                                            lens_dists, src_dists,
                                            with_bao, grid, nuisance,
-                                           include_magnification)
+                                           include_magnification,
+                                           cmb=cmb)
     n2d, sn = _tomographic_noise_lists(n2d_lens_list, shape_noise_list,
                                        n_lens, n_src)
     edges = theta_edges_deg
@@ -1471,17 +1482,19 @@ def curved_tomographic_3x2pt_covariance(
     def cl_zero(ells_np):
         return jnp.zeros(len(np.asarray(ells_np)))
 
-    pair = _tomographic_pair_fn(cls, n2d, sn, cl_zero)
-    probes = tomographic_probes(n_lens, n_src)
+    pair = _tomographic_pair_fn(cls, n2d, sn, cl_zero,
+                                nl_inf=(cmb.nl_inf if cmb else 0.0))
+    probes = tomographic_probes(n_lens, n_src,
+                                cmb_lensing=cmb is not None)
     ng = (_tomographic_ng_block_fn(
         cosmo, halo_p, model, lens_dists, src_dists, edges, None,
         with_bao, grid, None, dict(ell_max=ell_max, **ng_kwargs),
-        curved_mask=mask, nuisance=nuisance)
+        curved_mask=mask, nuisance=nuisance, cmb=cmb)
         if include_nongaussian else None)
     sscf = (_tomographic_ng_block_fn(
         cosmo, halo_p, model, lens_dists, src_dists, edges, None,
         with_bao, grid, None, dict(ell_max=ell_max, **(ssc_kwargs or {})),
-        curved_mask=mask, nuisance=nuisance, engine="ssc")
+        curved_mask=mask, nuisance=nuisance, engine="ssc", cmb=cmb)
         if include_ssc else None)
     codes = [_curved_probe_code(mu, ch) for (_n, mu, ch) in probes]
     n_probe = len(probes)

@@ -121,6 +121,7 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
                   exact_z_anchors: int | None = None,
                   geometry: str = "flat",
                   include_shear: bool = False,
+                  include_cmb_lensing=False,
                   nonlimber_ell_switch: int | None = None,
                   nonlimber_rsd: bool = False):
     """Build the flagship single-cosmology program: halo model ->
@@ -156,6 +157,15 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
     multipole sums with the f_l^2 kappa->E prefactor when
     geometry="curved") — the full 3x2pt data vector.  Capability
     extension beyond chomp (correlation.xi_plus docstring).
+
+    ``include_cmb_lensing`` (True or a cmblens.CMBLensingSpec) adds
+    the CMB-lensing cross-correlation w_{g kappa_CMB}(theta) ("w_gk_cmb"
+    output; P_gm through the single-source-plane kappa_CMB window —
+    chomp_tpu.cmblens) — the same grouped convolution, one extra row.
+    Flat J0 or curved Legendre sums; exact-z anchors apply (the cross
+    integrand is supported on the galaxy bin).  Not corrected by
+    ``nonlimber_ell_switch`` (the kappa_CMB kernel is maximally broad —
+    its Limber error is <0.1% at every ell >= 2, same class as xi_pm).
 
     ``nonlimber_ell_switch`` (fft routes only): repair the Limber
     approximation below that multipole with the EXACT spherical-Bessel
@@ -209,6 +219,11 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
     theta_deg = jnp.asarray(theta_deg)
     win_g = projection.WindowGalaxy(dist=dist)
     win_k = projection.WindowConvergence(dist=dist)
+    win_kcmb = None
+    if include_cmb_lensing is not False and include_cmb_lensing is not None:
+        from chomp_tpu.cmblens import as_cmb_spec
+
+        win_kcmb = as_cmb_spec(include_cmb_lensing).window()
     ells_np = correlation.ell_grid(grid)[0]
     ells = jnp.asarray(ells_np)
 
@@ -298,7 +313,8 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
         # spectra instead.
         if method == "fft" and exact_z_anchors:
             kinds = (power_spec,)
-            if include_lensing and "power_gm" not in kinds:
+            if ((include_lensing or win_kcmb is not None)
+                    and "power_gm" not in kinds):
                 kinds += ("power_gm",)
             if include_shear and "power_mm" not in kinds:
                 kinds += ("power_mm",)
@@ -325,16 +341,23 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
             if include_lensing:
                 rows.append((win_k, win_g, p_all["power_gm"],
                              [(2.0, None)]))
+            i_shear = len(rows) if include_shear else None
             if include_shear:
                 rows.append((win_k, win_k, p_all["power_mm"],
                              [(0.0, stat_p), (4.0, stat_m)]))
+            i_cmb = len(rows) if win_kcmb is not None else None
+            if win_kcmb is not None:
+                rows.append((win_g, win_kcmb, p_all["power_gm"],
+                             [(0.0, None)]))
             outs = _fused_probe_rows(cosmo, grid, model.mass.growth,
                                      theta_key, rows, geometry)
             out["w_theta"] = outs[0][0]
             if include_lensing:
                 out["gamma_t"] = outs[1][0]
             if include_shear:
-                out["xi_plus"], out["xi_minus"] = outs[-1]
+                out["xi_plus"], out["xi_minus"] = outs[i_shear]
+            if win_kcmb is not None:
+                out["w_gk_cmb"] = outs[i_cmb][0]
             if nonlimber_ell_switch:
                 out = _apply_nonlimber(cosmo, model, out, p_all)
             return out
@@ -352,6 +375,9 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
                                       "power_mm", 0.0, stat_p)
             out["xi_minus"] = w_from_p(cosmo, model, win_k, win_k, p_all,
                                        "power_mm", 4.0, stat_m)
+        if win_kcmb is not None:
+            out["w_gk_cmb"] = w_from_p(cosmo, model, win_g, win_kcmb,
+                                       p_all, "power_gm", 0.0)
         if nonlimber_ell_switch:
             # Exact-z route: the correction runs separably off one
             # extra pivot halo evaluation (second-order cross error).
@@ -440,6 +466,7 @@ def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
                               exact_z_anchors: int | None = None,
                               with_nuisance: bool = False,
                               include_magnification: bool = False,
+                              include_cmb_lensing=False,
                               nonlimber_ell_switch: int | None = None,
                               nonlimber_rsd: bool = False):
     """Tomographic 3x2pt prediction: fn(cosmo) -> dict with
@@ -447,6 +474,17 @@ def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
     xi_plus/xi_minus (n_src (n_src+1)/2, nb), and "vector" — the
     stacked 1-D data vector in covariance.tomographic_probes order
     (matching tomographic_3x2pt_covariance row order).
+
+    ``include_cmb_lensing`` (True or a cmblens.CMBLensingSpec) appends
+    the per-lens-bin CMB-lensing cross-correlations w_{g_i kappa_CMB}
+    ("w_gk_cmb", (n_lens, nb); bin i's P_gm through the single-plane
+    kappa_CMB window) to the outputs AND to "vector" — matching
+    tomographic_3x2pt_covariance(cmb_lensing=...) row order.  With
+    magnification, the observed cross gains c_i w_{kappa_i kappa_CMB}
+    (P_mm), mirroring the gg/gt treatment; photo-z shifts ride the
+    lens windows; shear calibration does not apply.  kappa_CMB rows
+    keep plain Limber under ``nonlimber_ell_switch`` (broad kernel,
+    <0.1% error — same class as xi_pm).
 
     ``with_nuisance=True``: fn(cosmo, nuisance) with a Nuisance3x2pt
     pytree — per-bin photo-z shifts (DNdzShifted), per-source-bin
@@ -527,6 +565,11 @@ def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
     base_wins_g = [projection.WindowGalaxy(dist=d) for d in lens_dists]
     base_wins_k = [projection.WindowConvergence(dist=d)
                    for d in src_dists]
+    win_kcmb = None
+    if include_cmb_lensing is not False and include_cmb_lensing is not None:
+        from chomp_tpu.cmblens import as_cmb_spec
+
+        win_kcmb = as_cmb_spec(include_cmb_lensing).window()
     n_src = len(base_wins_k)
     hods = (list(hod) if isinstance(hod, (list, tuple)) else None)
     if hods is not None and len(hods) != len(lens_dists):
@@ -645,6 +688,16 @@ def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
                           (wk_lens[i], wk_lens[i], p_mm, [(0.0, None)]))]
                 rows += [(wk, wk_lens[i], p_mm, [(2.0, None)])
                          for i in range(n_l) for wk in wins_k]
+            i_cmb = len(rows) if win_kcmb is not None else None
+            if win_kcmb is not None:
+                # kappa_CMB cross rows (appended last so the
+                # magnification index bases b0/b1 above stand); the
+                # magnified cross adds c_i x <kappa_i kappa_CMB>(P_mm).
+                rows += [(wins_g[i], win_kcmb, p_gm[i], [(0.0, None)])
+                         for i in range(n_l)]
+                if wk_lens is not None:
+                    rows += [(wk_lens[i], win_kcmb, p_mm, [(0.0, None)])
+                             for i in range(n_l)]
             outs = _fused_probe_rows(cosmo, grid, piv, theta_key, rows,
                                      geometry)
             w_rows = [o[0] for o in outs[:n_l]]
@@ -664,6 +717,13 @@ def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
                 gt_rows = [gt_rows[i * n_src + j]
                            + c[i] * outs[b1 + i * n_src + j][0]
                            for i in range(n_l) for j in range(n_src)]
+            if win_kcmb is not None:
+                wgk_rows = [outs[i_cmb + i][0] for i in range(n_l)]
+                if wk_lens is not None:
+                    c = 2.0 * (nuisance.alpha_lens - 1.0)
+                    wgk_rows = [wgk_rows[i]
+                                + c[i] * outs[i_cmb + n_l + i][0]
+                                for i in range(n_l)]
         else:
             w_rows = [w_of(src_gg[i], w, w, 0.0)
                       for i, w in enumerate(wins_g)]
@@ -673,6 +733,9 @@ def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
                         for j, k in pairs_xi]
             xim_rows = [w_of(src_mm, wins_k[j], wins_k[k], 4.0, stat_m)
                         for j, k in pairs_xi]
+            if win_kcmb is not None:
+                wgk_rows = [w_of(src_gm[i], w, win_kcmb, 0.0)
+                            for i, w in enumerate(wins_g)]
         if nonlimber_ell_switch:
             # Exact low-ell Limber repair per bin pair (before the
             # (1+m) calibration — it scales the full theory gt).  See
@@ -751,8 +814,12 @@ def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
             "n_g": (jnp.stack([m.n_g for m in models])
                     if hods is not None else models[0].n_g),
         }
+        tail = []
+        if win_kcmb is not None:
+            out["w_gk_cmb"] = jnp.stack(wgk_rows)
+            tail = wgk_rows
         out["vector"] = jnp.concatenate(
-            w_rows + gt_rows + xip_rows + xim_rows)
+            w_rows + gt_rows + xip_rows + xim_rows + tail)
         return out
 
     return fn
