@@ -143,6 +143,34 @@ def main(batch_size: int = 100):
     rows.append((f"tomographic 12-probe covariance [{b_cov}]",
                  dt_tcov / b_cov * 1e3))
 
+    # Harmonic-space band powers (bandpowers.py): the MASTER-decoupled
+    # tomographic bandpower vector + its Gaussian covariance on an
+    # apodized spherical cap.  Mask couplings/decouplers are OFFLINE
+    # numpy (built once here); the traced cost is one static
+    # (n_band, n_tbl) matmul per probe / 8 kernel sandwiches per block.
+    from chomp_tpu import bandpowers as bp_mod
+    from chomp_tpu.curved import ProfileCurvedMask
+
+    th_prof = np.linspace(0.0, 0.6, 61)
+    bp_mask = ProfileCurvedMask(
+        th_prof, np.clip((0.6 - th_prof) / 0.2, 0.0, 1.0), lmax_mask=256)
+    bp_lmax, bp_edges = 512, [8, 32, 64, 128, 256, 384, 512]
+    bp_fn = bp_mod.make_bandpower_pipeline(h, hod, lens_bins, src_bins,
+                                           bp_mask, bp_lmax, bp_edges)
+    stage("tomographic bandpower vector (12 probes)",
+          lambda c: bp_fn(c)["vector"])
+
+    def bp_cov_fn(c):
+        model = halo.build_halo_model(c, h, hod)
+        return bp_mod.tomographic_bandpower_covariance(
+            c, h, model, lens_bins, src_bins, bp_mask, bp_lmax, bp_edges,
+            [3.0e7, 2.0e7], [1.0e-9, 1.4e-9])
+
+    f_bcov = jax.jit(jax.vmap(bp_cov_fn))
+    dt_bcov = timed(f_bcov, batch_cov, reps=2)
+    rows.append((f"12-probe bandpower covariance [{b_cov}]",
+                 dt_bcov / b_cov * 1e3))
+
     # Super-sample block (responses x footprint sigma_b^2 on the
     # gather-free lattice): the w(theta) auto SSC on a 0.1 sr disc.
     from chomp_tpu import ssc as ssc_mod

@@ -33,6 +33,11 @@ Layer map (mirrors SURVEY.md §1, reimagined TPU-first):
     cmblens       ->  (new) kappa_CMB tracer: single-source-plane
                       window, w_{g kappa_CMB} probes, N_L noise in the
                       covariance ("5x2pt + kappa")
+    inference     ->  (new) likelihood / Fisher / MAP / HMC on top of
+                      the traced pipelines (one flat parameter vector)
+    bandpowers    ->  (new) MASTER mode-coupling / decoupled band
+                      powers on a masked sky (quadrature 3j sums, the
+                      fused static bandpower-window theory operator)
     compat        ->  object API mirroring the reference's classes
 """
 

@@ -1,0 +1,288 @@
+"""Inference on top of the pipelines: likelihood, Fisher, MAP, HMC.
+
+Capability extension beyond chomp (the scipy-object reference computes
+one model at a time with no derivatives — upstream:correlation.py /
+SURVEY.md §2 row 12): because the entire prediction stack is pure
+jit/grad-able JAX, the standard inference loop is a library surface,
+not an external sampler bolted on.  This module packages the patterns
+validated in examples/{fit,tomographic,hmc}_example.py:
+
+  - ``make_theory_fn``: flat parameter vector -> (CosmoParams
+    [, Nuisance3x2pt]) -> pipeline -> data vector, with the flatness
+    constraint (omega_l0 = 1 - omega_m0) applied by default.  One
+    traced function of a single 1-D array — everything downstream
+    (grad, Fisher, HMC) needs exactly this shape.
+  - ``GaussianLikelihood``: chi^2 through a Cholesky solve (never an
+    explicit inverse), optional Gaussian priors and a smooth-barrier
+    box (keeps -log posterior finite and jittable outside the box).
+  - ``fisher_matrix``: F = J^T C^{-1} J (+ prior curvature), one
+    jacfwd through the pipeline — forward mode, so the cost scales
+    with the (small) parameter count, not the data-vector length.
+  - ``map_fit``: optax adam on the negative log posterior, the whole
+    trajectory in one lax.scan (jitted once, no per-step dispatch).
+  - ``hmc``: fixed-mass-matrix leapfrog HMC, one lax.scan per chain,
+    vmap-able to many chains.  The Fisher matrix is the natural mass
+    matrix (momenta ~ N(0, F) gives unit condition number locally).
+
+TPU notes: every routine here is a pure function of arrays — jit once,
+the chain/optimizer loop runs on-device with zero host round-trips.
+Reverse-mode gradient cost is parameter-count independent (one extra
+pipeline-adjoint per step); HMC with n_leap leapfrog steps costs
+~n_leap gradient evaluations per sample (measured in
+examples/hmc_example.py: ~1 ms/gradient on v5e for the w+gt pipeline).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "make_theory_fn",
+    "GaussianLikelihood",
+    "fisher_matrix",
+    "map_fit",
+    "hmc",
+]
+
+
+def make_theory_fn(pipeline_fn, cosmo0, cosmo_names=("omega_m0", "sigma_8"),
+                   nuisance0=None, nuisance_names=(), flat: bool = True,
+                   output: str = "vector"):
+    """(theory_fn, p0): a traced map from ONE flat parameter vector to
+    the pipeline's data vector, plus the fiducial vector.
+
+    Parameters
+    ----------
+    pipeline_fn : callable
+        ``fn(cosmo)`` or ``fn(cosmo, nuisance)`` (when ``nuisance0`` is
+        given) returning either an array or a dict holding ``output``.
+    cosmo0 : CosmoParams
+        Fiducial cosmology; sampled fields are replaced, the rest stay.
+    cosmo_names : sequence of str
+        CosmoParams field names sampled (scalars, in vector order).
+    nuisance0 : pytree dataclass or None
+        Fiducial nuisance (e.g. parallel.sweep.default_nuisance).
+        Sampled leaves are replaced WHOLE: a (n,) leaf like ``m``
+        occupies n consecutive vector slots.
+    nuisance_names : sequence of str
+        Nuisance field names appended after the cosmology block.
+    flat : bool
+        Enforce omega_l0 = 1 - omega_m0 whenever omega_m0 is sampled
+        and omega_l0 is not (the standard flat-LCDM/wCDM setup).
+    output : str
+        Dict key to extract ("vector" for the tomographic pipeline);
+        ignored when the pipeline returns a bare array.
+
+    The returned ``theory_fn(p)`` is pure-JAX: jit/grad/vmap at will.
+    """
+    cosmo_names = tuple(cosmo_names)
+    nuisance_names = tuple(nuisance_names)
+    for n in cosmo_names:
+        if not hasattr(cosmo0, n):
+            raise AttributeError(f"CosmoParams has no field {n!r}")
+    apply_flat = (flat and "omega_m0" in cosmo_names
+                  and "omega_l0" not in cosmo_names)
+    n_cos = len(cosmo_names)
+    # Nuisance block layout: each named leaf contributes its size.
+    sizes, shapes = [], []
+    for n in nuisance_names:
+        leaf = getattr(nuisance0, n)
+        sizes.append(int(np.size(leaf)))
+        shapes.append(np.shape(leaf))
+    offs = np.concatenate([[0], np.cumsum(sizes)]).astype(int)
+
+    def theory_fn(p):
+        p = jnp.asarray(p)
+        upd = {n: p[i] for i, n in enumerate(cosmo_names)}
+        if apply_flat:
+            upd["omega_l0"] = 1.0 - p[cosmo_names.index("omega_m0")]
+        c = dataclasses.replace(cosmo0, **upd)
+        if nuisance0 is not None:
+            nupd = {
+                n: p[n_cos + offs[i]:n_cos + offs[i + 1]].reshape(shapes[i])
+                for i, n in enumerate(nuisance_names)}
+            out = pipeline_fn(c, dataclasses.replace(nuisance0, **nupd))
+        else:
+            out = pipeline_fn(c)
+        return out[output] if isinstance(out, dict) else out
+
+    p0 = [float(getattr(cosmo0, n)) for n in cosmo_names]
+    for n in nuisance_names:
+        p0.extend(np.asarray(getattr(nuisance0, n), dtype=float).ravel())
+    return theory_fn, jnp.asarray(np.asarray(p0))
+
+
+class GaussianLikelihood:
+    """-2 ln L = (t(p) - d)^T C^{-1} (t(p) - d) with a FIXED data
+    covariance, plus optional Gaussian priors and a smooth-barrier box.
+
+    The covariance is Cholesky-factored once at build (host-side
+    numpy); ``chi2`` solves the triangular system instead of applying
+    an explicit inverse — exact for any conditioning the factorization
+    admits.  All evaluation methods are pure JAX functions of the flat
+    parameter vector from ``make_theory_fn``.
+
+    Parameters
+    ----------
+    theory_fn, data, cov : the model map, observed vector, covariance.
+    prior_mean, prior_sigma : optional per-parameter Gaussian priors
+        (NaN/inf sigma entries = unconstrained).
+    lower, upper : optional box; outside it the negative log posterior
+        gains a large finite penalty (1e6 per violated bound) so
+        samplers/optimizers stay jittable and recover.
+    """
+
+    def __init__(self, theory_fn, data, cov, prior_mean=None,
+                 prior_sigma=None, lower=None, upper=None):
+        self.theory_fn = theory_fn
+        self.data = jnp.asarray(data)
+        cov = np.asarray(cov, dtype=np.float64)
+        if cov.shape != (self.data.size, self.data.size):
+            raise ValueError(f"cov shape {cov.shape} does not match "
+                             f"data length {self.data.size}")
+        self._chol = jnp.asarray(np.linalg.cholesky(cov))
+        # ln det C and the Gaussian normalization are constant —
+        # irrelevant for sampling a fixed covariance; chi2 is the
+        # quantity every consumer wants.
+        self.prior_mean = (None if prior_mean is None
+                           else jnp.asarray(prior_mean))
+        if prior_sigma is not None:
+            ps = np.asarray(prior_sigma, dtype=float)
+            w = np.where(np.isfinite(ps) & (ps > 0), 1.0 / ps**2, 0.0)
+            self._prior_w = jnp.asarray(w)
+        else:
+            self._prior_w = None
+        self.lower = None if lower is None else jnp.asarray(lower)
+        self.upper = None if upper is None else jnp.asarray(upper)
+
+    def chi2(self, p):
+        r = self.theory_fn(p) - self.data
+        y = jax.scipy.linalg.solve_triangular(self._chol, r, lower=True)
+        return y @ y
+
+    def log_like(self, p):
+        return -0.5 * self.chi2(p)
+
+    def neg_log_post(self, p):
+        p = jnp.asarray(p)
+        u = 0.5 * self.chi2(p)
+        if self._prior_w is not None:
+            d = p - (self.prior_mean if self.prior_mean is not None
+                     else jnp.zeros_like(p))
+            u = u + 0.5 * jnp.sum(self._prior_w * d * d)
+        if self.lower is not None:
+            u = u + jnp.sum(jnp.where(p < self.lower, 1e6, 0.0))
+        if self.upper is not None:
+            u = u + jnp.sum(jnp.where(p > self.upper, 1e6, 0.0))
+        return u
+
+    def fisher(self, p0):
+        """Fisher matrix at p0 including the Gaussian-prior curvature
+        (the natural HMC mass matrix / forecast covariance inverse)."""
+        f = fisher_matrix(self.theory_fn, np.asarray(self._chol @
+                                                     self._chol.T), p0)
+        if self._prior_w is not None:
+            f = f + jnp.diag(self._prior_w)
+        return f
+
+
+def fisher_matrix(theory_fn, cov, p0):
+    """F = J^T C^{-1} J via one forward-mode Jacobian of the theory
+    vector and a Cholesky solve (no explicit inverse).  For a Gaussian
+    likelihood with parameter-independent covariance this is the exact
+    expected information; priors add their curvature on top
+    (GaussianLikelihood.fisher does)."""
+    p0 = jnp.asarray(p0)
+    jac = jax.jacfwd(theory_fn)(p0)                  # (n_data, n_par)
+    chol = np.linalg.cholesky(np.asarray(cov, dtype=np.float64))
+    y = jax.scipy.linalg.solve_triangular(jnp.asarray(chol), jac,
+                                          lower=True)
+    return y.T @ y
+
+
+def map_fit(neg_log_post, p0, n_steps: int = 500, learning_rate=3e-3,
+            optimizer=None):
+    """Maximum a posteriori via optax (default adam), the entire
+    trajectory in ONE jitted lax.scan — no per-step host dispatch.
+
+    Returns (p_best, info) where info = {"u": per-step objective,
+    "p_last": final iterate}; p_best is the lowest-objective iterate
+    visited (adam is not monotone)."""
+    import optax
+
+    opt = optimizer if optimizer is not None else optax.adam(learning_rate)
+    p0 = jnp.asarray(p0)
+    vg = jax.value_and_grad(neg_log_post)
+
+    @jax.jit
+    def run(p0):
+        def step(carry, _):
+            p, st = carry
+            u, g = vg(p)
+            dp, st = opt.update(g, st, p)
+            return (optax.apply_updates(p, dp), st), (u, p)
+
+        (_p, _), (us, ps) = jax.lax.scan(step, (p0, opt.init(p0)),
+                                         None, length=n_steps)
+        i = jnp.argmin(us)
+        return ps[i], us, _p
+
+    p_best, us, p_last = run(p0)
+    return p_best, {"u": us, "p_last": p_last}
+
+
+def hmc(neg_log_post, mass, p0, key, n_steps: int = 200, n_leap: int = 5,
+        eps: float = 0.6):
+    """Fixed-mass-matrix Hamiltonian Monte Carlo: leapfrog + Metropolis
+    in one lax.scan, jitted once (validated against Fisher widths in
+    examples/hmc_example.py).
+
+    ``mass``: momenta ~ N(0, mass); pass the Fisher matrix for a
+    locally unit-condition chain, then ``eps`` is in preconditioned
+    units (0.3-0.8 is the useful range).  ``p0`` may be (dim,) for one
+    chain or (n_chains, dim) with ``key`` split accordingly — the
+    multi-chain case vmaps the same compiled scan.
+
+    Returns (samples, accept): (n_steps, dim) and (n_steps,) boolean
+    (leading chain axis in the multi-chain case)."""
+    mass = jnp.asarray(mass)
+    m_inv = jnp.linalg.inv(mass)
+    chol = jnp.linalg.cholesky(mass)
+    grad_u = jax.grad(neg_log_post)
+
+    def hmc_step(carry, key):
+        q, u_q = carry
+        k1, k2 = jax.random.split(key)
+        p = chol @ jax.random.normal(k1, q.shape)
+
+        def leap(_, qp):
+            q, p = qp
+            p = p - 0.5 * eps * grad_u(q)
+            q = q + eps * (m_inv @ p)
+            p = p - 0.5 * eps * grad_u(q)
+            return (q, p)
+
+        q_new, p_new = jax.lax.fori_loop(0, n_leap, leap, (q, p))
+        u_new = neg_log_post(q_new)
+        dh = u_new - u_q + 0.5 * (p_new @ m_inv @ p_new - p @ m_inv @ p)
+        accept = jax.random.uniform(k2) < jnp.exp(-dh)
+        q = jnp.where(accept, q_new, q)
+        u_q = jnp.where(accept, u_new, u_q)
+        return (q, u_q), (q, accept)
+
+    @jax.jit
+    def chain(key, q0):
+        keys = jax.random.split(key, n_steps)
+        (_, _), (qs, acc) = jax.lax.scan(hmc_step, (q0, neg_log_post(q0)),
+                                         keys)
+        return qs, acc
+
+    p0 = jnp.asarray(p0)
+    if p0.ndim == 2:
+        keys = jax.random.split(key, p0.shape[0])
+        return jax.vmap(chain)(keys, p0)
+    return chain(key, p0)

@@ -75,22 +75,20 @@ cov_inv = jnp.asarray(np.linalg.inv(cov))
 data = vec_of(jnp.array([cosmo0.omega_m0, cosmo0.sigma_8]))
 
 
-def neg_log_post(p):
-    r = vec_of(p) - data
-    chi2 = r @ cov_inv @ r
-    # Flat prior box via a smooth barrier (keeps the sampler jittable).
-    lo, hi = jnp.array([0.18, 0.55]), jnp.array([0.45, 1.05])
-    barrier = jnp.sum(jnp.where((p < lo) | (p > hi), 1e6, 0.0))
-    return 0.5 * chi2 + barrier
+# The likelihood / Fisher / HMC machinery is a library surface
+# (chomp_tpu.inference, tested in tests/test_inference.py) — this
+# example drives it end to end through the real pipeline.
+from chomp_tpu import inference
 
+like = inference.GaussianLikelihood(
+    vec_of, data, cov, lower=[0.18, 0.55], upper=[0.45, 1.05])
+neg_log_post = like.neg_log_post
 
 # Mass matrix from the Fisher information at the fiducial point — the
 # standard preconditioner, itself one jacfwd through the pipeline.
-jac = jax.jacfwd(vec_of)(jnp.array([cosmo0.omega_m0, cosmo0.sigma_8]))
-fisher = jac.T @ cov_inv @ jac
+fisher = like.fisher(jnp.array([cosmo0.omega_m0, cosmo0.sigma_8]))
 mass = fisher                       # momenta ~ N(0, F): unit condition
 mass_inv = jnp.linalg.inv(fisher)
-chol_mass = jnp.linalg.cholesky(mass)
 
 N_STEPS = 120
 N_LEAP = 5
@@ -99,43 +97,8 @@ EPS = 0.6                           # in mass-preconditioned units
 
 def run_hmc(logp_neg, mass, q0, key, n_steps=N_STEPS, n_leap=N_LEAP,
             eps=EPS):
-    """Fully jitted HMC chain (leapfrog + Metropolis in one lax.scan)
-    with a fixed mass-matrix preconditioner.  Dimension from q0; the
-    reverse-mode gradient costs the same at any parameter count."""
-    dim = q0.shape[0]
-    m_inv = jnp.linalg.inv(mass)
-    chol = jnp.linalg.cholesky(mass)
-    grad_u = jax.grad(logp_neg)
-
-    def hmc_step(carry, key):
-        q, u_q = carry
-        k1, k2 = jax.random.split(key)
-        p = chol @ jax.random.normal(k1, (dim,))
-
-        def leap(i, qp):
-            q, p = qp
-            p = p - 0.5 * eps * grad_u(q)
-            q = q + eps * (m_inv @ p)
-            p = p - 0.5 * eps * grad_u(q)
-            return (q, p)
-
-        q_new, p_new = jax.lax.fori_loop(0, n_leap, leap, (q, p))
-        u_new = logp_neg(q_new)
-        dh = (u_new - u_q
-              + 0.5 * (p_new @ m_inv @ p_new - p @ m_inv @ p))
-        accept = jax.random.uniform(k2) < jnp.exp(-dh)
-        q = jnp.where(accept, q_new, q)
-        u_q = jnp.where(accept, u_new, u_q)
-        return (q, u_q), (q, accept)
-
-    @jax.jit
-    def chain(key, q0):
-        keys = jax.random.split(key, n_steps)
-        (_, _), (qs, acc) = jax.lax.scan(hmc_step, (q0, logp_neg(q0)),
-                                         keys)
-        return qs, acc
-
-    qs, acc = chain(key, q0)
+    qs, acc = inference.hmc(logp_neg, mass, q0, key, n_steps=n_steps,
+                            n_leap=n_leap, eps=eps)
     return np.asarray(qs), np.asarray(acc)
 
 

@@ -536,50 +536,9 @@ def test_pixel_sphere_two_caps():
 # Spherical-harmonic Monte Carlo referee (non-azimuthal mask)
 # ---------------------------------------------------------------------------
 
-def _sht_lambda_tables(lmax, x):
-    """Orthonormal associated Legendre λ_lm(x) = N_lm P_l^m, listed per
-    m as (lmax+1-m, len(x)) arrays (stable m-diagonal seed + upward ℓ
-    recursion; round-trip exact to 7e-12, asserted in the referee)."""
-    x = np.asarray(x, float)
-    sx = np.sqrt(np.maximum(1.0 - x * x, 0.0))
-    out = []
-    lam_mm = np.full_like(x, np.sqrt(1.0 / (4.0 * np.pi)))
-    for m in range(lmax + 1):
-        rows = np.zeros((lmax + 1 - m, x.size))
-        rows[0] = lam_mm
-        if m + 1 <= lmax:
-            rows[1] = x * np.sqrt(2.0 * m + 3.0) * lam_mm
-        for ell in range(m + 2, lmax + 1):
-            a = np.sqrt((4.0 * ell * ell - 1.0) / (ell * ell - m * m))
-            b = np.sqrt(((ell - 1.0) ** 2 - m * m)
-                        / (4.0 * (ell - 1.0) ** 2 - 1.0))
-            rows[ell - m] = a * (x * rows[ell - m - 1]
-                                 - b * rows[ell - m - 2])
-        out.append(rows)
-        lam_mm = -np.sqrt((2.0 * m + 3.0) / (2.0 * m + 2.0)) * sx * lam_mm
-    return out
-
-
-def _sht_synth(lams, a_re, a_im, n_phi):
-    """Batched synthesis: maps (n_real, n_lat, n_phi) from per-m
-    coefficient batches (FFT in azimuth)."""
-    n_real, n_lat = a_re[0].shape[0], lams[0].shape[1]
-    spec = np.zeros((n_real, n_lat, n_phi // 2 + 1), dtype=complex)
-    for m in range(len(lams)):
-        spec[:, :, m] = ((a_re[m] + 1j * a_im[m]) @ lams[m]).conj()
-    return np.fft.irfft(spec.conj(), n=n_phi, axis=2) * n_phi
-
-
-def _sht_pseudo_power(lams, maps, wq, n_phi):
-    """Pseudo-power P̃_ℓ = Σ_m |ã_ℓm|² of (n_real, n_lat, n_phi) maps
-    (GL quadrature in latitude, FFT in azimuth)."""
-    f = np.fft.rfft(maps, axis=2) * (2.0 * np.pi / n_phi)
-    lmax = len(lams) - 1
-    ps = np.zeros((maps.shape[0], lmax + 1))
-    for m in range(lmax + 1):
-        alm = (f[:, :, m] * wq[None, :]) @ lams[m].T
-        ps[:, m:] += (1.0 if m == 0 else 2.0) * np.abs(alm) ** 2
-    return ps
+# Shared with test_bandpowers.py (MASTER coupling referees).
+from tests.sht_referee import (_sht_lambda_tables, _sht_pseudo_power,
+                               _sht_synth)
 
 
 def _two_cap_indicator(th, ph, rad, center2):

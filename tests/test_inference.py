@@ -1,0 +1,228 @@
+"""inference.py: likelihood / Fisher / MAP / HMC library surface.
+
+Referee strategy: closed-form identities on a LINEAR-GAUSSIAN toy
+model (where chi^2, the Fisher matrix, and the MAP point are exact
+algebra), a long-run HMC moment check on a correlated Gaussian target,
+and exact wiring identities against the real pipeline (make_theory_fn
+must reproduce the hand-built dataclasses.replace construction
+bitwise).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chomp_tpu import default_halo, inference, projection
+from chomp_tpu.hod import default_hod
+from chomp_tpu.params import GridSpec
+
+
+def _toy(seed=0, n_data=7, n_par=3):
+    rng = np.random.default_rng(seed)
+    a = rng.normal(size=(n_data, n_par))
+    b = rng.normal(size=n_data)
+    m = rng.normal(size=(n_data, n_data))
+    cov = m @ m.T + n_data * np.eye(n_data)
+    theory = lambda p: jnp.asarray(a) @ p + jnp.asarray(b)
+    return a, b, cov, theory
+
+
+def test_gaussian_likelihood_chi2_exact():
+    """chi2 via the Cholesky solve equals r C^-1 r by direct algebra."""
+    a, b, cov, theory = _toy()
+    data = b + 0.3
+    like = inference.GaussianLikelihood(theory, data, cov)
+    p = jnp.asarray([0.2, -0.5, 1.1])
+    r = np.asarray(theory(p)) - data
+    expect = r @ np.linalg.solve(cov, r)
+    np.testing.assert_allclose(float(like.chi2(p)), expect, rtol=1e-12)
+    np.testing.assert_allclose(float(like.log_like(p)), -0.5 * expect,
+                               rtol=1e-12)
+
+
+def test_fisher_matrix_linear_exact():
+    """For a linear model the Fisher matrix is exactly A^T C^-1 A —
+    including through the GaussianLikelihood prior-curvature path."""
+    a, b, cov, theory = _toy(seed=1)
+    expect = a.T @ np.linalg.solve(cov, a)
+    got = np.asarray(inference.fisher_matrix(theory, cov,
+                                             jnp.zeros(a.shape[1])))
+    np.testing.assert_allclose(got, expect, rtol=1e-10)
+    sig = np.array([0.5, np.inf, 2.0])
+    like = inference.GaussianLikelihood(theory, b, cov, prior_sigma=sig)
+    got2 = np.asarray(like.fisher(jnp.zeros(a.shape[1])))
+    np.testing.assert_allclose(
+        got2, expect + np.diag([1 / 0.25, 0.0, 1 / 4.0]), rtol=1e-10)
+
+
+def test_neg_log_post_priors_and_box():
+    """Gaussian prior adds 0.5 ((p-mu)/sigma)^2; the box adds the 1e6
+    barrier per violated bound; both leave the interior chi2 term
+    untouched."""
+    a, b, cov, theory = _toy(seed=2)
+    like = inference.GaussianLikelihood(
+        theory, b, cov, prior_mean=[0.1, 0.0, 0.0],
+        prior_sigma=[0.2, np.inf, np.inf],
+        lower=[-1.0, -1.0, -1.0], upper=[1.0, 1.0, 1.0])
+    p = jnp.asarray([0.3, 0.0, 0.0])
+    expect = 0.5 * float(like.chi2(p)) + 0.5 * ((0.3 - 0.1) / 0.2) ** 2
+    np.testing.assert_allclose(float(like.neg_log_post(p)), expect,
+                               rtol=1e-12)
+    p_out = jnp.asarray([0.3, -1.5, 2.0])
+    assert float(like.neg_log_post(p_out)) > 2e6
+
+
+def test_map_fit_recovers_gls():
+    """MAP of the linear-Gaussian likelihood = generalized least
+    squares, a closed form."""
+    a, b, cov, theory = _toy(seed=3)
+    rng = np.random.default_rng(7)
+    p_true = rng.normal(size=a.shape[1])
+    data = np.asarray(theory(jnp.asarray(p_true)))
+    like = inference.GaussianLikelihood(theory, data, cov)
+    p_best, info = inference.map_fit(like.neg_log_post,
+                                     jnp.zeros(a.shape[1]),
+                                     n_steps=1500, learning_rate=0.05)
+    np.testing.assert_allclose(np.asarray(p_best), p_true, atol=2e-3)
+    assert float(info["u"][-1]) < float(info["u"][0])
+
+
+def test_hmc_gaussian_moments():
+    """HMC on a correlated 3-D Gaussian: acceptance healthy, sample
+    mean/cov match the target within the MC error of an autocorrelated
+    chain (loose 25%/35% bands at 4000 draws)."""
+    cov = np.array([[1.0, 0.6, 0.2], [0.6, 2.0, -0.3], [0.2, -0.3, 0.5]])
+    prec = jnp.asarray(np.linalg.inv(cov))
+    mu = jnp.asarray([1.0, -2.0, 0.5])
+
+    def u(p):
+        d = p - mu
+        return 0.5 * d @ prec @ d
+
+    qs, acc = inference.hmc(u, prec, jnp.zeros(3),
+                            jax.random.PRNGKey(0), n_steps=4000,
+                            n_leap=6, eps=0.7)
+    qs = np.asarray(qs)[500:]
+    assert float(np.asarray(acc).mean()) > 0.6
+    np.testing.assert_allclose(qs.mean(axis=0), np.asarray(mu),
+                               atol=0.25)
+    np.testing.assert_allclose(np.cov(qs.T), cov, atol=0.35 * cov.max())
+
+
+def test_hmc_multichain_vmap():
+    """(n_chains, dim) initial points run vmapped: per-chain shapes,
+    and each chain explores (not stuck at its start)."""
+    prec = jnp.eye(2)
+    u = lambda p: 0.5 * p @ p
+    p0 = jnp.asarray([[0.0, 0.0], [2.0, -2.0], [-1.0, 1.0]])
+    qs, acc = inference.hmc(u, prec, p0, jax.random.PRNGKey(1),
+                            n_steps=200, n_leap=4, eps=0.8)
+    assert qs.shape == (3, 200, 2) and acc.shape == (3, 200)
+    assert float(np.asarray(acc).mean()) > 0.6
+    spread = np.asarray(qs).std(axis=1)
+    assert np.all(spread > 0.3), spread
+
+
+@pytest.fixture(scope="module")
+def tiny_pipe(fiducial):
+    from chomp_tpu.parallel.sweep import (default_nuisance,
+                                          make_tomographic_pipeline)
+
+    g = GridSpec(n_k=64, n_mass=64, n_ell=256, n_mu=8, sigma_panels=8,
+                 sigma_n_per_panel=32, n_growth=32, n_dist=32,
+                 lattice_dln=0.08)
+    mk = lambda z0, sz: projection.DNdzGaussian(
+        z_min=jnp.asarray(0.0), z_max=jnp.asarray(2.5),
+        z0=jnp.asarray(z0), sigma_z=jnp.asarray(sz))
+    lens, src = [mk(0.5, 0.15)], [mk(1.0, 0.3)]
+    pipe = make_tomographic_pipeline(
+        default_halo(), default_hod(), lens, src,
+        theta_deg=np.geomspace(0.1, 1.0, 5), z_pivot=0.5, grid=g,
+        with_nuisance=True)
+    return pipe, default_nuisance(1, 1)
+
+
+def test_make_theory_fn_wiring(fiducial, tiny_pipe):
+    """theory_fn(p) equals the hand-built dataclasses.replace
+    construction bitwise; p0 is the fiducial point; flatness is
+    enforced; nuisance leaves land whole."""
+    pipe, nu0 = tiny_pipe
+    theory, p0 = inference.make_theory_fn(
+        pipe, fiducial, cosmo_names=("omega_m0", "sigma_8"),
+        nuisance0=nu0, nuisance_names=("a_ia", "m"))
+    np.testing.assert_allclose(
+        np.asarray(p0),
+        [fiducial.omega_m0, fiducial.sigma_8, 0.0, 0.0], atol=0)
+    p = jnp.asarray([0.29, 0.85, 0.4, 0.02])
+    got = theory(p)
+    c = dataclasses.replace(fiducial, omega_m0=0.29, omega_l0=1 - 0.29,
+                            sigma_8=0.85)
+    nu = dataclasses.replace(nu0, a_ia=jnp.asarray(0.4).reshape(()),
+                             m=jnp.asarray([0.02]))
+    expect = pipe(c, nu)["vector"]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(expect))
+    # Fiducial evaluation is finite and grad flows to every slot.
+    g = np.asarray(jax.jacfwd(theory)(p0))
+    assert np.all(np.isfinite(g))
+    assert np.all(np.max(np.abs(g), axis=0) > 0.0)
+
+
+def test_make_theory_fn_no_flat_and_errors(fiducial, tiny_pipe):
+    """flat=False leaves omega_l0 at the fiducial value; unknown field
+    names raise."""
+    pipe, nu0 = tiny_pipe
+    theory, p0 = inference.make_theory_fn(
+        pipe, fiducial, cosmo_names=("sigma_8",), nuisance0=nu0,
+        nuisance_names=(), flat=False)
+    assert p0.shape == (1,)
+    assert np.all(np.isfinite(np.asarray(theory(p0))))
+    with pytest.raises(AttributeError):
+        inference.make_theory_fn(pipe, fiducial,
+                                 cosmo_names=("not_a_field",))
+
+
+@pytest.mark.slow
+def test_pipeline_fisher_vs_hmc(fiducial, tiny_pipe):
+    """End to end: Fisher forecast through the real (tiny-grid)
+    pipeline vs a short HMC chain on the synthetic posterior — the
+    same consistency bar as examples/hmc_example.py, now through the
+    library surface."""
+    from chomp_tpu import covariance, halo
+
+    pipe, nu0 = tiny_pipe
+    g = GridSpec(n_k=64, n_mass=64, n_ell=256, n_mu=8, sigma_panels=8,
+                 sigma_n_per_panel=32, n_growth=32, n_dist=32,
+                 lattice_dln=0.08)
+    mk = lambda z0, sz: projection.DNdzGaussian(
+        z_min=jnp.asarray(0.0), z_max=jnp.asarray(2.5),
+        z0=jnp.asarray(z0), sigma_z=jnp.asarray(sz))
+    edges = np.geomspace(0.07, 1.35, 6)
+    theta_mid = np.sqrt(edges[:-1] * edges[1:])
+    pipe2 = __import__("chomp_tpu.parallel.sweep", fromlist=["x"]) \
+        .make_tomographic_pipeline(
+            default_halo(), default_hod(), [mk(0.5, 0.15)], [mk(1.0, 0.3)],
+            theta_deg=theta_mid, z_pivot=0.5, grid=g)
+    theory, p0 = inference.make_theory_fn(
+        pipe2, fiducial, cosmo_names=("omega_m0", "sigma_8"))
+    model = halo.build_halo_model(fiducial, default_halo(),
+                                  default_hod(), 0.5, False, g)
+    cov = np.asarray(covariance.tomographic_3x2pt_covariance(
+        fiducial, default_halo(), model, [mk(0.5, 0.15)], [mk(1.0, 0.3)],
+        edges, 0.3, [3e7], [0.26**2 / 7e7], grid=g))
+    like = inference.GaussianLikelihood(
+        theory, np.asarray(theory(p0)), cov,
+        lower=[0.18, 0.55], upper=[0.45, 1.05])
+    f = like.fisher(p0)
+    qs, acc = inference.hmc(like.neg_log_post, f, p0,
+                            jax.random.PRNGKey(0), n_steps=120,
+                            n_leap=5, eps=0.6)
+    qs = np.asarray(qs)[40:]
+    assert float(np.asarray(acc).mean()) > 0.5
+    sd = qs.std(axis=0)
+    fisher_sd = np.sqrt(np.diag(np.linalg.inv(np.asarray(f))))
+    assert np.all(sd / fisher_sd > 0.3) and np.all(sd / fisher_sd < 3.0), (
+        sd, fisher_sd)
+    assert np.all(np.abs(qs.mean(axis=0) - np.asarray(p0)) < 5 * sd)
