@@ -171,6 +171,35 @@ def main(batch_size: int = 100):
     rows.append((f"12-probe bandpower covariance [{b_cov}]",
                  dt_bcov / b_cov * 1e3))
 
+    # Data route (sht.py): masked maps -> pseudo-C_l -> decoupled band
+    # powers for 2 galaxy + 2 shear fields per sky at lmax=256 — the
+    # MXU-batched dense-table SHT (3 tables x 100 MB f32).
+    from chomp_tpu.sht import SHT, gl_mask_map
+
+    sh = SHT(256, n_lat=384, n_phi=1024, spin2=True)
+    setup_s = bp_mod.bandpower_setup(bp_mask, 256,
+                                     [8, 32, 64, 128, 192, 256])
+    w_map = jnp.asarray(gl_mask_map(sh, bp_mask), jnp.float32)
+    b_sky = 8
+    rng = np.random.default_rng(0)
+    s_maps = jnp.asarray(rng.normal(size=(2, b_sky, 384, 1024)),
+                         jnp.float32)
+    qu_maps = jnp.asarray(rng.normal(size=(2, 2, b_sky, 384, 1024)),
+                          jnp.float32)
+    # The SHT object is a pytree argument: its 300 MB of tables travel
+    # as device buffers, NOT as program constants (the axon remote
+    # compile rejects constant-embedded programs that large).
+    f_maps = jax.jit(lambda s_obj, s, qu: bp_mod.map_bandpowers(
+        s_obj, w_map, setup_s, scalar_maps=s, qu_maps=qu))
+    f_maps(sh, s_maps, qu_maps)                   # compile
+    t0 = time.perf_counter()
+    reps_m = 3
+    for _ in range(reps_m):
+        jax.block_until_ready(f_maps(sh, s_maps, qu_maps))
+    dt_m = (time.perf_counter() - t0) / reps_m
+    rows.append((f"map->bandpowers, 4 fields/sky lmax=256 [{b_sky}]",
+                 dt_m / b_sky * 1e3))
+
     # Super-sample block (responses x footprint sigma_b^2 on the
     # gather-free lattice): the w(theta) auto SSC on a 0.1 sr disc.
     from chomp_tpu import ssc as ssc_mod

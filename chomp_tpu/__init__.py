@@ -38,6 +38,10 @@ Layer map (mirrors SURVEY.md §1, reimagined TPU-first):
     bandpowers    ->  (new) MASTER mode-coupling / decoupled band
                       powers on a masked sky (quadrature 3j sums, the
                       fused static bandpower-window theory operator)
+    sht           ->  (new) TPU-native spherical harmonic transforms
+                      (scalar + spin-2 E/B as dense per-m matmul
+                      batches): the DATA side of MASTER — masked maps
+                      -> pseudo-C_ell -> decoupled band powers
     compat        ->  object API mirroring the reference's classes
 """
 

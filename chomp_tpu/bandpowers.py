@@ -82,10 +82,13 @@ __all__ = [
     "white_noise_pseudo_cl",
     "bandpower_gaussian_block",
     "pseudo_covariance_kernel",
+    "pseudo_covariance_kernels_spin",
     "harmonic_probes",
     "bandpower_setup",
     "make_bandpower_pipeline",
     "tomographic_bandpower_covariance",
+    "decouple",
+    "map_bandpowers",
 ]
 
 
@@ -233,7 +236,7 @@ def white_noise_pseudo_cl(level: float, mask, lmax: int):
 
 
 def pseudo_covariance_kernel(mask, lmax: int):
-    """The static NKA covariance kernel K_{ll'} =
+    """The static spin-0 NKA covariance kernel K_{ll'} =
     Xi^{00}[xi_{W^2}]_{ll'} = sum_L (2L+1)/(4pi) C^{W^2}_L (3j)^2:
     Cov(C~_l, C~_l') ~= [C C + C C]_(ll') K_{ll'} (module docstring).
     Symmetric in (l, l') — required of any covariance; full sky:
@@ -245,14 +248,47 @@ def pseudo_covariance_kernel(mask, lmax: int):
                                    weight="W2")["0"])
 
 
+def pseudo_covariance_kernels_spin(mask, lmax: int):
+    """SPIN-AWARE NKA covariance kernels, keyed by the number of
+    spin-2 leg PAIRS in a Wick pairing (each pairing of
+    Cov(C~^{ab}, C~^{cd}) contracts two field pairs; each pair of
+    same-spin fields contributes its own 3j factor with the spin-0
+    mask in the third column):
+
+      0: Xi^{00}  = sum_L w_L (3j^{000})^2            (both pairs 0x0)
+      1: Xi^{20}  = sum_L w_L 3j^{000} 3j^{2-20}      (one 0x0, one 2x2)
+      2: Xi^{22+} = sum_L w_L (3j^{2-20})^2 x even-parity projection
+                                                      (both pairs 2x2,
+                                                       E-channel)
+
+    with w_L = (2L+1)/(4pi) C^{W^2}_L — the same Gauss-Legendre
+    quadrature kinds ("0", "2", "P") as the coupling matrices, now
+    against xi_{W^2} (Racah-3j referee in tests/test_bandpowers.py).
+    Pairings that contract a spin-0 field against a spin-2 field
+    (e.g. the (gE)(Eg) pairing of Cov(C~^{gE}, C~^{gE})) have no
+    unambiguous narrow-kernel reduction — the standard treatment
+    (NaMaster's improved NKA) keeps the spin-0 kernel there, and so
+    does tomographic_bandpower_covariance(kernel_mode="spin").
+    All three reduce to delta_{ll'}/(2l+1) on the full sky (on the
+    l >= 2 support for the spin-2 rows)."""
+    from chomp_tpu.curved import _xi_matrices
+
+    xi = _xi_matrices(mask, int(lmax), ("0", "2", "P"), weight="W2")
+    return {0: np.asarray(xi["0"]), 1: np.asarray(xi["2"]),
+            2: np.asarray(xi["P"])}
+
+
 def bandpower_gaussian_block(d_a, d_b, cl_ac, cl_bd, cl_ad, cl_bc,
-                             kernel):
+                             kernel, kernel2=None):
     """Gaussian covariance block of DECOUPLED band powers
     Cov(B^{ab}_q, B^{cd}_{q'}) — ``d_a``/``d_b`` the two decoupling
     operators (numpy (n_band, lmax+1), from decoupled_operator["D"]),
     the four TOTAL per-ell spectra (traced jnp arrays on 0..lmax,
     signal + true noise level), and the static ``kernel`` from
-    pseudo_covariance_kernel.
+    pseudo_covariance_kernel (applied to the (ac)(bd) pairing;
+    ``kernel2`` to the (ad)(bc) pairing, defaulting to ``kernel`` —
+    pass per-pairing kernels from pseudo_covariance_kernels_spin for
+    the spin-aware treatment).
 
     Rank-expansion of the arithmetic multipole mean: with
     u = cl_ac, v = cl_bd (and the (ad)(bc) mirror),
@@ -262,22 +298,110 @@ def bandpower_gaussian_block(d_a, d_b, cl_ac, cl_bd, cl_ad, cl_bc,
     so D_a Cov~ D_b^T = 1/4 sum of four diag-scaled sandwiches per
     pairing — 8 static (n_band x L)(L x L)(L x n_band) matmul chains,
     zero gathers, traced only through the per-ell C vectors."""
-    k = jnp.asarray(kernel)
     da = jnp.asarray(np.asarray(d_a, dtype=float))
     db = jnp.asarray(np.asarray(d_b, dtype=float))
     hp = jax.lax.Precision.HIGHEST
 
-    def sand(u_l, v_m):
+    def sand(k, u_l, v_m):
         left = jnp.matmul(da * u_l[None, :], k, precision=hp)
         return jnp.matmul(left, (db * v_m[None, :]).T, precision=hp)
 
-    def pairing(u, v):
+    def pairing(k, u, v):
         one = jnp.ones_like(u)
-        return 0.25 * (sand(u * v, one) + sand(u, v)
-                       + sand(v, u) + sand(one, u * v))
+        return 0.25 * (sand(k, u * v, one) + sand(k, u, v)
+                       + sand(k, v, u) + sand(k, one, u * v))
 
-    return pairing(jnp.asarray(cl_ac), jnp.asarray(cl_bd)) \
-        + pairing(jnp.asarray(cl_ad), jnp.asarray(cl_bc))
+    k1 = jnp.asarray(kernel)
+    k2 = k1 if kernel2 is None else jnp.asarray(kernel2)
+    return pairing(k1, jnp.asarray(cl_ac), jnp.asarray(cl_bd)) \
+        + pairing(k2, jnp.asarray(cl_ad), jnp.asarray(cl_bc))
+
+
+# ---------------------------------------------------------------------------
+# Data route: masked maps -> pseudo-C_l -> decoupled band powers
+# ---------------------------------------------------------------------------
+#
+# The estimator side of MASTER, fully in-framework through the
+# TPU-native SHT (chomp_tpu.sht): the decoupled band powers
+# B_hat = D (C~_hat - <N~>) are directly comparable to
+# make_bandpower_pipeline's theory means <B> = F C (exact coupling —
+# no NKA on the mean), with tomographic_bandpower_covariance as the
+# covariance.  Everything below is jit-able end to end.
+
+
+def decouple(setup, spin_key, pseudo_cl_hat, noise_level: float = 0.0):
+    """Decoupled band powers from MEASURED pseudo-spectra:
+    B_hat = D (C~_hat - <N~>), with ``setup`` from bandpower_setup,
+    ``spin_key`` in {"00", "02", "pp"}, ``pseudo_cl_hat`` any
+    (..., >= lmax+1) array (extra multipoles beyond setup's lmax are
+    ignored), and ``noise_level`` the white per-steradian noise power
+    (1/n2d, sigma_e^2 per component / n2d) debiased at its EXACT
+    pseudo level (white_noise_pseudo_cl).  Returns (..., n_band)."""
+    d = jnp.asarray(setup["ops"][spin_key]["D"])
+    lmax = setup["lmax"]
+    cl = jnp.asarray(pseudo_cl_hat)[..., : lmax + 1]
+    if noise_level:
+        cl = cl - jnp.asarray(white_noise_pseudo_cl(
+            noise_level, setup["mask"], lmax))
+    return jnp.matmul(cl, d.T, precision=jax.lax.Precision.HIGHEST)
+
+
+def map_bandpowers(sht, w_map, setup, scalar_maps=None, qu_maps=None,
+                   noise_levels=None):
+    """Masked sky maps -> decoupled band powers, in one call (and one
+    jit): multiplies by the weight map, runs the TPU SHT
+    (chomp_tpu.sht.SHT — pass one with ``spin2=True`` when ``qu_maps``
+    is given), forms every auto/cross pseudo-spectrum, and decouples
+    each through the matching MASTER operator of ``setup``.
+
+    Parameters
+    ----------
+    sht : chomp_tpu.sht.SHT with sht.lmax >= setup["lmax"].
+    w_map : (n_lat, n_phi) weight map (sht.gl_mask_map of the SAME
+        mask object that built ``setup`` — the decoupling is only
+        consistent for that mask).
+    scalar_maps : (n_s, n_lat, n_phi) spin-0 fields (e.g. per-bin
+        galaxy overdensity maps), or None.
+    qu_maps : (n_2, 2, n_lat, n_phi) spin-2 (Q, U) field pairs (e.g.
+        per-bin shear), or None.
+    noise_levels : optional dict {"scalar": (n_s,), "spin2": (n_2,)}
+        white per-steradian noise powers debiased per field (autos
+        only — cross spectra carry no white noise).
+
+    Returns a dict of decoupled band powers:
+      ("s", i, j) for scalar x scalar (i <= j, "00" operator),
+      ("se", i, j) for scalar_i x E_j ("02"),
+      ("ee", i, j) for E_i x E_j (i <= j, "pp"; BB-null model).
+    """
+    w = jnp.asarray(w_map)
+    out = {}
+    alms, elms = [], []
+    if scalar_maps is not None:
+        sm = jnp.asarray(scalar_maps)
+        alms = [sht.analyze(sm[i] * w) for i in range(sm.shape[0])]
+    if qu_maps is not None:
+        qu = jnp.asarray(qu_maps)
+        for i in range(qu.shape[0]):
+            e, _b = sht.analyze_spin2(qu[i, 0] * w, qu[i, 1] * w)
+            elms.append(e)
+    nz = noise_levels or {}
+    n_s = nz.get("scalar", [0.0] * len(alms))
+    n_e = nz.get("spin2", [0.0] * len(elms))
+    for i in range(len(alms)):
+        for j in range(i, len(alms)):
+            cl = sht.pseudo_cl(alms[i], alms[j])
+            lvl = float(n_s[i]) if i == j else 0.0
+            out[("s", i, j)] = decouple(setup, "00", cl, lvl)
+    for i in range(len(alms)):
+        for j in range(len(elms)):
+            cl = sht.pseudo_cl(alms[i], elms[j])
+            out[("se", i, j)] = decouple(setup, "02", cl)
+    for i in range(len(elms)):
+        for j in range(i, len(elms)):
+            cl = sht.pseudo_cl(elms[i], elms[j])
+            lvl = float(n_e[i]) if i == j else 0.0
+            out[("ee", i, j)] = decouple(setup, "pp", cl, lvl)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -496,7 +620,9 @@ def tomographic_bandpower_covariance(cosmo, halo_p, model, lens_dists,
                                      include_nongaussian=False,
                                      include_ssc=False,
                                      ssc_kwargs: dict | None = None,
-                                     cmb_lensing=None, **ng_kwargs):
+                                     cmb_lensing=None,
+                                     kernel_mode: str = "spin0",
+                                     **ng_kwargs):
     """Covariance of the FULL tomographic decoupled-bandpower vector —
     (n_probe nb, n_probe nb) over harmonic_probes order, matching
     make_bandpower_pipeline's "vector".  The harmonic-space twin of
@@ -504,12 +630,17 @@ def tomographic_bandpower_covariance(cosmo, halo_p, model, lens_dists,
     lattice halo evaluation.
 
     Gaussian term: per-block NKA sandwiches D_a Cov(C~) D_b^T
-    (bandpower_gaussian_block) with the spin-0 pseudo-covariance
-    kernel of the mask applied to EVERY spin combination — the
-    standard "improved NKA" treatment (spin-dependent kernel
-    corrections and EE<->BB noise leakage in the covariance are
-    beyond-NKA; the scalar MC referee puts the diagonal within
-    ~10-30% at footprint-scale bands, percent-level well inside).
+    (bandpower_gaussian_block).  ``kernel_mode``:
+      "spin0" (default): the spin-0 pseudo-covariance kernel of the
+        mask on EVERY spin combination — the standard "improved NKA"
+        treatment (the scalar MC referee puts the diagonal within
+        ~10-30% at footprint-scale bands, percent-level well inside);
+      "spin": per-PAIRING spin-aware kernels
+        (pseudo_covariance_kernels_spin) — each Wick pairing gets the
+        Xi kernel of its leg-pair spins (0x0/2x2 counts; pairings
+        with a mixed 0x2 contraction keep the spin-0 kernel, the
+        documented NKA ambiguity).  Spin-2 MC referee in
+        tests/test_sht.py quantifies both modes on an apodized cap.
     Total per-ell spectra ride the static Catmull-Rom table map (zero
     gathers); per-bin shot noise 1/n2d_lens_list[i] and per-source-bin
     shape noise (per component) enter as exact white levels.
@@ -551,7 +682,24 @@ def tomographic_bandpower_covariance(cosmo, halo_p, model, lens_dists,
                             spins=((0, 2) if n_src else (0,)))
     tbl, w_int, ops = setup["tbl"], setup["w_int"], setup["ops"]
     nb = len(setup["edges"]) - 1
-    kernel = pseudo_covariance_kernel(mask, lmax)
+    if kernel_mode == "spin0":
+        kernel = pseudo_covariance_kernel(mask, lmax)
+        kern_of = lambda pair_a, pair_b: kernel
+    elif kernel_mode == "spin":
+        kerns = pseudo_covariance_kernels_spin(mask, lmax)
+
+        def kern_of(pair_a, pair_b):
+            """Kernel for the pairing contracting pair_a = (t_i, t_j)
+            and pair_b: mixed spin-0 x spin-2 contractions fall back
+            to the spin-0 kernel (docstring)."""
+            spins = [0 if t[0] in ("g", "K") else 2
+                     for t in (*pair_a, *pair_b)]
+            if spins[0] != spins[1] or spins[2] != spins[3]:
+                return kerns[0]
+            return kerns[(spins[0] + spins[2]) // 2]
+    else:
+        raise ValueError(f"kernel_mode must be 'spin0' or 'spin', "
+                         f"got {kernel_mode!r}")
     probes = harmonic_probes(n_lens, n_src, cmb_lensing=cmb is not None)
     cls = tomographic_lattice_cl_callables(
         cosmo, halo_p, model, lens_dists, src_dists, with_bao, grid,
@@ -630,7 +778,8 @@ def tomographic_bandpower_covariance(cosmo, halo_p, model, lens_dists,
             _, sb, (c, d) = probes[pb]
             blk = bandpower_gaussian_block(
                 ops[sa]["D"], ops[sb]["D"], cvec(a, c), cvec(b, d),
-                cvec(a, d), cvec(b, c), kernel)
+                cvec(a, d), cvec(b, c),
+                kern_of((a, c), (b, d)), kern_of((a, d), (b, c)))
             ng_here = bool(ng_on) and (ng_on != "autos" or pb == pa)
             ssc_here = bool(ssc_on) and (ssc_on != "autos" or pb == pa)
             if ng_here or ssc_here:

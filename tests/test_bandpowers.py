@@ -272,6 +272,53 @@ def test_mc_nka_covariance(mc_setup):
                                atol=0.15)
 
 
+def test_spin_covariance_kernels_vs_racah_3j():
+    """pseudo_covariance_kernels_spin vs the explicit 3j construction
+    sum_L w_L 3j 3j with w_L the xi_{W^2} Legendre coefficients —
+    independent algebra, ~1e-12 (the W^2 twin of the coupling
+    referee; kernel 2 carries the even-parity projection)."""
+    lmax = 12
+    mask = _apodized_cap(lmax_mask=40)
+    kerns = bp.pseudo_covariance_kernels_spin(mask, lmax)
+    # xi_{W^2} Legendre coefficients on the same truncation the mask
+    # object uses (incl. its Parseval repair scale).
+    c_l = np.asarray(mask._xi_w2_c) * mask._xi_w2_scale
+    ref = {k: np.zeros((lmax + 1, lmax + 1)) for k in (0, 1, 2)}
+    for l1 in range(lmax + 1):
+        for l2 in range(lmax + 1):
+            s0 = s1 = s2 = 0.0
+            for ll in range(len(c_l)):
+                w000 = wigner3j(l1, l2, ll, 0, 0, 0)
+                w220 = wigner3j(l1, l2, ll, 2, -2, 0)
+                par = 0.5 * (1.0 + (-1.0) ** (l1 + l2 + ll))
+                s0 += c_l[ll] * w000 * w000
+                s1 += c_l[ll] * w000 * w220
+                s2 += c_l[ll] * w220 * w220 * par
+            ref[0][l1, l2], ref[1][l1, l2], ref[2][l1, l2] = s0, s1, s2
+    for k in (0, 1, 2):
+        np.testing.assert_allclose(kerns[k], ref[k], atol=2e-12,
+                                   err_msg=str(k))
+    # Spin-0 kernel agrees with the scalar helper bitwise.
+    np.testing.assert_allclose(kerns[0],
+                               bp.pseudo_covariance_kernel(mask, lmax),
+                               rtol=0, atol=0)
+
+
+def test_spin_kernels_full_sky():
+    """Uniform mask: every spin kernel is delta_{ll'}/(2l+1) on its
+    support (l >= 2 rows/cols for the spin-2 families)."""
+    lmax = 32
+    kerns = bp.pseudo_covariance_kernels_spin(UniformSphereMask(), lmax)
+    ells = np.arange(lmax + 1)
+    diag = np.diag(1.0 / (2.0 * ells + 1.0))
+    np.testing.assert_allclose(kerns[0], diag, atol=1e-10)
+    d2 = diag.copy()
+    d2[:2] = 0.0
+    np.testing.assert_allclose(kerns[2], d2, atol=1e-10)
+    np.testing.assert_allclose(kerns[1][2:, 2:], diag[2:, 2:],
+                               atol=1e-10)
+
+
 def test_cap_vs_profile_consistency():
     """A binary cap built as a ProfileCurvedMask (step profile) and the
     exact SphericalCapMask give the same spin-0 coupling to the
