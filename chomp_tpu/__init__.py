@@ -42,6 +42,11 @@ Layer map (mirrors SURVEY.md §1, reimagined TPU-first):
                       (scalar + spin-2 E/B as dense per-m matmul
                       batches): the DATA side of MASTER — masked maps
                       -> pseudo-C_ell -> decoupled band powers
+    clusters      ->  (new) cluster number counts with a lognormal
+                      mass-observable relation: Poisson + sample
+                      variance (Limber per-shell or exact-radial
+                      spectral) and the counts x 3x2pt SSC cross
+                      blocks ("3x2pt + N")
     compat        ->  object API mirroring the reference's classes
 """
 
