@@ -47,6 +47,9 @@ Layer map (mirrors SURVEY.md §1, reimagined TPU-first):
                       variance (Limber per-shell or exact-radial
                       spectral) and the counts x 3x2pt SSC cross
                       blocks ("3x2pt + N")
+    nlpower       ->  (new) revised halofit (Takahashi 2012) nonlinear
+                      matter power — opt-in mm legs for cosmic shear
+                      (matter_power="halofit" on the pipelines)
     compat        ->  object API mirroring the reference's classes
 """
 

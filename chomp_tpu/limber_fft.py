@@ -463,12 +463,18 @@ def _exact_z_conv(cosmo, halo_params, hod, win_a, win_b, kind: str,
 def exact_z_anchor_spectra(cosmo, halo_params, hod, kinds,
                            n_z_anchor: int, z_anchor_lo: float,
                            z_anchor_hi: float, with_bao: bool,
-                           grid: GridSpec):
+                           grid: GridSpec, matter_power: str = "halo"):
     """Halo spectra at the Chebyshev redshift anchors for ALL requested
     ``kinds`` in one sweep (the y-matrices dominate the anchor builds
     and are shared across mm/gm/gg inside halo.powers) — callers
     combining probes, like the w+gamma_t exact-z pipeline, should build
-    this once and feed both convolutions."""
+    this once and feed both convolutions.
+
+    ``matter_power``: "halo" (default), "halofit" (Takahashi 2012,
+    chomp_tpu.nlpower), or "linear" — swaps the power_mm anchors ONLY
+    (the mm legs of xi_pm / kappa probes); gg/gm stay halo-model.  The
+    anchor reconstruction interpolates P/D^2 in z, so the full halofit
+    shape evolution is carried exactly to Chebyshev accuracy."""
     import jax
 
     from chomp_tpu import halo as halo_mod
@@ -481,7 +487,25 @@ def exact_z_anchor_spectra(cosmo, halo_params, hod, kinds,
                                           with_bao, grid)
         p_all = halo_mod.powers(cosmo, halo_params, model,
                                 jnp.asarray(np.exp(ln_k)), with_bao, grid)
-        return {k: p_all[k] for k in kinds}, model.mass.growth
+        out = {k: p_all[k] for k in kinds}
+        if "power_mm" in kinds and matter_power != "halo":
+            if matter_power == "halofit":
+                from chomp_tpu import nlpower
+
+                out["power_mm"] = nlpower.halofit_power(
+                    cosmo, jnp.asarray(np.exp(ln_k)), z_j, with_bao,
+                    grid)
+            elif matter_power == "linear":
+                from chomp_tpu import linear as linear_mod
+
+                out["power_mm"] = linear_mod.linear_power(
+                    cosmo, jnp.asarray(np.exp(ln_k)), z_j, with_bao,
+                    grid)
+            else:
+                raise ValueError(
+                    f"matter_power must be halo|halofit|linear, got "
+                    f"{matter_power!r}")
+        return out, model.mass.growth
 
     # lax.map (sequential anchors), NOT vmap: each anchor's y matrices
     # are large, and batching them across anchors spills HBM — measured

@@ -114,6 +114,25 @@ def _warn_if_separable_bias(dist, z_pivot: float, threshold: float = 0.5):
             stacklevel=3)
 
 
+def _mm_override(cosmo, z, matter_power: str, with_bao: bool, grid):
+    """The swapped power_mm lattice row (make_pipeline matter_power=):
+    halofit or linear at epoch ``z``."""
+    from chomp_tpu import limber_fft
+
+    if matter_power == "halofit":
+        from chomp_tpu import nlpower
+
+        return nlpower.p_lattice_halofit(cosmo, z, with_bao, grid)
+    if matter_power == "linear":
+        from chomp_tpu import linear as linear_mod
+
+        return linear_mod.linear_power(
+            cosmo, jnp.exp(jnp.asarray(limber_fft.k_lattice(grid))), z,
+            with_bao, grid)
+    raise ValueError(f"matter_power must be halo|halofit|linear, got "
+                     f"{matter_power!r}")
+
+
 def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
                   theta_deg=None, z_pivot: float = 0.0,
                   with_bao: bool = False, grid: GridSpec = DEFAULT_GRID,
@@ -123,7 +142,8 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
                   include_shear: bool = False,
                   include_cmb_lensing=False,
                   nonlimber_ell_switch: int | None = None,
-                  nonlimber_rsd: bool = False):
+                  nonlimber_rsd: bool = False,
+                  matter_power: str = "halo"):
     """Build the flagship single-cosmology program: halo model ->
     clustering w(theta) (+ lensing gamma_t) — the BASELINE.json configs[4]
     "batched w(theta) lensing+clustering pipeline".
@@ -187,6 +207,16 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
     ell=10 — and is zero in any Limber pipeline) through the same
     tapered operators.
 
+    ``matter_power``: "halo" (default — the HOD-consistent 1h+2h
+    model), "halofit" (Takahashi 2012 revised halofit,
+    chomp_tpu.nlpower — the N-body-calibrated standard for cosmic
+    shear), or "linear".  Swaps ONLY the mm legs (the xi_+/- rows);
+    w(theta)/gamma_t keep the halo model (halofit has no galaxy
+    sector).  On the separable route the swapped spectrum is the
+    pivot-epoch shape scaled by D^2 like every other row; with
+    ``exact_z_anchors`` the full halofit shape evolution is carried
+    (the anchors interpolate P/D^2 in z).
+
     Returns ``fn(cosmo) -> dict`` (pure; jit/vmap/grad-able).
     ``halo_params``/``hod``/``dist`` are closed over but traced, so they
     can also carry batch axes via vmap in_axes if desired (except
@@ -213,6 +243,12 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
         raise ValueError("nonlimber_rsd requires nonlimber_ell_switch "
                          "(the RSD term rides the same correction "
                          "operators)")
+    if matter_power not in ("halo", "halofit", "linear"):
+        raise ValueError(f"matter_power must be halo|halofit|linear, "
+                         f"got {matter_power!r}")
+    if matter_power != "halo" and method != "fft":
+        raise ValueError("matter_power overrides need method='fft' "
+                         "(the table route has no mm lattice row)")
 
     if theta_deg is None:
         theta_deg = correlation.theta_bins_deg(grid)
@@ -324,11 +360,18 @@ def make_pipeline(halo_params, hod, dist, power_spec: str = "power_gg",
             # still has weight.
             p_all = limber_fft.exact_z_anchor_spectra(
                 cosmo, halo_params, hod, kinds, exact_z_anchors,
-                1e-3, z_hi_anchor, with_bao, grid)
+                1e-3, z_hi_anchor, with_bao, grid,
+                matter_power=matter_power)
         else:
             p_all = (limber_fft.p_lattice_halo_all(cosmo, halo_params,
                                                    model, with_bao, grid)
                      if method == "fft" else None)
+            if (p_all is not None and include_shear
+                    and matter_power != "halo"):
+                p_all = dict(p_all)
+                p_all["power_mm"] = _mm_override(cosmo, z_pivot,
+                                                 matter_power, with_bao,
+                                                 grid)
         out = {"theta_deg": theta_deg, "n_g": model.n_g}
         if method == "fft" and not exact_z_anchors:
             # Batched fast path (the bench.py route): all probes fuse
@@ -468,7 +511,8 @@ def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
                               include_magnification: bool = False,
                               include_cmb_lensing=False,
                               nonlimber_ell_switch: int | None = None,
-                              nonlimber_rsd: bool = False):
+                              nonlimber_rsd: bool = False,
+                              matter_power: str = "halo"):
     """Tomographic 3x2pt prediction: fn(cosmo) -> dict with
     w_theta (n_lens, nb), gamma_t (n_lens*n_src, nb),
     xi_plus/xi_minus (n_src (n_src+1)/2, nb), and "vector" — the
@@ -537,7 +581,12 @@ def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
     calibration; the IA piece of the source window is projected through
     the convergence kernel (its separate density-kernel correction is
     second-order small), and the magnification add-on rows keep plain
-    Limber (doubly sub-leading)."""
+    Limber (doubly sub-leading).
+
+    ``matter_power``: "halo" (default) | "halofit" | "linear" — swaps
+    the mm legs (xi_pm rows, magnification mm add-ons, kappa_i x
+    kappa_CMB) exactly as in ``make_pipeline``; gg/gm stay
+    halo-model."""
     import numpy as np
 
     from chomp_tpu import halo as halo_mod
@@ -559,6 +608,9 @@ def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
         raise ValueError("nonlimber_rsd requires nonlimber_ell_switch "
                          "(the RSD term rides the same correction "
                          "operators)")
+    if matter_power not in ("halo", "halofit", "linear"):
+        raise ValueError(f"matter_power must be halo|halofit|linear, "
+                         f"got {matter_power!r}")
     if theta_deg is None:
         theta_deg = correlation.theta_bins_deg(grid)
     theta_key = np.asarray(theta_deg)
@@ -617,7 +669,8 @@ def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
             anch = [limber_fft.exact_z_anchor_spectra(
                 cosmo, halo_params, h_i,
                 ("power_gg", "power_gm", "power_mm"), exact_z_anchors,
-                1e-3, z_hi_anchor, with_bao, grid)
+                1e-3, z_hi_anchor, with_bao, grid,
+                matter_power=matter_power)
                 for h_i in (hods if hods is not None else [hod])]
             if hods is None:            # one shared sweep for all bins
                 anch = anch * len(wins_g)
@@ -638,6 +691,10 @@ def make_tomographic_pipeline(halo_params, hod, lens_dists, src_dists,
             src_gg = [(p_all, "power_gg")] * len(wins_g)
             src_gm = [(p_all, "power_gm")] * len(wins_g)
             src_mm = (p_all, "power_mm")
+        if matter_power != "halo" and not exact_z_anchors:
+            src_mm = ({"power_mm": _mm_override(cosmo, z_pivot,
+                                                matter_power, with_bao,
+                                                grid)}, "power_mm")
 
         def w_of(src, wa, wb, mu, stat=None):
             p, kind = src
