@@ -489,7 +489,8 @@ def make_bandpower_pipeline(halo_params, hod, lens_dists, src_dists,
                             with_bao: bool = False, grid=None,
                             with_nuisance: bool = False,
                             include_magnification: bool = False,
-                            include_cmb_lensing=False):
+                            include_cmb_lensing=False,
+                            matter_power: str = "halo"):
     """fn(cosmo[, nuisance]) -> dict of decoupled tomographic BAND
     POWERS — the harmonic-space twin of
     parallel.sweep.make_tomographic_pipeline, over the SAME lattice
@@ -545,7 +546,8 @@ def make_bandpower_pipeline(halo_params, hod, lens_dists, src_dists,
         cls = tomographic_lattice_cl_callables(
             cosmo, halo_params, model, lens_dists, src_dists, with_bao,
             grid, nuisance=nuisance,
-            include_magnification=include_magnification, cmb=cmb)
+            include_magnification=include_magnification, cmb=cmb,
+            matter_power=matter_power)
         rows = {"cl_gg": [], "cl_ge": [], "cl_ee": [], "cl_gK": []}
         for name, spin, (ta, tb) in probes:
             if ta[0] == "g" and tb[0] == "g":
@@ -622,6 +624,7 @@ def tomographic_bandpower_covariance(cosmo, halo_p, model, lens_dists,
                                      ssc_kwargs: dict | None = None,
                                      cmb_lensing=None,
                                      kernel_mode: str = "spin0",
+                                     matter_power: str = "halo",
                                      **ng_kwargs):
     """Covariance of the FULL tomographic decoupled-bandpower vector —
     (n_probe nb, n_probe nb) over harmonic_probes order, matching
@@ -703,7 +706,8 @@ def tomographic_bandpower_covariance(cosmo, halo_p, model, lens_dists,
     probes = harmonic_probes(n_lens, n_src, cmb_lensing=cmb is not None)
     cls = tomographic_lattice_cl_callables(
         cosmo, halo_p, model, lens_dists, src_dists, with_bao, grid,
-        nuisance, include_magnification, cmb=cmb)
+        nuisance, include_magnification, cmb=cmb,
+        matter_power=matter_power)
     n2d, sn = _tomographic_noise_lists(n2d_lens_list, shape_noise_list,
                                        n_lens, n_src)
 

@@ -1329,7 +1329,8 @@ def tomographic_lattice_cl_callables(cosmo, halo_p, model, lens_dists,
                                      grid: GridSpec = DEFAULT_GRID,
                                      nuisance=None,
                                      include_magnification: bool = False,
-                                     cmb=None):
+                                     cmb=None,
+                                     matter_power: str = "halo"):
     """All tomographic C_ℓ callables from ONE halo evaluation on the
     gather-free lattice: a dict keyed ("gg", i, j) (lens pairs, i ≤ j),
     ("gk", i, j) (lens i x source j), ("kk", j, k) (source pairs,
@@ -1369,7 +1370,15 @@ def tomographic_lattice_cl_callables(cosmo, halo_p, model, lens_dists,
 
     where κ_i is the CONVERGENCE window of (photo-z-shifted) lens bin
     i and the g_i×κ cross terms use bin i's P_gm in per-bin-HOD mode.
-    α_i = 1 reduces exactly to the unmagnified callables."""
+    α_i = 1 reduces exactly to the unmagnified callables.
+
+    ``matter_power``: "halo" (default) | "halofit" | "linear" — swaps
+    the power_mm lattice row feeding every mm pairing (kk, kK, KK,
+    magnification mm terms), matching the prediction pipelines'
+    option.  The covariance lattice route is separable by
+    construction, so the swapped spectrum is the model-pivot shape
+    scaled by D^2 — ample for a covariance (a ~percent-shape effect on
+    an already-approximate NKA/Gaussian block)."""
     from chomp_tpu import limber_fft
     from chomp_tpu.projection import (DNdzShifted, WindowConvergence,
                                       WindowConvergenceIA, WindowGalaxy)
@@ -1411,6 +1420,13 @@ def tomographic_lattice_cl_callables(cosmo, halo_p, model, lens_dists,
         piv = model.mass.growth
         key_gg = lambda i, j: "power_gg"
         key_gm = lambda i: "power_gm"
+    if matter_power != "halo":
+        from chomp_tpu.parallel.sweep import _mm_override
+
+        m0 = model[0] if isinstance(model, (list, tuple)) else model
+        p_lat = dict(p_lat)
+        p_lat["power_mm"] = _mm_override(cosmo, m0.mass.z, matter_power,
+                                         with_bao, grid)
 
     def make(win_a, win_b, kind):
         def cl(ells_np):
@@ -1733,6 +1749,7 @@ def tomographic_3x2pt_covariance(cosmo: CosmoParams, halo_p: HaloParams,
                                  include_ssc=False,
                                  ssc_kwargs: dict | None = None,
                                  cmb_lensing=None,
+                                 matter_power: str = "halo",
                                  **ng_kwargs):
     """Gaussian (+ optionally connected) covariance of the FULL
     TOMOGRAPHIC 3x2pt data vector — (n_probe nb, n_probe nb) over the
@@ -1794,7 +1811,8 @@ def tomographic_3x2pt_covariance(cosmo: CosmoParams, halo_p: HaloParams,
                                            lens_dists, src_dists,
                                            with_bao, grid, nuisance,
                                            include_magnification,
-                                           cmb=cmb)
+                                           cmb=cmb,
+                                           matter_power=matter_power)
     n2d, sn = _tomographic_noise_lists(n2d_lens_list, shape_noise_list,
                                        n_lens, n_src)
     edges = theta_edges_deg

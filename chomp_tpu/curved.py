@@ -1417,7 +1417,8 @@ def curved_tomographic_3x2pt_covariance(
         ell_split: int | None = None, with_bao: bool = False,
         grid=None, include_nongaussian=False, nuisance=None,
         include_magnification: bool = False, include_ssc=False,
-        ssc_kwargs: dict | None = None, cmb_lensing=None, **ng_kwargs):
+        ssc_kwargs: dict | None = None, cmb_lensing=None,
+        matter_power: str = "halo", **ng_kwargs):
     """Gaussian covariance of the full TOMOGRAPHIC 3x2pt data vector on
     a masked SPHERE — the curved analog of
     covariance.tomographic_3x2pt_covariance (same probe order:
@@ -1473,7 +1474,8 @@ def curved_tomographic_3x2pt_covariance(
                                            lens_dists, src_dists,
                                            with_bao, grid, nuisance,
                                            include_magnification,
-                                           cmb=cmb)
+                                           cmb=cmb,
+                                           matter_power=matter_power)
     n2d, sn = _tomographic_noise_lists(n2d_lens_list, shape_noise_list,
                                        n_lens, n_src)
     edges = theta_edges_deg

@@ -204,3 +204,37 @@ def test_exact_z_halofit_anchor_route():
     # factor.
     assert 1.0 < xp_e[0] / xp_s[0] < 2.5
     assert abs(xp_e[-1] / xp_s[-1] - 1.0) < 0.2
+
+
+def test_covariance_matter_power_swap():
+    """matter_power='halofit' on the tomographic covariance touches
+    exactly the blocks with an mm leg: w x w unchanged, xi x xi
+    changed, gt x gt unchanged (gm legs), all finite."""
+    from chomp_tpu import covariance, halo
+    from chomp_tpu.hod import default_hod
+    from chomp_tpu.projection import DNdzGaussian
+
+    g = GridSpec(n_mass=128, n_mu=8, sigma_panels=8,
+                 sigma_n_per_panel=32, n_growth=32, n_dist=32)
+    lens = [DNdzGaussian(z_min=0.1, z_max=0.9, z0=0.4, sigma_z=0.12)]
+    src = [DNdzGaussian(z_min=0.2, z_max=1.6, z0=0.8, sigma_z=0.2)]
+    model = halo.build_halo_model(COSMO, default_halo(), default_hod(),
+                                  0.4, grid=g)
+    edges = np.geomspace(0.1, 1.0, 4)
+    kw = dict(theta_edges_deg=edges, omega_s_sr=0.3,
+              n2d_lens_list=[3e7], shape_noise_list=[1.7e-9],
+              grid=g, n_ell_cov_g=1024)
+    c_h = np.asarray(covariance.tomographic_3x2pt_covariance(
+        COSMO, default_halo(), model, lens, src, **kw))
+    c_f = np.asarray(covariance.tomographic_3x2pt_covariance(
+        COSMO, default_halo(), model, lens, src,
+        matter_power="halofit", **kw))
+    assert np.isfinite(c_f).all()
+    nb = len(edges) - 1
+    # Probe order: w_0, gt_00, xip_00, xim_00 — 3 theta bins each.
+    np.testing.assert_allclose(c_f[:nb, :nb], c_h[:nb, :nb],
+                               rtol=1e-12)                 # w x w
+    np.testing.assert_allclose(c_f[nb:2 * nb, :nb],
+                               c_h[nb:2 * nb, :nb], rtol=1e-12)
+    xi = slice(2 * nb, 3 * nb)
+    assert np.max(np.abs(c_f[xi, xi] / c_h[xi, xi] - 1.0)) > 0.01
