@@ -215,6 +215,28 @@ def main(batch_size: int = 100):
     dt_ssc = timed(f_ssc, batch_cov, reps=2)
     rows.append((f"SSC w-auto block [{b_cov}]", dt_ssc / b_cov * 1e3))
 
+    # Cluster counts (clusters.py): 3 z bins x 2 proxy bins over a
+    # 5000 deg^2 footprint, plus the Poisson + Limber-SSC covariance.
+    from chomp_tpu import clusters as cl_mod
+
+    csel = cl_mod.ClusterSelection(
+        ln_m_obs_edges=jnp.log(jnp.asarray([2e14, 4.5e14, 2e16])),
+        sigma_lnm=jnp.asarray(0.25))
+    cz = (0.2, 0.4, 0.6, 0.8)
+    stage("cluster counts (3z x 2proxy)",
+          lambda c: cl_mod.cluster_counts(c, h, csel, cz, 1.5))
+    f_ccov = jax.jit(jax.vmap(
+        lambda c: cl_mod.counts_covariance(c, h, csel, cz, 1.5)))
+    dt_cc = timed(f_ccov, batch_cov, reps=2)
+    rows.append((f"counts Poisson+SSC covariance [{b_cov}]",
+                 dt_cc / b_cov * 1e3))
+
+    # halofit (nlpower.py): the full 4-probe pipeline with the mm legs
+    # on Takahashi 2012 instead of the halo model.
+    full_hf = make_pipeline(h, hod, dist, include_shear=True,
+                            matter_power="halofit")
+    stage("w+gt+xi_pm pipeline (halofit mm)", full_hf)
+
     print(f"{'stage':34s} ms/cosmology")
     for name, ms in rows:
         print(f"  {name:32s} {ms:8.3f}")
