@@ -43,6 +43,8 @@ import numpy as np
 __all__ = [
     "make_theory_fn",
     "GaussianLikelihood",
+    "PoissonLikelihood",
+    "CompositeLikelihood",
     "fisher_matrix",
     "map_fit",
     "hmc",
@@ -188,6 +190,101 @@ class GaussianLikelihood:
         if self._prior_w is not None:
             f = f + jnp.diag(self._prior_w)
         return f
+
+
+class PoissonLikelihood:
+    """-ln L = Σ [λ(p) - N ln λ(p)] (+ data-only constant) for counts
+    data — the right likelihood for sparse cluster-count bins where the
+    Gaussian approximation breaks (N ≲ 20), e.g. high-mass/high-z
+    cells of chomp_tpu.clusters.cluster_counts.
+
+    Same surface as GaussianLikelihood (log_like / neg_log_post /
+    fisher; optional Gaussian priors and box), so it composes into
+    map_fit / hmc / CompositeLikelihood unchanged.  ``theory_fn(p)``
+    must return the EXPECTED counts (positive; a tiny floor keeps the
+    log finite if a parameter excursion empties a bin).
+    """
+
+    def __init__(self, theory_fn, data, prior_mean=None,
+                 prior_sigma=None, lower=None, upper=None):
+        self.theory_fn = theory_fn
+        self.data = jnp.asarray(data)
+        self.prior_mean = (None if prior_mean is None
+                           else jnp.asarray(prior_mean))
+        if prior_sigma is not None:
+            ps = np.asarray(prior_sigma, dtype=float)
+            w = np.where(np.isfinite(ps) & (ps > 0), 1.0 / ps**2, 0.0)
+            self._prior_w = jnp.asarray(w)
+        else:
+            self._prior_w = None
+        self.lower = None if lower is None else jnp.asarray(lower)
+        self.upper = None if upper is None else jnp.asarray(upper)
+
+    def log_like(self, p):
+        lam = jnp.maximum(jnp.asarray(self.theory_fn(p)).reshape(-1),
+                          1e-300)
+        n = self.data.reshape(-1)
+        return jnp.sum(n * jnp.log(lam) - lam)
+
+    def neg_log_post(self, p):
+        p = jnp.asarray(p)
+        u = -self.log_like(p)
+        if self._prior_w is not None:
+            d = p - (self.prior_mean if self.prior_mean is not None
+                     else jnp.zeros_like(p))
+            u = u + 0.5 * jnp.sum(self._prior_w * d * d)
+        if self.lower is not None:
+            u = u + jnp.sum(jnp.where(p < self.lower, 1e6, 0.0))
+        if self.upper is not None:
+            u = u + jnp.sum(jnp.where(p > self.upper, 1e6, 0.0))
+        return u
+
+    def fisher(self, p0):
+        """Expected Poisson information F = J^T diag(1/λ) J (+ prior
+        curvature): the exact expectation of -∂² ln L for Poisson
+        data, since Var(N) = λ."""
+        p0 = jnp.asarray(p0)
+        lam = jnp.maximum(jnp.asarray(self.theory_fn(p0)).reshape(-1),
+                          1e-300)
+        jac = jax.jacfwd(
+            lambda p: jnp.asarray(self.theory_fn(p)).reshape(-1))(p0)
+        f = (jac / lam[:, None]).T @ jac
+        if self._prior_w is not None:
+            f = f + jnp.diag(self._prior_w)
+        return f
+
+
+class CompositeLikelihood:
+    """Sum of independent likelihood blocks over ONE shared flat
+    parameter vector — e.g. a Gaussian 3x2pt block plus a Poisson
+    cluster-counts block (when the SSC cross-correlation matters,
+    prefer ONE GaussianLikelihood over the stacked vector with
+    clusters.joint_counts_3x2pt_covariance instead).  Exposes the same
+    neg_log_post / log_like / fisher surface, so map_fit and hmc work
+    unchanged."""
+
+    def __init__(self, likes):
+        self.likes = tuple(likes)
+        if not self.likes:
+            raise ValueError("CompositeLikelihood needs >= 1 block")
+
+    def log_like(self, p):
+        out = self.likes[0].log_like(p)
+        for lk in self.likes[1:]:
+            out = out + lk.log_like(p)
+        return out
+
+    def neg_log_post(self, p):
+        out = self.likes[0].neg_log_post(p)
+        for lk in self.likes[1:]:
+            out = out + lk.neg_log_post(p)
+        return out
+
+    def fisher(self, p0):
+        out = self.likes[0].fisher(p0)
+        for lk in self.likes[1:]:
+            out = out + lk.fisher(p0)
+        return out
 
 
 def fisher_matrix(theory_fn, cov, p0):

@@ -226,3 +226,59 @@ def test_pipeline_fisher_vs_hmc(fiducial, tiny_pipe):
     assert np.all(sd / fisher_sd > 0.3) and np.all(sd / fisher_sd < 3.0), (
         sd, fisher_sd)
     assert np.all(np.abs(qs.mean(axis=0) - np.asarray(p0)) < 5 * sd)
+
+
+def test_poisson_likelihood_exact():
+    """Score zero at truth, analytic Fisher for a linear model, and
+    the large-count Gaussian limit."""
+    t = jnp.asarray([40.0, 400.0, 4000.0])
+
+    def lam(p):
+        return p[0] * t
+
+    data = np.asarray(lam(jnp.asarray([1.3])))
+    like = inference.PoissonLikelihood(lam, data)
+    # Score vanishes at the truth (data == expectation).
+    g = jax.grad(like.neg_log_post)(jnp.asarray([1.3]))
+    assert abs(float(g[0])) < 1e-9
+    # F = sum t_i^2 / lam_i = sum t_i / A.
+    f = float(like.fisher(jnp.asarray([1.3]))[0, 0])
+    assert abs(f - float(jnp.sum(t) / 1.3)) < 1e-8
+    # Large-count limit: curvature of -ln L matches the Gaussian
+    # likelihood with C = diag(lam) at the 3% level for N >= 40.
+    h = jax.hessian(like.neg_log_post)(jnp.asarray([1.3]))
+    glike = inference.GaussianLikelihood(lam, data,
+                                         np.diag(data))
+    hg = jax.hessian(glike.neg_log_post)(jnp.asarray([1.3]))
+    assert abs(float(h[0, 0]) / float(hg[0, 0]) - 1.0) < 0.03
+    # MAP recovers the injected amplitude.
+    p_fit, _ = inference.map_fit(like.neg_log_post,
+                                 jnp.asarray([0.9]), n_steps=400,
+                                 learning_rate=3e-2)
+    assert abs(float(p_fit[0]) - 1.3) < 1e-3
+
+
+def test_composite_likelihood_sums():
+    t = jnp.asarray([50.0, 500.0])
+
+    def lam(p):
+        return p[0] * t
+
+    def gvec(p):
+        return jnp.asarray([p[0] * 2.0, p[0] * 3.0])
+
+    data_p = np.asarray(lam(jnp.asarray([1.0])))
+    data_g = np.asarray(gvec(jnp.asarray([1.0])))
+    lp = inference.PoissonLikelihood(lam, data_p)
+    lg = inference.GaussianLikelihood(gvec, data_g, np.eye(2) * 0.1)
+    comp = inference.CompositeLikelihood([lp, lg])
+    p = jnp.asarray([1.07])
+    assert np.isclose(float(comp.neg_log_post(p)),
+                      float(lp.neg_log_post(p))
+                      + float(lg.neg_log_post(p)))
+    f = np.asarray(comp.fisher(jnp.asarray([1.0])))
+    f_sum = (np.asarray(lp.fisher(jnp.asarray([1.0])))
+             + np.asarray(lg.fisher(jnp.asarray([1.0]))))
+    np.testing.assert_allclose(f, f_sum, rtol=1e-12)
+    g = jax.grad(comp.neg_log_post)(jnp.asarray([1.0]))
+    assert abs(float(g[0])) < 1e-9
