@@ -287,6 +287,40 @@ class CompositeLikelihood:
         return out
 
 
+def moped_compression(theory_fn, cov, p0):
+    """MOPED (Heavens, Jimenez & Lahav 2000) lossless linear
+    compression: (B, compress) with B (n_par, n_data) the compression
+    vectors built by Gram-Schmidt over the Fisher metric, so the
+    n_par compressed numbers y = B (d - t(p0)) carry the ENTIRE Fisher
+    information of the full vector (exactly, for a Gaussian likelihood
+    with parameter-independent covariance) and have Cov(y) = I.
+
+    Use: compress a 10^2-10^4-entry 3x2pt(+N) vector to n_par numbers
+    once at the fiducial; downstream chains evaluate
+    GaussianLikelihood(compress ∘ theory_fn, compress(data), I) — the
+    per-step cost is unchanged (the pipeline still runs) but the
+    covariance solve is trivial and cut-insensitive.  Returns
+    (b_matrix, compress_fn)."""
+    p0 = jnp.asarray(p0)
+    jac = np.asarray(jax.jacfwd(theory_fn)(p0), dtype=np.float64)
+    cov = np.asarray(cov, dtype=np.float64)
+    cinv_j = np.linalg.solve(cov, jac)               # C^{-1} J
+    rows = []
+    for a in range(jac.shape[1]):
+        b = cinv_j[:, a]
+        for r in rows:
+            b = b - (jac[:, a] @ r) * r
+        norm = b @ cov @ b
+        rows.append(b / np.sqrt(norm))
+    b_mat = jnp.asarray(np.stack(rows))
+
+    def compress(vec):
+        return jnp.matmul(b_mat, jnp.asarray(vec),
+                          precision=jax.lax.Precision.HIGHEST)
+
+    return b_mat, compress
+
+
 def fisher_matrix(theory_fn, cov, p0):
     """F = J^T C^{-1} J via one forward-mode Jacobian of the theory
     vector and a Cholesky solve (no explicit inverse).  For a Gaussian

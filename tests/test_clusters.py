@@ -351,3 +351,35 @@ def test_counts_jit_vmap_grad():
         COSMO, HALO, dataclasses.replace(SEL, sigma_lnm=sig),
         Z_EDGES, OMEGA_S).sum())(SEL.sigma_lnm)
     assert np.isfinite(float(gs))
+
+
+@pytest.mark.slow
+def test_counts_cross_flat_vs_curved():
+    """The curved-geometry counts x w(theta) cross block reduces to
+    the flat one for a small cap (same footprint area, sub-degree
+    bins)."""
+    from chomp_tpu import halo as halo_mod
+    from chomp_tpu.curved import SphericalCapMask
+    from chomp_tpu.hod import default_hod
+    from chomp_tpu.mask import DiscMask
+    from chomp_tpu.projection import DNdzGaussian
+
+    theta_c = np.radians(6.0)
+    omega = 2.0 * np.pi * (1.0 - np.cos(theta_c))
+    cap = SphericalCapMask(float(theta_c))
+    disc = DiscMask(float(np.sqrt(omega / np.pi)))
+    hod = default_hod()
+    dist = DNdzGaussian(z_min=0.15, z_max=0.8, z0=0.45, sigma_z=0.08)
+    model = halo_mod.build_halo_model(COSMO, HALO, hod, 0.45)
+    sel = clusters.ClusterSelection(
+        ln_m_obs_edges=jnp.log(jnp.asarray([2e14, 2e16])),
+        sigma_lnm=jnp.asarray(0.25))
+    edges = np.geomspace(0.1, 0.8, 4)
+    flat = np.asarray(clusters.counts_3x2pt_ssc_cross(
+        COSMO, HALO, model, sel, (0.3, 0.6), [dist], [], edges, disc,
+        geometry="flat", n_z_quad=12))
+    curv = np.asarray(clusters.counts_3x2pt_ssc_cross(
+        COSMO, HALO, model, sel, (0.3, 0.6), [dist], [], edges, cap,
+        geometry="curved", n_z_quad=12, ell_max=4096))
+    assert flat.shape == curv.shape == (1, 3)
+    np.testing.assert_allclose(curv, flat, rtol=0.08)

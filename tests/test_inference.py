@@ -282,3 +282,26 @@ def test_composite_likelihood_sums():
     np.testing.assert_allclose(f, f_sum, rtol=1e-12)
     g = jax.grad(comp.neg_log_post)(jnp.asarray([1.0]))
     assert abs(float(g[0])) < 1e-9
+
+
+def test_moped_lossless_fisher():
+    """MOPED compressed vector: Cov(y) = I and the compressed Fisher
+    equals the full Fisher exactly (linear model)."""
+    rng = np.random.default_rng(3)
+    n_d, n_p = 40, 3
+    jac = rng.normal(size=(n_d, n_p))
+    a = rng.normal(size=(n_d, n_d))
+    cov = a @ a.T + n_d * np.eye(n_d)
+    t0 = rng.normal(size=n_d)
+
+    def theory(p):
+        return jnp.asarray(t0) + jnp.asarray(jac) @ p
+
+    p0 = jnp.zeros(n_p)
+    b, compress = inference.moped_compression(theory, cov, p0)
+    b = np.asarray(b)
+    np.testing.assert_allclose(b @ cov @ b.T, np.eye(n_p), atol=1e-10)
+    f_full = np.asarray(inference.fisher_matrix(theory, cov, p0))
+    f_comp = np.asarray(inference.fisher_matrix(
+        lambda p: compress(theory(p)), np.eye(n_p), p0))
+    np.testing.assert_allclose(f_comp, f_full, rtol=1e-10)
