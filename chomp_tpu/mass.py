@@ -20,6 +20,7 @@ Oracle targets: Appendix A.4 / tests/goldens.py.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -68,20 +69,85 @@ def halo_delta_c(cosmo: CosmoParams, halo: HaloParams, z=0.0):
     return jnp.where(dc > 0.0, dc, fit)
 
 
-def f_nu_raw(halo: HaloParams, nu):
-    """Un-normalized ST multiplicity in the nu-squared convention
-    (Appendix B.4): f ∝ (1 + (a nu)^-q) sqrt(a nu) exp(-a nu/2)/nu."""
+#: Tinker et al. 2008 redshift-evolution exponent of b(z) at
+#: Delta = 200 x mean: log10 alpha = -(0.75/log10(Delta/75))^1.2.
+_T08_ALPHA = float(10.0 ** (-(0.75 / np.log10(200.0 / 75.0)) ** 1.2))
+#: Tinker et al. 2010 bias coefficients at y = log10(Delta=200)
+#: (their Table 2 fitting functions evaluated at y).
+_T10_Y = float(np.log10(200.0))
+_T10_EXP = float(np.exp(-(4.0 / _T10_Y) ** 4))
+_T10_BIG_A = 1.0 + 0.24 * _T10_Y * _T10_EXP
+_T10_LIT_A = 0.44 * _T10_Y - 0.88
+_T10_BIG_C = 0.019 + 0.107 * _T10_Y + 0.19 * _T10_EXP
+#: Tinker 2010's bias is calibrated with the FIXED EdS threshold.
+_T10_DC = 1.686
+
+
+def _f_tinker08_raw(nu, z, delta_c):
+    """Tinker et al. 2008 multiplicity (Delta = 200 x mean background,
+    their Eqs. 3-8 with the z-evolving coefficients, evolution clamped
+    at z = 3 as in the calibration range) mapped to this framework's
+    nu-squared convention: dn/dlnM = f_nu (rho/M) dnu/dlnM with
+    dln sigma^{-1} = (1/2) dln nu, so f_nu = f(sigma) / (2 nu).
+    Constants transcribed from the published paper (ApJ 688, 709) —
+    same provenance policy as nlpower (referee'd by an independent
+    implementation + abundance magnitudes in tests/test_mass.py)."""
+    sig = delta_c / jnp.sqrt(nu)
+    zc = jnp.clip(jnp.asarray(z), 0.0, 3.0)
+    big_a = 0.186 * (1.0 + zc) ** -0.14
+    a = 1.47 * (1.0 + zc) ** -0.06
+    b = 2.57 * (1.0 + zc) ** -_T08_ALPHA
+    f_sig = big_a * ((sig / b) ** -a + 1.0) * jnp.exp(-1.19 / sig**2)
+    return f_sig / (2.0 * nu)
+
+
+def _bias_tinker10_raw(nu):
+    """Tinker et al. 2010 halo bias (Delta = 200 x mean; their Eq. 6
+    with Table 2 coefficients), in peak height nu_t = sqrt(nu).
+    Sim-calibrated amplitude — no PBS renormalization (the
+    consistency ∫ f b dnu ~ 1 holds at the few-% level and is asserted
+    in tests, not imposed)."""
+    nut = jnp.sqrt(nu)
+    na = nut**_T10_LIT_A
+    return (1.0 - _T10_BIG_A * na / (na + _T10_DC**_T10_LIT_A)
+            + 0.183 * nut**1.5 + _T10_BIG_C * nut**2.4)
+
+
+def f_nu_raw(halo: HaloParams, nu, z=0.0, delta_c=_T10_DC):
+    """Un-normalized multiplicity in the nu-squared convention.
+
+    ``halo.mass_fn`` sentinel: 0 (default) = Sheth-Tormen (Appendix
+    B.4: f ∝ (1 + (a nu)^-q) sqrt(a nu) exp(-a nu/2)/nu — chomp's
+    form, finite-range renormalized in build_mass_tables); 1 = Tinker
+    et al. 2008 at Delta = 200m (sim-calibrated amplitude, NOT
+    renormalized).  ``z``/``delta_c`` are needed only by the Tinker
+    branch (sigma = delta_c/sqrt(nu) and the z-evolving
+    coefficients)."""
     a, q = halo.st_little_a, halo.stq
     anu = a * nu
-    return (1.0 + anu**-q) * jnp.sqrt(anu) * jnp.exp(-0.5 * anu) / nu
+    st = (1.0 + anu**-q) * jnp.sqrt(anu) * jnp.exp(-0.5 * anu) / nu
+    sel = jnp.asarray(getattr(halo, "mass_fn", 0.0))
+    if isinstance(sel, jnp.ndarray) and sel.ndim == 0 and not isinstance(
+            sel, jax.core.Tracer) and float(sel) == 0.0:
+        return st          # static fast path: no Tinker ops traced
+    return jnp.where(sel < 0.5, st, _f_tinker08_raw(nu, z, delta_c))
 
 
 def bias_raw(halo: HaloParams, nu, delta_c):
-    """Un-normalized ST bias (Appendix B.4):
-    b = 1 + (a nu - 1)/delta_c + 2 q/(delta_c (1 + (a nu)^q))."""
+    """Un-normalized halo bias.  ``halo.mass_fn``: 0 = Sheth-Tormen
+    (Appendix B.4: b = 1 + (a nu - 1)/delta_c +
+    2 q/(delta_c (1 + (a nu)^q)), finite-range renormalized); 1 =
+    Tinker et al. 2010 at Delta = 200m (calibrated, not
+    renormalized)."""
     a, q = halo.st_little_a, halo.stq
     anu = a * nu
-    return 1.0 + (anu - 1.0) / delta_c + 2.0 * q / (delta_c * (1.0 + anu**q))
+    st = (1.0 + (anu - 1.0) / delta_c
+          + 2.0 * q / (delta_c * (1.0 + anu**q)))
+    sel = jnp.asarray(getattr(halo, "mass_fn", 0.0))
+    if isinstance(sel, jnp.ndarray) and sel.ndim == 0 and not isinstance(
+            sel, jax.core.Tracer) and float(sel) == 0.0:
+        return st
+    return jnp.where(sel < 0.5, st, _bias_tinker10_raw(nu))
 
 
 def build_mass_tables(
@@ -111,16 +177,20 @@ def build_mass_tables(
     # nu ∝ 1/sigma^2  =>  dnu/dlnM = -nu * d ln sigma^2 / d lnM.
     dnu_dlnm = -nu * ds2_dlnr / (3.0 * s2_un)
 
-    f_raw = f_nu_raw(halo, nu)
+    f_raw = f_nu_raw(halo, nu, z, dc)
     # ∫ f dnu over [nu_min, nu_max] by the lnM-space rule (Appendix C.2:
-    # renormalization over the FINITE mass range).
+    # renormalization over the FINITE mass range).  The Tinker forms
+    # carry SIM-CALIBRATED amplitudes — renormalizing them to unity
+    # would distort the abundance, so mass_fn != 0 pins both norms to 1
+    # (Tinker08 does not integrate to 1 at Delta = 200m by design).
+    sel = jnp.asarray(getattr(halo, "mass_fn", 0.0))
     f_integral = jnp.sum(w_lnm * f_raw * dnu_dlnm)
-    f_norm = 1.0 / f_integral
+    f_norm = jnp.where(sel < 0.5, 1.0 / f_integral, 1.0)
     f_n = f_norm * f_raw
 
     b_raw = bias_raw(halo, nu, dc)
     b_integral = jnp.sum(w_lnm * f_n * b_raw * dnu_dlnm)
-    bias_norm = 1.0 / b_integral
+    bias_norm = jnp.where(sel < 0.5, 1.0 / b_integral, 1.0)
     b_n = bias_norm * b_raw
 
     dndlnm = f_n * (cosmo.rho_bar / m) * dnu_dlnm
@@ -148,7 +218,7 @@ def build_mass_tables(
 
 def f_nu(tables: MassTables, halo: HaloParams, nu):
     """Normalized f(nu) (chomp ``MassFunction.f_nu``)."""
-    return tables.f_norm * f_nu_raw(halo, nu)
+    return tables.f_norm * f_nu_raw(halo, nu, tables.z, tables.delta_c)
 
 
 def bias_nu(tables: MassTables, halo: HaloParams, nu):
@@ -273,7 +343,7 @@ def node_pack(cosmo: CosmoParams, halo: HaloParams, tables: MassTables,
     sigma = jnp.sqrt(norm * s2_un) * tables.growth
     nu = (tables.delta_c / sigma) ** 2
     dnu_dlnm = -nu * ds2_dlnr / (3.0 * s2_un)
-    f_n = tables.f_norm * f_nu_raw(halo, nu)
+    f_n = tables.f_norm * f_nu_raw(halo, nu, tables.z, tables.delta_c)
     b_n = tables.bias_norm * bias_raw(halo, nu, tables.delta_c)
     dndlnm = f_n * (cosmo.rho_bar / m) * dnu_dlnm
     return NodePack(ln_m=ln_m, w_lnm=w_lnm, m=m, nu=nu, dnu_dlnm=dnu_dlnm,

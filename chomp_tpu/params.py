@@ -115,6 +115,15 @@ class HaloParams:
       -2  : Kitayama-Suto 1996 fit (3/20)(12 pi)^(2/3)
             (1 + 0.0123 log10 Omega_m(z))
       -3  : fixed EdS value (3/20)(12 pi)^(2/3) = 1.68647
+
+    ``mass_fn`` — multiplicity + bias family (beyond chomp, which is
+    ST-only):
+      0  : Sheth-Tormen f(nu) + ST bias, finite-range renormalized
+           (chomp's convention)  [default]
+      1  : Tinker et al. 2008 f(sigma) at Delta = 200 x mean
+           (z-evolving coefficients) + Tinker et al. 2010 bias —
+           sim-calibrated amplitudes, NOT renormalized (the modern
+           standard for cluster abundances, chomp_tpu.clusters)
     """
 
     stq: jnp.ndarray
@@ -124,11 +133,12 @@ class HaloParams:
     alpha: jnp.ndarray
     delta_v: jnp.ndarray
     delta_c: jnp.ndarray
+    mass_fn: jnp.ndarray = 0.0
 
 
 def default_halo(**overrides) -> HaloParams:
     vals = dict(stq=0.3, st_little_a=0.707, c0=9.0, beta=-0.13, alpha=-1.0,
-                delta_v=-1.0, delta_c=-1.0)
+                delta_v=-1.0, delta_c=-1.0, mass_fn=0.0)
     vals.update(overrides)
     return HaloParams(**{k: jnp.asarray(float(v)) for k, v in vals.items()})
 
