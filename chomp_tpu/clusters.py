@@ -126,6 +126,7 @@ __all__ = [
     "counts_ssc_covariance", "counts_covariance",
     "counts_probe_ssc_cl", "counts_3x2pt_ssc_cross",
     "joint_counts_3x2pt_covariance", "spherical_jl_table",
+    "SelectionHOD", "selection_hod", "cluster_dndz_table",
 ]
 
 _HP = jax.lax.Precision.HIGHEST
@@ -620,6 +621,98 @@ def counts_3x2pt_ssc_cross(cosmo: CosmoParams, halo_p: HaloParams,
             acc = jnp.zeros((nz * sel.n_bins, nb_th))
         cols.append(acc * f_norm[None, :])
     return jnp.concatenate(cols, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Clusters as a tracer sample: cluster clustering + cluster lensing
+# ---------------------------------------------------------------------------
+
+@pytree_dataclass
+class SelectionHOD:
+    """The selected-cluster sample expressed in the HOD protocol —
+    CENTRAL-ONLY Bernoulli occupation equal to the lognormal selection
+    probability, frozen at one effective redshift:
+
+        <N>(M)      = Phi_a(M; z_eff)  in [0, 1],
+        <N(N-1)>(M) = 0                (a halo hosts at most one
+                                        cluster of itself).
+
+    Plugging this into halo.build_halo_model makes the ENTIRE galaxy
+    machinery compute cluster statistics: n_g = the selected comoving
+    cluster density (== shell_density), power_gm = the cluster-matter
+    cross spectrum whose projection is the stacked weak-lensing
+    gamma_t — the mass-calibration observable of cluster cosmology —
+    and power_gg = cluster clustering (1-halo identically zero; halo
+    exclusion not modeled, as everywhere in this framework).  Pair it
+    with HaloParams.mass_fn = 1 (Tinker08/10) for the modern counts +
+    lensing stack.  All fields traced (selection nuisance
+    differentiable).  Smooth in lnM — no quadrature breakpoints."""
+
+    ln_m_obs_lo: jnp.ndarray
+    ln_m_obs_hi: jnp.ndarray
+    sigma_lnm: jnp.ndarray
+    lnm_bias: jnp.ndarray
+
+    def central_moment(self, m):
+        mu = jnp.log(m) + self.lnm_bias
+        s = jnp.sqrt(2.0) * self.sigma_lnm
+        return 0.5 * (special.erfc((self.ln_m_obs_lo - mu) / s)
+                      - special.erfc((self.ln_m_obs_hi - mu) / s))
+
+    def satellite_moment(self, m):
+        return jnp.zeros_like(jnp.asarray(m))
+
+    def first_moment(self, m):
+        return self.central_moment(m)
+
+    def second_moment(self, m):
+        return jnp.zeros_like(jnp.asarray(m))
+
+    def nth_moment(self, m, n: int):
+        if n == 1:
+            return self.first_moment(m)
+        return jnp.zeros_like(jnp.asarray(m))
+
+    def breakpoints(self):
+        return ()
+
+
+def selection_hod(sel: ClusterSelection, bin_index: int, z_eff):
+    """SelectionHOD for proxy bin ``bin_index`` of ``sel`` with the
+    z-evolving scatter/bias frozen at ``z_eff`` (use the counts bin's
+    mean redshift; the halo model itself is a fixed-epoch object, so
+    this matches the pipelines' separable convention — exact-z anchor
+    routes rebuild the model per anchor but keep this frozen selection,
+    a second-order effect for sigma_lnm_z ~ 0.1)."""
+    lz = jnp.log1p(jnp.asarray(z_eff))
+    return SelectionHOD(
+        ln_m_obs_lo=sel.ln_m_obs_edges[bin_index],
+        ln_m_obs_hi=sel.ln_m_obs_edges[bin_index + 1],
+        sigma_lnm=sel.sigma_lnm + sel.sigma_lnm_z * lz,
+        lnm_bias=sel.lnm_bias + sel.lnm_bias_z * lz)
+
+
+def cluster_dndz_table(cosmo: CosmoParams, halo_p: HaloParams,
+                       sel: ClusterSelection, bin_index: int, z_lo,
+                       z_hi, n_z: int = 33, with_bao: bool = False,
+                       grid: GridSpec = DEFAULT_GRID):
+    """The selected clusters' redshift distribution as a
+    projection.DNdzInterpolation: p(z) ∝ chi_t^2 (dchi/dz) n_a(z)
+    inside [z_lo, z_hi] — the lens-sample input for cluster-lensing /
+    cluster-clustering pipelines (make_pipeline with a SelectionHOD).
+    Evaluated CONCRETELY at the call's cosmology (dN/dz shapes are
+    conventionally frozen at the fiducial; pass the table through
+    nuisance photo-z shifts if needed)."""
+    from chomp_tpu.projection import DNdzInterpolation
+
+    zg = np.linspace(float(z_lo), float(z_hi), n_z)
+    n, _, chi_t, dchi_dz, _ = _shells(cosmo, halo_p, sel,
+                                      zg.reshape(1, -1), with_bao, grid)
+    p = np.asarray(chi_t**2 * dchi_dz) * np.asarray(n[:, bin_index])
+    return DNdzInterpolation(z_min=jnp.asarray(float(z_lo)),
+                             z_max=jnp.asarray(float(z_hi)),
+                             z_array=jnp.asarray(zg),
+                             n_array=jnp.asarray(p / p.max()))
 
 
 def joint_counts_3x2pt_covariance(cov_nn, cov_nx, cov_dd):

@@ -88,7 +88,15 @@ def _switch_lnm(moment_fn, tables: MassTables):
 
     for _ in range(4):
         val, dv = jax.value_and_grad(g)(seed)
-        seed = seed - val / jnp.where(jnp.abs(dv) > 1e-30, dv, 1e-30)
+        # Per-step clamp: a moment that never reaches 1 (e.g. the
+        # identically-zero second moment of a central-only selection
+        # sample, clusters.SelectionHOD) has dv -> 0 and would step to
+        # lnM ~ 1e32, sending exp(lnM) -> inf through later iterations
+        # (NaN grads).  +-20 e-folds per step is far beyond any real
+        # crossing correction and keeps the iterate finite.
+        seed = seed - jnp.clip(
+            val / jnp.where(jnp.abs(dv) > 1e-30, dv, 1e-30),
+            -20.0, 20.0)
     return jnp.clip(seed, tables.ln_m[0], tables.ln_m[-1])
 
 

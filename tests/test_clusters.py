@@ -383,3 +383,85 @@ def test_counts_cross_flat_vs_curved():
         geometry="curved", n_z_quad=12, ell_max=4096))
     assert flat.shape == curv.shape == (1, 3)
     np.testing.assert_allclose(curv, flat, rtol=0.08)
+
+
+def test_selection_hod_cluster_sample():
+    """Clusters as a tracer: SelectionHOD through the full halo
+    machinery — n_g == shell_density, bias average == nb/n, the
+    1-halo gg term vanishes (central-only), and the cluster-matter
+    1-halo matches a direct mass integral."""
+    from chomp_tpu import halo as halo_mod
+
+    sel = clusters.ClusterSelection(
+        ln_m_obs_edges=jnp.log(jnp.asarray([2e14, 2e16])),
+        sigma_lnm=jnp.asarray(0.25), lnm_bias=jnp.asarray(0.05))
+    z = 0.4
+    hod_c = clusters.selection_hod(sel, 0, z)
+    m = halo_mod.build_halo_model(COSMO, HALO, hod_c, z)
+    n_ref, nb_ref = clusters.shell_density(COSMO, HALO, sel, z)
+    # Two exact GL rules (panel-refined GalaxyPack vs the mass-table
+    # rule) on the erfc-edged integrand agree at the quadrature level,
+    # ~1e-6 for a sigma_lnm = 0.25 edge at n_mass = 256.
+    assert abs(float(m.n_g) / float(n_ref[0]) - 1.0) < 1e-5
+    b_avg = float(halo_mod.galaxy_bias_avg(m))
+    assert abs(b_avg / (float(nb_ref[0]) / float(n_ref[0])) - 1.0) < 1e-5
+    assert 1.5 < b_avg < 6.0      # massive clusters are biased tracers
+
+    k = jnp.asarray([0.05, 0.5, 2.0])
+    i1_mm, i1_gg, i1_gm = halo_mod.one_halo_integrals(COSMO, HALO, m, k)
+    np.testing.assert_allclose(np.asarray(i1_gg), 0.0, atol=1e-300)
+    # Direct referee of the cluster-matter 1-halo on the mass tables:
+    # (1/(n_c rho)) ∫ dn/dlnM Phi M y dlnM (y-exponent 1: <N> < 1
+    # everywhere so the Scranton switch keeps the single-y branch).
+    t = m.mass
+    y = halo_mod._y_matrix(COSMO, HALO, m, k)
+    phi = hod_c.central_moment(t.m)
+    ref = np.asarray(jnp.matmul(
+        y, t.w_lnm * t.dndlnm * phi * t.m,
+        precision=jax.lax.Precision.HIGHEST)) / (
+            float(m.n_g) * float(COSMO.rho_bar))
+    np.testing.assert_allclose(np.asarray(i1_gm), ref, rtol=1e-5)
+    # P_cm total is positive and lensing-grade finite.
+    p_cm = np.asarray(halo_mod.power_gm(COSMO, HALO, m, k))
+    assert np.all(p_cm > 0) and np.isfinite(p_cm).all()
+
+
+@pytest.mark.slow
+def test_cluster_lensing_pipeline():
+    """Stacked cluster weak lensing gamma_t through make_pipeline with
+    the cluster sample as the lens: finite, positive, and LARGER than
+    the galaxy-lens gamma_t at the same source sample (clusters are
+    more biased and more massive); grads flow through the selection."""
+    from chomp_tpu.hod import default_hod
+    from chomp_tpu.params import GridSpec
+    from chomp_tpu.parallel.sweep import make_pipeline
+
+    g = GridSpec(n_mass=128, n_mu=8, sigma_panels=8,
+                 sigma_n_per_panel=32, n_growth=32, n_dist=32,
+                 n_theta=6)
+    sel = clusters.ClusterSelection(
+        ln_m_obs_edges=jnp.log(jnp.asarray([2e14, 2e16])),
+        sigma_lnm=jnp.asarray(0.25))
+    hod_c = clusters.selection_hod(sel, 0, 0.4)
+    dist_c = clusters.cluster_dndz_table(COSMO, HALO, sel, 0, 0.25,
+                                         0.55, grid=g)
+    theta = np.geomspace(0.05, 0.5, 6)
+    out_c = make_pipeline(HALO, hod_c, dist_c, theta_deg=theta,
+                          z_pivot=0.4, grid=g)(COSMO)
+    gt_c = np.asarray(out_c["gamma_t"])
+    assert np.isfinite(gt_c).all() and np.all(gt_c > 0)
+    from chomp_tpu.projection import DNdzGaussian
+    dist_g = DNdzGaussian(z_min=0.25, z_max=0.55, z0=0.4, sigma_z=0.07)
+    out_g = make_pipeline(HALO, default_hod(), dist_g, theta_deg=theta,
+                          z_pivot=0.4, grid=g)(COSMO)
+    assert np.all(gt_c > np.asarray(out_g["gamma_t"]))
+
+    import dataclasses
+
+    def gt0(sig):
+        h = dataclasses.replace(hod_c, sigma_lnm=sig)
+        return make_pipeline(HALO, h, dist_c, theta_deg=theta,
+                             z_pivot=0.4, grid=g)(COSMO)["gamma_t"][0]
+
+    gr = float(jax.grad(gt0)(jnp.asarray(0.25)))
+    assert np.isfinite(gr)
