@@ -208,8 +208,25 @@ def one_halo_integrals(cosmo: CosmoParams, halo: HaloParams, model: HaloModel, k
 
 def linear_power(cosmo: CosmoParams, model: HaloModel, k,
                  with_bao: bool = False, grid: GridSpec = DEFAULT_GRID):
-    """P_lin(k) at the model's redshift (chomp ``Halo.linear_power``)."""
-    return linear.linear_power(cosmo, k, model.mass.z, with_bao, grid)
+    """P_lin(k) of the HALO SECTOR at the model's redshift (chomp
+    ``Halo.linear_power``).  At m_nu > 0 this is the CDM+baryon spectrum
+    (the field the 2-halo integrals, bias and mass function live in —
+    chomp_tpu.neutrino); identical to total matter at m_nu = 0.  The
+    ``powers()`` dict rescales its matter legs back to total matter."""
+    return linear.linear_power(cosmo, k, model.mass.z, with_bao, grid,
+                               species="cb")
+
+
+def _nu_matter_rescale(cosmo: CosmoParams, model: HaloModel, k,
+                       grid: GridSpec):
+    """r(k, z) = D_cbnu/D_cb: one factor per TOTAL-MATTER leg on
+    cb-sector spectra (P_mm r^2, P_gm r; identically 1 at m_nu = 0).
+    Correct 2-halo limit (linear cb -> m conversion) and the correct
+    small-scale limit P_mm -> f_cb^2 P_cb (neutrinos do not cluster in
+    halos)."""
+    from chomp_tpu import neutrino
+
+    return neutrino.m_over_cb(cosmo, k, model.mass.z, grid.n_growth)
 
 
 def powers(cosmo: CosmoParams, halo: HaloParams, model: HaloModel, k,
@@ -224,11 +241,12 @@ def powers(cosmo: CosmoParams, halo: HaloParams, model: HaloModel, k,
     p_mm = pp_mm + p_lin * h_m * h_m
     p_gg = pp_gg + p_lin * h_g * h_g
     p_gm = pp_gm + p_lin * h_m * h_g
+    r = _nu_matter_rescale(cosmo, model, k, grid)
     return {
-        "linear_power": p_lin,
-        "power_mm": p_mm,
-        "power_gm": p_gm,
-        "power_mg": p_gm,
+        "linear_power": p_lin * r * r,
+        "power_mm": p_mm * r * r,
+        "power_gm": p_gm * r,
+        "power_mg": p_gm * r,
         "power_gg": p_gg,
     }
 
@@ -380,7 +398,8 @@ def tomographic_powers(cosmo: CosmoParams, halo: HaloParams, models, k,
     h_m, _ = two_halo_integrals(cosmo, halo, models[0], k)
     pp_mm, _, _ = one_halo_integrals(cosmo, halo, models[0], k,
                                      with_bao, grid)
-    out = {"power_mm": pp_mm + p_lin * h_m * h_m}
+    r = _nu_matter_rescale(cosmo, models[0], k, grid)
+    out = {"power_mm": (pp_mm + p_lin * h_m * h_m) * r * r}
     for i, mi in enumerate(models):
         ps = powers(cosmo, halo, mi, k, with_bao, grid)
         out[("power_gg", i, i)] = ps["power_gg"]
@@ -438,10 +457,11 @@ def powers_with_exclusion(cosmo: CosmoParams, halo: HaloParams,
                      precision=jax.lax.Precision.HIGHEST) / model.n_g
     pp_mm, pp_gg, pp_gm = one_halo_integrals(cosmo, halo, model, k,
                                              with_bao, grid)
+    r = _nu_matter_rescale(cosmo, model, k, grid)
     return {
-        "linear_power": p_lin,
-        "power_mm": pp_mm + p_lin * h_m * h_m,
-        "power_gm": pp_gm + p_lin * h_m * h_g,
-        "power_mg": pp_gm + p_lin * h_m * h_g,
+        "linear_power": p_lin * r * r,
+        "power_mm": (pp_mm + p_lin * h_m * h_m) * r * r,
+        "power_gm": (pp_gm + p_lin * h_m * h_g) * r,
+        "power_mg": (pp_gm + p_lin * h_m * h_g) * r,
         "power_gg": pp_gg + p_lin * h_g * h_g,
     }

@@ -185,33 +185,51 @@ def _sigma_nodes(grid: GridSpec):
     return jnp.asarray(ln_k), jnp.asarray(w)
 
 
-def _delta2_unnorm(cosmo: CosmoParams, k, with_bao: bool):
-    """k^3 * k^n_s * T^2(k) / (2 pi^2) — unnormalized Delta^2(k)."""
+def _delta2_unnorm(cosmo: CosmoParams, k, with_bao: bool,
+                   nu_z=0.0, species: str = "m", n_growth: int = 64):
+    """k^3 * k^n_s * T^2(k) S_X^2(k, z) / (2 pi^2) — unnormalized
+    Delta^2(k).  S_X is the EH99 massive-neutrino suppression for
+    species X (chomp_tpu.neutrino) — identically 1.0 at m_nu = 0, so
+    the default path is bitwise the EH98 baseline."""
+    from chomp_tpu import neutrino
+
     t = transfer(cosmo, k, with_bao)
-    return k**3 * k**cosmo.n_s * t * t / (2.0 * jnp.pi**2)
+    s = neutrino.suppression(cosmo, k, nu_z, species, n_growth)
+    return k**3 * k**cosmo.n_s * t * t * s * s / (2.0 * jnp.pi**2)
 
 
 def sigma2_unnorm_r(cosmo: CosmoParams, r, with_bao: bool = False,
-                    grid: GridSpec = DEFAULT_GRID):
-    """Unnormalized sigma^2(R) = ∫ dln k Delta^2_un(k) W^2(kR)."""
+                    grid: GridSpec = DEFAULT_GRID,
+                    nu_z=0.0, species: str = "m"):
+    """Unnormalized sigma^2(R) = ∫ dln k Delta^2_un(k) W^2(kR).
+
+    ``nu_z``/``species``: epoch and sector of the EH99 neutrino
+    suppression INSIDE the integrand (the mass sector passes its build
+    redshift and "cb"; the sigma_8 normalization uses z=0, "m").  The
+    separable D(z) growth stays OUTSIDE, applied by the callers, exactly
+    as before — at m_nu = 0 nothing changes bitwise."""
     ln_k, w = _sigma_nodes(grid)
     k = jnp.exp(ln_k)
-    d2 = _delta2_unnorm(cosmo, k, with_bao)  # (nq,)
+    d2 = _delta2_unnorm(cosmo, k, with_bao, nu_z, species,
+                        grid.n_growth)  # (nq,)
     r = jnp.asarray(r)
     win = w_tophat(k * r[..., None])
     return jnp.sum(d2 * win * win * w, axis=-1)
 
 
 def sigma2_unnorm_r_and_dlnr(cosmo: CosmoParams, r, with_bao: bool = False,
-                             grid: GridSpec = DEFAULT_GRID):
+                             grid: GridSpec = DEFAULT_GRID,
+                             nu_z=0.0, species: str = "m"):
     """(sigma^2_un(R), d sigma^2_un/d lnR) sharing one node set.
 
     The derivative feeds dn/dM analytically (dnu/dlnM), replacing chomp's
     spline-derivative of the nu(M) spline (SURVEY.md §2 MassFunction row).
+    The EH99 suppression is k-only at fixed z, so both integrals carry
+    the same factor on Delta^2_un.
     """
     ln_k, w = _sigma_nodes(grid)
     k = jnp.exp(ln_k)
-    d2 = _delta2_unnorm(cosmo, k, with_bao)
+    d2 = _delta2_unnorm(cosmo, k, with_bao, nu_z, species, grid.n_growth)
     r = jnp.asarray(r)
     x = k * r[..., None]
     win = w_tophat(x)
@@ -229,14 +247,19 @@ def power_norm(cosmo: CosmoParams, with_bao: bool = False,
 
 
 def linear_power(cosmo: CosmoParams, k, z=0.0, with_bao: bool = False,
-                 grid: GridSpec = DEFAULT_GRID):
-    """Linear matter P(k, z) in (Mpc/h)^3 (chomp
-    ``SingleEpoch.linear_power``; oracle A.2)."""
+                 grid: GridSpec = DEFAULT_GRID, species: str = "m"):
+    """Linear P_X(k, z) in (Mpc/h)^3 (chomp ``SingleEpoch.linear_power``;
+    oracle A.2).  ``species``: "m" (total matter, default — what the
+    sigma_8 normalization refers to at z=0) or "cb" (CDM+baryon — the
+    halo/galaxy sector at m_nu > 0; identical at m_nu = 0)."""
     k = jnp.asarray(k)
     norm = power_norm(cosmo, with_bao, grid)
     t = transfer(cosmo, k, with_bao)
     d = background.growth_factor(cosmo, z, grid.n_growth)
-    return norm * k**cosmo.n_s * t * t * d * d
+    from chomp_tpu import neutrino
+
+    s = neutrino.suppression(cosmo, k, z, species, grid.n_growth)
+    return norm * k**cosmo.n_s * t * t * s * s * d * d
 
 
 def delta_k(cosmo: CosmoParams, k, z=0.0, with_bao: bool = False,
@@ -253,17 +276,22 @@ def radius_of_mass(cosmo: CosmoParams, m):
 
 
 def sigma_r(cosmo: CosmoParams, r, z=0.0, with_bao: bool = False,
-            grid: GridSpec = DEFAULT_GRID):
-    """sigma(R, z) (chomp ``SingleEpoch.sigma_r``; oracle A.3)."""
+            grid: GridSpec = DEFAULT_GRID, species: str = "m"):
+    """sigma(R, z) (chomp ``SingleEpoch.sigma_r``; oracle A.3).  At
+    m_nu > 0 the EH99 suppression for ``species`` is evaluated at z
+    inside the integrand (scale-dependent growth); the separable D(z)
+    then carries only the scale-free part, matching the mass sector."""
     norm = power_norm(cosmo, with_bao, grid)
     d = background.growth_factor(cosmo, z, grid.n_growth)
-    return jnp.sqrt(norm * sigma2_unnorm_r(cosmo, jnp.asarray(r), with_bao, grid)) * d
+    return jnp.sqrt(norm * sigma2_unnorm_r(
+        cosmo, jnp.asarray(r), with_bao, grid, nu_z=z, species=species)) * d
 
 
 def sigma_m(cosmo: CosmoParams, m, z=0.0, with_bao: bool = False,
-            grid: GridSpec = DEFAULT_GRID):
+            grid: GridSpec = DEFAULT_GRID, species: str = "m"):
     """sigma(M, z) (chomp ``SingleEpoch.sigma_m``)."""
-    return sigma_r(cosmo, radius_of_mass(cosmo, m), z, with_bao, grid)
+    return sigma_r(cosmo, radius_of_mass(cosmo, m), z, with_bao, grid,
+                   species)
 
 
 def nu_m(cosmo: CosmoParams, m, z=0.0, with_bao: bool = False,

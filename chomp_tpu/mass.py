@@ -167,7 +167,12 @@ def build_mass_tables(
     m = jnp.exp(ln_m)
 
     r = linear.radius_of_mass(cosmo, m)
-    s2_un, ds2_dlnr = linear.sigma2_unnorm_r_and_dlnr(cosmo, r, with_bao, grid)
+    # At m_nu > 0 the collapse field is CDM+baryon: the EH99 "cb"
+    # suppression at the build redshift enters the integrand, while D(z)
+    # stays the separable scale-free growth (chomp_tpu.neutrino; exact
+    # no-op at m_nu = 0).  Masses stay defined w.r.t. the TOTAL rho_bar.
+    s2_un, ds2_dlnr = linear.sigma2_unnorm_r_and_dlnr(
+        cosmo, r, with_bao, grid, nu_z=z, species="cb")
     norm = linear.power_norm(cosmo, with_bao, grid)
     d = background.growth_factor(cosmo, z, grid.n_growth)
     sigma = jnp.sqrt(norm * s2_un) * d
@@ -232,7 +237,8 @@ def nu_of_m(cosmo: CosmoParams, tables: MassTables, m,
     Uses the tables' own resolved delta_c so a non-default threshold
     convention (HaloParams.delta_c sentinel) stays consistent."""
     r = linear.radius_of_mass(cosmo, m)
-    s2_un, _ = linear.sigma2_unnorm_r_and_dlnr(cosmo, r, with_bao, grid)
+    s2_un, _ = linear.sigma2_unnorm_r_and_dlnr(
+        cosmo, r, with_bao, grid, nu_z=tables.z, species="cb")
     sigma = jnp.sqrt(linear.power_norm(cosmo, with_bao, grid) * s2_un
                      ) * tables.growth
     return (tables.delta_c / sigma) ** 2
@@ -279,7 +285,8 @@ def dnu_dlnm_exact(cosmo: CosmoParams, tables: MassTables, m,
                    with_bao: bool = False, grid: GridSpec = DEFAULT_GRID):
     """Exact dnu/dlnM at the tables' redshift."""
     r = linear.radius_of_mass(cosmo, m)
-    s2_un, ds2_dlnr = linear.sigma2_unnorm_r_and_dlnr(cosmo, r, with_bao, grid)
+    s2_un, ds2_dlnr = linear.sigma2_unnorm_r_and_dlnr(
+        cosmo, r, with_bao, grid, nu_z=tables.z, species="cb")
     nu = tables.delta_c**2 / (s2_un * (tables.growth**2)
                               * linear.power_norm(cosmo, with_bao, grid))
     return -nu * ds2_dlnr / (3.0 * s2_un)
@@ -338,7 +345,8 @@ def node_pack(cosmo: CosmoParams, halo: HaloParams, tables: MassTables,
     w_lnm = half * w
     m = jnp.exp(ln_m)
     r = linear.radius_of_mass(cosmo, m)
-    s2_un, ds2_dlnr = linear.sigma2_unnorm_r_and_dlnr(cosmo, r, with_bao, grid)
+    s2_un, ds2_dlnr = linear.sigma2_unnorm_r_and_dlnr(
+        cosmo, r, with_bao, grid, nu_z=tables.z, species="cb")
     norm = linear.power_norm(cosmo, with_bao, grid)
     sigma = jnp.sqrt(norm * s2_un) * tables.growth
     nu = (tables.delta_c / sigma) ** 2

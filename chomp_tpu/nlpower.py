@@ -82,8 +82,13 @@ def _gauss_sigma_nodes(n: int = 768, k_lo: float = 1e-5,
 
 def _delta2_lin(cosmo: CosmoParams, k, z, with_bao: bool,
                 grid: GridSpec):
+    """Linear Delta^2 of the COLLAPSING sector: CDM+baryon at m_nu > 0
+    (neutrinos free-stream out of the nonlinear collapse halofit models;
+    the total-matter output rescale happens in halofit_power).  Identical
+    to total matter at m_nu = 0."""
     return (k**3 / (2.0 * np.pi**2)
-            * linear.linear_power(cosmo, k, z, with_bao, grid))
+            * linear.linear_power(cosmo, k, z, with_bao, grid,
+                                  species="cb"))
 
 
 def sigma_g2(cosmo: CosmoParams, r, z=0.0, with_bao: bool = False,
@@ -185,7 +190,12 @@ def halofit_power(cosmo: CosmoParams, k, z=0.0, with_bao: bool = False,
     d2hp = (an * y ** (3.0 * f1)
             / (1.0 + bn * y**f2 + (cn * f3 * y) ** (3.0 - gam)))
     d2h = d2hp / (1.0 + nun / jnp.maximum(y, 1e-30) ** 2)
-    return (d2q + d2h) * (2.0 * np.pi**2) / k**3
+    # cb -> total matter: one D_cbnu/D_cb factor per matter leg
+    # (identically 1 at m_nu = 0; see chomp_tpu.neutrino).
+    from chomp_tpu import neutrino
+
+    r = neutrino.m_over_cb(cosmo, k, z, grid.n_growth)
+    return (d2q + d2h) * r * r * (2.0 * np.pi**2) / k**3
 
 
 def p_lattice_halofit(cosmo: CosmoParams, z=0.0, with_bao: bool = False,

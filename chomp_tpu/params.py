@@ -51,6 +51,14 @@ class CosmoParams:
     t_cmb: jnp.ndarray
     w0: jnp.ndarray
     wa: jnp.ndarray
+    # Summed neutrino mass Σm_ν in eV (TRACED — sample it like any other
+    # parameter) and the number of degenerate massive species it is split
+    # across.  m_nu = 0 reduces every spectrum to the EH98 baseline
+    # bitwise (chomp_tpu.neutrino).  omega_m0 remains TOTAL matter
+    # (cb + ν): the expansion history and lensing prefactors are
+    # m_nu-independent at fixed omega_m0.
+    m_nu: jnp.ndarray = 0.0
+    n_nu: jnp.ndarray = 3.0
 
     @property
     def omega_k0(self):
@@ -59,6 +67,16 @@ class CosmoParams:
     @property
     def omega_c0(self):
         return self.omega_m0 - self.omega_b0
+
+    @property
+    def omega_nu0(self):
+        """Massive-neutrino density Ω_ν0 = Σm_ν / (93.14 eV h²)."""
+        return self.m_nu / (93.14 * self.h ** 2)
+
+    @property
+    def f_nu(self):
+        """Neutrino mass fraction f_ν = Ω_ν/Ω_m."""
+        return self.omega_nu0 / self.omega_m0
 
     @property
     def rho_bar(self):
@@ -82,6 +100,8 @@ def default_cosmo(**overrides) -> CosmoParams:
         t_cmb=2.726,
         w0=-1.0,
         wa=0.0,
+        m_nu=0.0,
+        n_nu=3.0,
     )
     vals.update(overrides)
     return CosmoParams(**{k: jnp.asarray(float(v)) for k, v in vals.items()})
