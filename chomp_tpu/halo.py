@@ -53,6 +53,7 @@ class GalaxyPack:
     bias: jnp.ndarray
     n_first: jnp.ndarray
     n_second: jnp.ndarray
+    nu: jnp.ndarray         # (nG,) squared peak height (baryon bloating)
 
 
 @pytree_dataclass
@@ -141,7 +142,8 @@ def build_halo_model(
     gal = GalaxyPack(ln_m=ln_g, w_lnm=cat("w_lnm"), m=m_g,
                      dndlnm=cat("dndlnm"), bias=cat("bias"),
                      n_first=hod.first_moment(m_g),
-                     n_second=hod.second_moment(m_g))
+                     n_second=hod.second_moment(m_g),
+                     nu=cat("nu"))
 
     n_g = jnp.sum(gal.w_lnm * gal.dndlnm * gal.n_first)
     return HaloModel(mass=t, hod=hod, gal=gal, n_g=n_g, m_star=m_star(t),
@@ -163,11 +165,45 @@ def _y_gal(cosmo, halo, model: HaloModel, k):
                           model.m_star, model.mass.z)
 
 
+def _bary_scales(cosmo: CosmoParams, nu_sq):
+    """(c_scale, k_scale) feedback hooks for the MATTER profile at nodes
+    with squared peak height ``nu_sq`` (CosmoParams.bary_c / bary_eta
+    docstring).  At the defaults (1.0, 0.0) both multiplications are
+    IEEE-exact no-ops (x*1.0 == x; nu**0.0 == 1.0), so the baseline
+    stays bitwise and d/d(bary_eta) is clean at 0 (the log nu factor is
+    finite: nu > 0 everywhere on the mass tables)."""
+    c_scale = jnp.asarray(getattr(cosmo, "bary_c", 1.0))
+    eta = jnp.asarray(getattr(cosmo, "bary_eta", 0.0))
+    k_scale = jnp.sqrt(nu_sq)[None, :] ** eta
+    return c_scale, k_scale
+
+
+def _y_matter(cosmo: CosmoParams, halo: HaloParams, model: HaloModel, k):
+    """Matter-profile y(k_i, M_j) at the mass-table nodes, with the
+    baryon-feedback knobs applied (identical to _y_matrix at the
+    defaults, bitwise)."""
+    k = jnp.atleast_1d(jnp.asarray(k))
+    c_s, k_s = _bary_scales(cosmo, model.mass.nu)
+    return profiles.y_nfw(cosmo, halo, k[:, None], model.mass.m[None, :],
+                          model.m_star, model.mass.z,
+                          c_scale=c_s, k_scale=k_s)
+
+
+def _y_gal_matter(cosmo, halo, model: HaloModel, k):
+    """Matter-profile y at the GALAXY-pack nodes (the matter factor of
+    the 1-halo gm integrand), feedback-aware."""
+    k = jnp.atleast_1d(jnp.asarray(k))
+    c_s, k_s = _bary_scales(cosmo, model.gal.nu)
+    return profiles.y_nfw(cosmo, halo, k[:, None], model.gal.m[None, :],
+                          model.m_star, model.mass.z,
+                          c_scale=c_s, k_scale=k_s)
+
+
 def two_halo_integrals(cosmo: CosmoParams, halo: HaloParams, model: HaloModel, k):
     """(h_m(k), h_g(k)) bias-weighted halo integrals (chomp ``_h_m`` /
     ``_h_g`` spline contents, computed exactly at the requested k)."""
     t = model.mass
-    y = _y_matrix(cosmo, halo, model, k)
+    y = _y_matter(cosmo, halo, model, k)
     f_dnu = t.f_nu * t.dnu_dlnm
     h_m = jnp.matmul(y, t.w_lnm * f_dnu * t.bias,
                      precision=jax.lax.Precision.HIGHEST)
@@ -189,7 +225,7 @@ def one_halo_integrals(cosmo: CosmoParams, halo: HaloParams, model: HaloModel, k
     the per-node exponent select below never straddles a kink and the
     quadrature stays spectral."""
     t = model.mass
-    y = _y_matrix(cosmo, halo, model, k)
+    y = _y_matter(cosmo, halo, model, k)
     f_dnu = t.f_nu * t.dnu_dlnm
     pp_mm = jnp.matmul(y * y, t.w_lnm * f_dnu * t.m / cosmo.rho_bar,
                        precision=jax.lax.Precision.HIGHEST)
@@ -199,7 +235,13 @@ def one_halo_integrals(cosmo: CosmoParams, halo: HaloParams, model: HaloModel, k
     y_gg = jnp.where(g.ln_m[None, :] < model.ln_m_sw2, y_g, y_g * y_g)
     pp_gg = jnp.matmul(y_gg, g.w_lnm * g.dndlnm * g.n_second,
                        precision=jax.lax.Precision.HIGHEST) / model.n_g**2
-    y_gm = jnp.where(g.ln_m[None, :] < model.ln_m_sw1, y_g, y_g * y_g)
+    # gm 1-halo: the MATTER factor carries baryon feedback, the galaxy
+    # (satellite-position) factor stays NFW.  p=1 regime (<N> < 1, one
+    # central at r=0): the single y IS the matter profile; p=2: one
+    # satellite factor x one matter factor.  Bitwise the old
+    # where(y, y*y) at the feedback defaults.
+    y_gm_m = _y_gal_matter(cosmo, halo, model, k)
+    y_gm = jnp.where(g.ln_m[None, :] < model.ln_m_sw1, y_gm_m, y_gm_m * y_g)
     pp_gm = jnp.matmul(y_gm, g.w_lnm * g.dndlnm * g.m * g.n_first,
                        precision=jax.lax.Precision.HIGHEST) / (
         model.n_g * cosmo.rho_bar)
@@ -229,6 +271,16 @@ def _nu_matter_rescale(cosmo: CosmoParams, model: HaloModel, k,
     return neutrino.m_over_cb(cosmo, k, model.mass.z, grid.n_growth)
 
 
+def _a_mod_mm(cosmo: CosmoParams, p_mm, p_lin_m):
+    """Amon & Efstathiou 2022 interpolation on the TOTAL-MATTER power:
+    P -> P + (a_mod - 1)(P - P_lin).  The (a_mod - 1) form is bitwise
+    exact at a_mod = 1 (x + 0.0 == x) with a clean, NONZERO gradient
+    d/d a_mod = P - P_lin there (a jnp.where guard would zero it).
+    mm legs only (CosmoParams.a_mod docstring)."""
+    a = jnp.asarray(getattr(cosmo, "a_mod", 1.0))
+    return p_mm + (a - 1.0) * (p_mm - p_lin_m)
+
+
 def powers(cosmo: CosmoParams, halo: HaloParams, model: HaloModel, k,
            with_bao: bool = False, grid: GridSpec = DEFAULT_GRID):
     """All halo-model spectra at once (shared y-matrix): dict with keys
@@ -242,9 +294,10 @@ def powers(cosmo: CosmoParams, halo: HaloParams, model: HaloModel, k,
     p_gg = pp_gg + p_lin * h_g * h_g
     p_gm = pp_gm + p_lin * h_m * h_g
     r = _nu_matter_rescale(cosmo, model, k, grid)
+    p_lin_m = p_lin * r * r
     return {
-        "linear_power": p_lin * r * r,
-        "power_mm": p_mm * r * r,
+        "linear_power": p_lin_m,
+        "power_mm": _a_mod_mm(cosmo, p_mm * r * r, p_lin_m),
         "power_gm": p_gm * r,
         "power_mg": p_gm * r,
         "power_gg": p_gg,
@@ -399,7 +452,8 @@ def tomographic_powers(cosmo: CosmoParams, halo: HaloParams, models, k,
     pp_mm, _, _ = one_halo_integrals(cosmo, halo, models[0], k,
                                      with_bao, grid)
     r = _nu_matter_rescale(cosmo, models[0], k, grid)
-    out = {"power_mm": (pp_mm + p_lin * h_m * h_m) * r * r}
+    out = {"power_mm": _a_mod_mm(cosmo, (pp_mm + p_lin * h_m * h_m) * r * r,
+                                 p_lin * r * r)}
     for i, mi in enumerate(models):
         ps = powers(cosmo, halo, mi, k, with_bao, grid)
         out[("power_gg", i, i)] = ps["power_gg"]
@@ -440,7 +494,7 @@ def powers_with_exclusion(cosmo: CosmoParams, halo: HaloParams,
     k = jnp.atleast_1d(jnp.asarray(k))
     t = model.mass
     p_lin = linear_power(cosmo, model, k, with_bao, grid)
-    y = _y_matrix(cosmo, halo, model, k)
+    y = _y_matter(cosmo, halo, model, k)
     r_v = profiles.virial_radius(cosmo, halo, t.m, t.z)  # (nM,)
     # Smooth mask(k, M): 1 where r_vir << pi/k, 0 where r_vir >> pi/k.
     lnarg = jnp.log(r_v[None, :] * k[:, None] / jnp.pi)
@@ -458,9 +512,11 @@ def powers_with_exclusion(cosmo: CosmoParams, halo: HaloParams,
     pp_mm, pp_gg, pp_gm = one_halo_integrals(cosmo, halo, model, k,
                                              with_bao, grid)
     r = _nu_matter_rescale(cosmo, model, k, grid)
+    p_lin_m = p_lin * r * r
     return {
-        "linear_power": p_lin * r * r,
-        "power_mm": (pp_mm + p_lin * h_m * h_m) * r * r,
+        "linear_power": p_lin_m,
+        "power_mm": _a_mod_mm(cosmo, (pp_mm + p_lin * h_m * h_m) * r * r,
+                              p_lin_m),
         "power_gm": (pp_gm + p_lin * h_m * h_g) * r,
         "power_mg": (pp_gm + p_lin * h_m * h_g) * r,
         "power_gg": pp_gg + p_lin * h_g * h_g,

@@ -192,10 +192,16 @@ def halofit_power(cosmo: CosmoParams, k, z=0.0, with_bao: bool = False,
     d2h = d2hp / (1.0 + nun / jnp.maximum(y, 1e-30) ** 2)
     # cb -> total matter: one D_cbnu/D_cb factor per matter leg
     # (identically 1 at m_nu = 0; see chomp_tpu.neutrino).
+    from chomp_tpu import halo as halo_mod
     from chomp_tpu import neutrino
 
     r = neutrino.m_over_cb(cosmo, k, z, grid.n_growth)
-    return (d2q + d2h) * r * r * (2.0 * np.pi**2) / k**3
+    p_nl = (d2q + d2h) * r * r * (2.0 * np.pi**2) / k**3
+    # Baryon feedback on the halofit route = the a_mod interpolation
+    # against the TOTAL-MATTER linear power (the profile knobs have no
+    # halofit analog; CosmoParams.a_mod docstring).
+    p_lin_m = linear.linear_power(cosmo, k, z, with_bao, grid, species="m")
+    return halo_mod._a_mod_mm(cosmo, p_nl, p_lin_m)
 
 
 def p_lattice_halofit(cosmo: CosmoParams, z=0.0, with_bao: bool = False,

@@ -59,6 +59,32 @@ class CosmoParams:
     # m_nu-independent at fixed omega_m0.
     m_nu: jnp.ndarray = 0.0
     n_nu: jnp.ndarray = 3.0
+    # Baryon-feedback knobs (TRACED nuisance parameters — sample and
+    # marginalize like cosmology; every default is an EXACT no-op).
+    # They act on the MATTER profile / matter power only; galaxy legs
+    # (pp_gg, h_g, satellite profiles) are the HOD's territory and are
+    # untouched.  Scope: the Gaussian-path spectra (halo.powers /
+    # tomographic_powers / powers_with_exclusion and nlpower.halofit);
+    # trispectrum/SSC covariance legs keep the unmodified profile (an
+    # O(feedback) effect on covariance CORRECTION terms — documented,
+    # not modeled, same policy as the neutrino sector).
+    #
+    # bary_c   : multiplies c(M) of the MATTER NFW profile (HMcode-style
+    #            concentration response, Mead et al. 2015's A/3.13 ratio;
+    #            AGN feedback => bary_c < 1, less concentrated halos,
+    #            suppressed 1-halo power).  1.0 = no feedback.
+    # bary_eta : halo bloating — the matter y is evaluated at
+    #            y(nu^bary_eta * k, M) with nu = delta_c/sigma(M) (Mead
+    #            et al. 2015 eta; > 0 puffs up high-nu halos).  0.0 = off.
+    # a_mod    : output-level interpolation between linear and nonlinear
+    #            matter power (Amon & Eftathiou 2022):
+    #            P_mm -> P_mm + (a_mod - 1)(P_mm - P_lin), applied to mm
+    #            legs on BOTH the halo-model and halofit routes (gm/gg
+    #            untouched).  1.0 = no modification; the (a_mod - 1) form
+    #            is bitwise-exact at 1.0 AND has a clean d/d a_mod there.
+    bary_c: jnp.ndarray = 1.0
+    bary_eta: jnp.ndarray = 0.0
+    a_mod: jnp.ndarray = 1.0
 
     @property
     def omega_k0(self):
@@ -102,6 +128,9 @@ def default_cosmo(**overrides) -> CosmoParams:
         wa=0.0,
         m_nu=0.0,
         n_nu=3.0,
+        bary_c=1.0,
+        bary_eta=0.0,
+        a_mod=1.0,
     )
     vals.update(overrides)
     return CosmoParams(**{k: jnp.asarray(float(v)) for k, v in vals.items()})

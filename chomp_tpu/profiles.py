@@ -60,7 +60,8 @@ def virial_mass(cosmo: CosmoParams, halo: HaloParams, r, z=0.0):
     return 4.0 * jnp.pi / 3.0 * cosmo.rho_bar * dv * jnp.asarray(r) ** 3
 
 
-def y_nfw(cosmo: CosmoParams, halo: HaloParams, k, m, m_star, z=0.0):
+def y_nfw(cosmo: CosmoParams, halo: HaloParams, k, m, m_star, z=0.0,
+          c_scale=None, k_scale=None):
     """Normalized NFW Fourier transform y(k, M), truncated at r_vir
     (Appendix B.6 closed form; y -> 1 as k -> 0).
 
@@ -76,10 +77,20 @@ def y_nfw(cosmo: CosmoParams, halo: HaloParams, k, m, m_star, z=0.0):
 
     is cancellation-free at every scale (verified to agree with the
     textbook form to ~1e-14 in float64 and to track float64 to ~1e-6 in
-    float32)."""
+    float32).
+
+    ``c_scale``/``k_scale`` (default None = untouched path): baryon-
+    feedback hooks for the MATTER profile (CosmoParams.bary_c /
+    bary_eta) — c(M) is multiplied by ``c_scale`` (same mass inside the
+    unchanged r_vir, redistributed) and the profile is evaluated at
+    ``k_scale * k`` (HMcode-style nu^eta halo bloating)."""
     k = jnp.asarray(k)
     m = jnp.asarray(m)
+    if k_scale is not None:
+        k = k * k_scale
     c = concentration(halo, m, m_star, z)
+    if c_scale is not None:
+        c = c * c_scale
     rv = virial_radius(cosmo, halo, m, z)
     rs = rv / c
     x = k * rs

@@ -30,7 +30,8 @@ def test_gridspec_static_and_hashable():
 
 def test_cosmo_pytree_roundtrip(fiducial):
     leaves, treedef = jax.tree_util.tree_flatten(fiducial)
-    assert len(leaves) == 11  # 9 core + m_nu, n_nu (neutrino sector)
+    # 9 core + m_nu, n_nu (neutrinos) + bary_c, bary_eta, a_mod (baryons)
+    assert len(leaves) == 14
     back = jax.tree_util.tree_unflatten(treedef, leaves)
     assert float(back.sigma_8) == float(fiducial.sigma_8)
     # Derived quantities.
