@@ -1,0 +1,70 @@
+"""Spectroscopic full-shape multipoles: P_0/P_2/P_4 + Fisher forecast.
+
+Demonstrates the redshift-space observable (chomp_tpu.rsd — beyond
+chomp): the dispersion-model multipoles built on the SAME halo-model
+spectra as the photometric pipelines, the Gaussian (FKP/Grieb)
+multipole covariance, and a Fisher forecast over
+(Omega_m, sigma_8, sigma_v) with the finger-of-god dispersion
+marginalized — the whole chain is one jit/grad-able function of a flat
+parameter vector.
+
+Run: python examples/rsd_example.py    (CPU f64 or TPU)
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+from chomp_tpu import halo, inference, rsd  # noqa: E402
+from chomp_tpu.hod import default_hod  # noqa: E402
+from chomp_tpu.params import default_cosmo, default_halo  # noqa: E402
+from chomp_tpu.utils.tree import replace  # noqa: E402
+
+C0 = default_cosmo()
+HP = default_halo()
+Z = 0.5
+EDGES = jnp.linspace(0.02, 0.25, 24)
+K_MID = 0.5 * (EDGES[1:] + EDGES[:-1])
+VOLUME = 1.0e9        # (Mpc/h)^3 — a BOSS-like chunk
+SV_FID = 4.0          # Mpc/h finger-of-god dispersion
+
+
+def theory(p):
+    """p = (omega_m0, sigma_8, sigma_v) -> stacked (P0, P2, P4)."""
+    c = replace(C0, omega_m0=p[0], omega_l0=1.0 - p[0], sigma_8=p[1])
+    m = halo.build_halo_model(c, HP, default_hod(), Z)
+    return rsd.multipoles(c, HP, m, K_MID, sigma_v=p[2]).ravel()
+
+
+def main():
+    p0 = jnp.asarray([float(C0.omega_m0), float(C0.sigma_8), SV_FID])
+    model = halo.build_halo_model(C0, HP, default_hod(), Z)
+    cov = rsd.multipole_covariance(C0, HP, model, EDGES, VOLUME,
+                                   sigma_v=SV_FID)
+    d0 = np.asarray(jax.jit(theory)(p0))
+    print(f"data vector: {d0.size} entries "
+          f"(3 multipoles x {K_MID.shape[0]} k-bins), "
+          f"P0(k~0.1) = {d0[np.argmin(np.abs(np.asarray(K_MID)-0.1))]:.1f}")
+
+    F = np.asarray(inference.fisher_matrix(theory, np.asarray(cov), p0))
+    sig = np.sqrt(np.diag(np.linalg.inv(F)))
+    sig_fix = 1.0 / np.sqrt(np.diag(F))
+    names = ("Omega_m", "sigma_8", "sigma_v")
+    print(f"\nFisher forecast, V = {VOLUME:.1e} (Mpc/h)^3, z = {Z}:")
+    for n, s, sf in zip(names, sig, sig_fix):
+        print(f"  sigma({n:8s}) = {s:.4f}  (fixed-others {sf:.4f})")
+    rho = F[0, 1] / np.sqrt(F[0, 0] * F[1, 1])
+    print(f"  Omega_m - sigma_8 Fisher correlation: {rho:+.2f}")
+    assert np.all(np.isfinite(sig)) and np.all(sig > 0)
+    print("OK")
+
+
+if __name__ == "__main__":
+    main()
