@@ -59,6 +59,32 @@ def transfer_nowiggle(cosmo: CosmoParams, k):
     return l0 / (l0 + c0 * q * q)
 
 
+def sound_horizon_drag(cosmo: CosmoParams):
+    """Comoving sound horizon at the drag epoch, in Mpc (NOT Mpc/h):
+    Eisenstein & Hu 1998 eqs. 2-6 (z_eq, the z_d fit, R(z), and the
+    closed-form integral of c_s/H through matter-radiation equality).
+    This is EXACTLY the ``s`` that positions the BAO wiggles in
+    transfer_eh_full, so distance ratios built on it (chomp_tpu.bao)
+    are self-consistent with this framework's own P(k) template.
+    Accuracy vs a Boltzmann r_d: ~1-2% (the EH98 fit's own quote)."""
+    h = cosmo.h
+    omh2 = cosmo.omega_m0 * h * h
+    obh2 = cosmo.omega_b0 * h * h
+    theta = cosmo.t_cmb / 2.7
+    th4 = theta**4
+    z_eq = 2.50e4 * omh2 / th4
+    k_eq = 7.46e-2 * omh2 / (theta * theta)  # 1/Mpc
+    b1d = 0.313 * omh2**-0.419 * (1.0 + 0.607 * omh2**0.674)
+    b2d = 0.238 * omh2**0.223
+    z_d = (1291.0 * omh2**0.251 / (1.0 + 0.659 * omh2**0.828)
+           * (1.0 + b1d * obh2**b2d))
+    r_d = 31.5 * obh2 / th4 * (1.0e3 / z_d)
+    r_eq = 31.5 * obh2 / th4 * (1.0e3 / z_eq)
+    return (2.0 / (3.0 * k_eq) * jnp.sqrt(6.0 / r_eq)
+            * jnp.log((jnp.sqrt(1.0 + r_d) + jnp.sqrt(r_d + r_eq))
+                      / (1.0 + jnp.sqrt(r_eq))))
+
+
 def _t0_tilde(q, alpha, beta):
     c = 14.2 / alpha + 386.0 / (1.0 + 69.9 * q**1.08)
     l = jnp.log(_E + 1.8 * beta * q)
