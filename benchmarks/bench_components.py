@@ -237,6 +237,29 @@ def main(batch_size: int = 100):
                             matter_power="halofit")
     stage("w+gt+xi_pm pipeline (halofit mm)", full_hf)
 
+    # Massive neutrinos (neutrino.py): the flagship pipeline with
+    # m_nu traced and nonzero (EH99 suppression on every layer).
+    from chomp_tpu.utils.tree import replace as _replace
+
+    full_nu = make_pipeline(h, hod, dist)
+    stage("w+gt pipeline (m_nu = 0.2 eV)",
+          lambda c: full_nu(_replace(c, m_nu=jnp.asarray(0.2))))
+
+    # Spectroscopic multipoles (rsd.py): P_0/P_2/P_4 on 64 k-points +
+    # the FKP/Grieb covariance on 28 k-bins.
+    from chomp_tpu import rsd as rsd_mod
+
+    k_rsd = jnp.asarray(np.logspace(-2, 0.3, 64))
+    rsd_edges = jnp.asarray(np.linspace(0.02, 0.3, 29))
+
+    def rsd_obs(c):
+        m = halo.build_halo_model(c, h, hod, 0.5)
+        return (rsd_mod.multipoles(c, h, m, k_rsd, sigma_v=4.0),
+                rsd_mod.multipole_covariance(c, h, m, rsd_edges, 1.0e9,
+                                             sigma_v=4.0))
+
+    stage("RSD P_ell + FKP covariance", rsd_obs)
+
     print(f"{'stage':34s} ms/cosmology")
     for name, ms in rows:
         print(f"  {name:32s} {ms:8.3f}")

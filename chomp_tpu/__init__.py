@@ -50,7 +50,19 @@ Layer map (mirrors SURVEY.md §1, reimagined TPU-first):
     nlpower       ->  (new) revised halofit (Takahashi 2012) nonlinear
                       matter power — opt-in mm legs for cosmic shear
                       (matter_power="halofit" on the pipelines)
+    neutrino      ->  (new) massive-neutrino sector (EH99 suppression,
+                      cb/total-matter species split, traced m_nu)
+    rsd           ->  (new) spectroscopic full-shape multipoles
+                      P_0/P_2/P_4(k) (Kaiser x FoG on the halo-model
+                      spectra) + FKP/Grieb Gaussian covariance
+    bao           ->  (new) likelihood-ready D_M/D_H/D_V over r_d with
+                      the transfer's own drag sound horizon
     compat        ->  object API mirroring the reference's classes
+
+Baryon feedback: traced CosmoParams.bary_c / bary_eta / a_mod knobs
+(HMcode-style matter-profile response + the A_mod linear/nonlinear
+interpolation) act on every mm leg of both the halo-model and halofit
+routes; defaults are bitwise no-ops with clean gradients.
 """
 
 from chomp_tpu.params import (
