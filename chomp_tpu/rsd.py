@@ -51,7 +51,8 @@ from chomp_tpu import background, halo
 from chomp_tpu.grids import gauss_legendre
 from chomp_tpu.params import DEFAULT_GRID, CosmoParams, GridSpec, HaloParams
 
-__all__ = ["power_rsd_mu", "multipoles", "multipole_covariance"]
+__all__ = ["power_rsd_mu", "multipoles", "multipole_covariance",
+           "ap_parameters", "multipoles_ap"]
 
 
 def _legendre(ell: int, mu):
@@ -111,6 +112,60 @@ def multipoles(cosmo: CosmoParams, halo_p: HaloParams, model, k,
                        grid, powers)                  # (n_k, n_mu)
     rows = jnp.stack([(2.0 * ell + 1.0) * _legendre(ell, mu) * w
                       for ell in ells])               # (n_ell, n_mu)
+    return jnp.matmul(rows, p_s.T, precision=jax.lax.Precision.HIGHEST)
+
+
+def ap_parameters(cosmo: CosmoParams, fid: CosmoParams, z, n: int = 64):
+    """Alcock-Paczynski scaling factors (alpha_perp, alpha_par) at z:
+    the observed coordinates were laid down with the FIDUCIAL cosmology,
+    so transverse/radial separations rescale by
+
+        alpha_perp = D_M(z) / D_M^fid(z),   alpha_par = D_H(z) / D_H^fid(z)
+
+    (pure geometric convention — the template-fit convention divides
+    each by r_d/r_d^fid; do that at the likelihood level if fitting
+    compressed alphas).  Both exactly 1 at cosmo == fid."""
+    z = jnp.asarray(z)
+    a_perp = (background.transverse_comoving_distance(cosmo, z, n)
+              / background.transverse_comoving_distance(fid, z, n))
+    a_par = background.ez(fid, z) / background.ez(cosmo, z)
+    return a_perp, a_par
+
+
+def multipoles_ap(cosmo: CosmoParams, halo_p: HaloParams, model, k_obs,
+                  fid: CosmoParams, ells=(0, 2, 4), sigma_v=0.0,
+                  n_mu: int = 16, with_bao: bool = False,
+                  grid: GridSpec = DEFAULT_GRID):
+    """P_ell at OBSERVED wavenumbers ``k_obs`` (defined with the
+    fiducial cosmology ``fid``) including the Alcock-Paczynski
+    distortion:
+
+        k_true mu_true = k' mu' / alpha_par,
+        k_true sqrt(1-mu_true^2) = k' sqrt(1-mu'^2) / alpha_perp,
+        P_obs(k', mu') = P_s(k_true, mu_true) / (alpha_perp^2 alpha_par)
+
+    The halo-model spectra evaluate EXACTLY at any k (no spline), so
+    the warped (n_k, n_mu) grid is one direct halo contraction — the
+    TPU-native alternative to the usual interpolate-a-table approach.
+    At cosmo == fid this reduces to :func:`multipoles` (alphas == 1;
+    tested to float roundoff)."""
+    k_obs = jnp.atleast_1d(jnp.asarray(k_obs))
+    mu, w = _mu_rule(n_mu)
+    a_perp, a_par = ap_parameters(cosmo, fid, model.mass.z, grid.n_dist)
+    kpar = k_obs[:, None] * mu[None, :] / a_par          # (n_k, n_mu)
+    kper = k_obs[:, None] * jnp.sqrt(1.0 - mu * mu)[None, :] / a_perp
+    k_true = jnp.sqrt(kpar**2 + kper**2)
+    mu_true = kpar / k_true
+    ps = halo.powers(cosmo, halo_p, model, k_true.ravel(), with_bao, grid)
+    f = background.growth_rate(cosmo, model.mass.z, grid.n_growth)
+    m2 = (mu_true * mu_true).ravel()
+    kaiser = (ps["power_gg"] + 2.0 * f * ps["power_gm"] * m2
+              + f * f * ps["power_mm"] * m2 * m2)
+    x = k_true.ravel() * mu_true.ravel() * jnp.asarray(sigma_v)
+    p_s = (kaiser * _fog(x)).reshape(k_obs.shape[0], n_mu) / (
+        a_perp * a_perp * a_par)
+    rows = jnp.stack([(2.0 * ell + 1.0) * _legendre(ell, mu) * w
+                      for ell in ells])
     return jnp.matmul(rows, p_s.T, precision=jax.lax.Precision.HIGHEST)
 
 

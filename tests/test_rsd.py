@@ -117,6 +117,49 @@ def test_covariance_fkp_limit(model):
     assert cov3[0, 1] == 0.0 and cov3[0, 3] != 0.0  # k-diag, ell-coupled
 
 
+@pytest.mark.slow
+def test_ap_identity_and_referee(model):
+    """cosmo == fid reduces multipoles_ap to multipoles; a distorted
+    cosmology matches an independent numpy+quad transcription of the
+    AP warp."""
+    k = jnp.asarray([0.05, 0.15, 0.4])
+    base = np.asarray(rsd.multipoles(C0, HP, model, k, sigma_v=3.0))
+    same = np.asarray(rsd.multipoles_ap(C0, HP, model, k, C0, sigma_v=3.0))
+    np.testing.assert_allclose(same, base, rtol=1e-12)
+    # Distorted cosmology (evaluated at the TRUE cosmo's model/spectra,
+    # observed coordinates laid down with a different fiducial).
+    fid = replace(C0, omega_m0=jnp.asarray(0.32),
+                  omega_l0=jnp.asarray(0.68))
+    ap, al = map(float, rsd.ap_parameters(C0, fid, Z))
+    assert ap != 1.0 and al != 1.0
+    out = np.asarray(rsd.multipoles_ap(C0, HP, model, k, fid,
+                                       sigma_v=3.0, n_mu=24))
+    f = float(background.growth_rate(C0, Z))
+    leg = {0: lambda m: 1.0, 2: lambda m: 0.5 * (3 * m * m - 1),
+           4: lambda m: 0.125 * (35 * m**4 - 30 * m * m + 3)}
+
+    def p_true(kt, mt):
+        ps = halo.powers(C0, HP, model, jnp.asarray([kt]))
+        kai = (float(ps["power_gg"][0])
+               + 2 * f * mt * mt * float(ps["power_gm"][0])
+               + f * f * mt**4 * float(ps["power_mm"][0]))
+        return kai / (1.0 + 0.5 * (kt * mt * 3.0) ** 2)
+
+    for i, kv in enumerate(np.asarray(k)):
+        def p_obs(m):
+            kpar = kv * m / al
+            kper = kv * np.sqrt(1 - m * m) / ap
+            kt = np.hypot(kpar, kper)
+            return p_true(kt, kpar / kt) / (ap * ap * al)
+
+        for row, ell in enumerate((0, 2, 4)):
+            ref = (2 * ell + 1) * quad(lambda m: leg[ell](m) * p_obs(m),
+                                       0, 1, epsabs=0.0, epsrel=1e-10,
+                                       limit=200)[0]
+            np.testing.assert_allclose(out[row, i], ref, rtol=1e-6,
+                                       err_msg=f"ell={ell} k={kv}")
+
+
 def test_grad_vmap(model):
     k = jnp.asarray([0.1, 0.3])
 
