@@ -52,7 +52,18 @@ from chomp_tpu.grids import gauss_legendre
 from chomp_tpu.params import DEFAULT_GRID, CosmoParams, GridSpec, HaloParams
 
 __all__ = ["power_rsd_mu", "multipoles", "multipole_covariance",
-           "ap_parameters", "multipoles_ap"]
+           "ap_parameters", "multipoles_ap", "f_sigma8"]
+
+
+def f_sigma8(cosmo: CosmoParams, z, grid: GridSpec = DEFAULT_GRID):
+    """The compressed growth observable f(z) sigma_8(z) every RSD
+    analysis publishes: the scale-free growth rate times the z=0
+    total-matter sigma_8 carried by D(z).  Likelihood-ready alongside
+    chomp_tpu.bao — traced through every CosmoParams leaf."""
+    z = jnp.asarray(z)
+    f = background.growth_rate(cosmo, z, grid.n_growth)
+    d = background.growth_factor(cosmo, z, grid.n_growth)
+    return f * cosmo.sigma_8 * d
 
 
 def _legendre(ell: int, mu):

@@ -117,6 +117,21 @@ def test_covariance_fkp_limit(model):
     assert cov3[0, 1] == 0.0 and cov3[0, 3] != 0.0  # k-diag, ell-coupled
 
 
+def test_f_sigma8():
+    """f sigma_8: EdS limit f -> 1, sensible fiducial value, falls off
+    the sigma_8 D(z) scaling exactly."""
+    z = jnp.asarray([0.0, 0.5, 1.0])
+    v = np.asarray(rsd.f_sigma8(C0, z))
+    f = np.asarray(background.growth_rate(C0, z))
+    d = np.asarray(background.growth_factor(C0, z))
+    np.testing.assert_allclose(v, f * float(C0.sigma_8) * d, rtol=1e-14)
+    assert 0.35 < v[1] < 0.55  # LCDM-ish range at z=0.5
+    # EdS: f == 1 at every z.
+    eds = replace(C0, omega_m0=jnp.asarray(1.0), omega_l0=jnp.asarray(0.0))
+    np.testing.assert_allclose(np.asarray(background.growth_rate(eds, z)),
+                               1.0, rtol=1e-6)
+
+
 @pytest.mark.slow
 def test_ap_identity_and_referee(model):
     """cosmo == fid reduces multipoles_ap to multipoles; a distorted
