@@ -70,13 +70,21 @@ def _lowring_y0(mu: float, q: float, dln: float, x0: float, y0_target: float):
 @lru_cache(maxsize=None)
 def hankel_operator(n: int, ln_x0: float, dln: float, mu: float,
                     q: float = 1.0, y0_target: float | None = None,
-                    taper_lo: float = 0.0, taper_hi: float = 0.0):
+                    taper_lo: float = 0.0, taper_hi: float = 0.0,
+                    lowring: bool = True):
     """Dense real operator H and output grid y for
         G(y_j) = sum_m H[j, m] a(x_m),   x_m = exp(ln_x0 + m dln).
 
     ``taper_lo``/``taper_hi`` are fractions of the log-range cosine^2-
     tapered at each end (applied inside H) to suppress periodic-
     wraparound ringing from non-decayed endpoints.
+
+    ``lowring=False`` pins y0 EXACTLY to ``y0_target`` (no Hamilton
+    phase snap).  The snap is mu-dependent, so multi-mu stacks that
+    must share one output grid (e.g. the spherical-Bessel multipole
+    transforms in chomp_tpu.rsd) disable it and rely on the tapers;
+    the sawtooth it suppresses is ~1e-4-level with tapered inputs
+    (measured in the rsd operator tests).
 
     Returns (y_grid (n,), H (n, n)) as float64 numpy arrays (cached; cast
     to the runtime dtype at use site).
@@ -86,7 +94,8 @@ def hankel_operator(n: int, ln_x0: float, dln: float, mu: float,
     if y0_target is None:
         # Reciprocal grid centered against x.
         y0_target = 1.0 / (x0 * np.exp(dln * (n - 1)))
-    y0 = _lowring_y0(mu, q, dln, x0, y0_target)
+    y0 = (_lowring_y0(mu, q, dln, x0, y0_target) if lowring
+          else float(y0_target))
     y = y0 * np.exp(dln * np.arange(n))
 
     eta = 2.0 * np.pi * np.fft.fftfreq(n) / dln

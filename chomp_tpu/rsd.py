@@ -52,7 +52,8 @@ from chomp_tpu.grids import gauss_legendre
 from chomp_tpu.params import DEFAULT_GRID, CosmoParams, GridSpec, HaloParams
 
 __all__ = ["power_rsd_mu", "multipoles", "multipole_covariance",
-           "ap_parameters", "multipoles_ap", "f_sigma8"]
+           "ap_parameters", "multipoles_ap", "f_sigma8",
+           "legendre_coupling", "window_convolved_multipoles"]
 
 
 def f_sigma8(cosmo: CosmoParams, z, grid: GridSpec = DEFAULT_GRID):
@@ -214,3 +215,168 @@ def multipole_covariance(cosmo: CosmoParams, halo_p: HaloParams, model,
     idx = jnp.arange(n_bin)
     cov = cov.at[:, idx, :, idx].set(jnp.moveaxis(blocks, 2, 0))
     return cov.reshape(n_ell * n_bin, n_ell * n_bin)
+
+
+# ---------------------------------------------------------------------------
+# Survey-window convolution (Wilson et al. 2017 configuration-space route)
+# ---------------------------------------------------------------------------
+
+def legendre_coupling(ells_out, ells_p, ells_q):
+    """C[L, l1, l2] = (2L+1)/2 ∫_{-1}^{1} L_L L_l1 L_l2 dmu — the exact
+    Legendre triple-product couplings of the configuration-space window
+    convolution xi'_L = Σ C[L, l1, l2] xi_l1 Q_l2 (Wilson et al. 2017
+    eq. 2.18's coefficient table, computed here by exact Gauss-Legendre
+    quadrature of the polynomial integrand instead of hardcoding the
+    rationals — the order-32 rule is exact to degree 63 >= L+l1+l2).
+    Returns a float64 numpy array (build-time constant)."""
+    from numpy.polynomial.legendre import leggauss
+
+    x, w = leggauss(32)
+    leg = {}
+    for ell in set(ells_out) | set(ells_p) | set(ells_q):
+        c = np.zeros(ell + 1)
+        c[ell] = 1.0
+        leg[ell] = np.polynomial.legendre.legval(x, c)
+    out = np.empty((len(ells_out), len(ells_p), len(ells_q)))
+    for i, L in enumerate(ells_out):
+        for j, l1 in enumerate(ells_p):
+            for m, l2 in enumerate(ells_q):
+                out[i, j, m] = (2.0 * L + 1.0) / 2.0 * np.sum(
+                    w * leg[L] * leg[l1] * leg[l2])
+    return out
+
+
+def _sph_hankel_ops(n: int, ln_k0: float, dln: float, ells,
+                    taper: float = 0.08):
+    """Forward/backward spherical-Bessel FFTLog operators per multipole.
+
+    Forward:  xi_l(s) = (-1)^{l/2}/(2 pi^2) ∫ dk k^2 P_l(k) j_l(ks)
+            = (-1)^{l/2} sqrt(pi/2)/(2 pi^2) s^{-1/2}
+              ∫ dk/k [k^{5/2} P_l] J_{l+1/2}(ks)
+    Backward: P_l(k) = 4 pi (-1)^{l/2} ∫ ds s^2 xi_l(s) j_l(ks)
+            = (-1)^{l/2} (2 pi)^{3/2} k^{-1/2}
+              ∫ ds/s [s^{5/2} xi_l] J_{l+1/2}(ks)
+
+    Both ride fftlog.hankel_operator (mu = l + 1/2); every l shares the
+    SAME low-ringing s grid (y0 pinned by the l=0 operator) so the
+    coupling products multiply pointwise.  Returns
+    (k, s, fwd[l] (n, n), k_back, bwd[l] (n, n)) float64 numpy."""
+    from chomp_tpu import fftlog
+
+    k = np.exp(ln_k0 + dln * np.arange(n))
+    s_grid = None
+    fwd = {}
+    for ell in ells:
+        # First multipole takes the Hamilton low-ring snap; the rest pin
+        # EXACTLY to its grid (lowring=False) so the coupling products
+        # multiply pointwise — the residual sawtooth is below the taper
+        # floor (fftlog.hankel_operator docstring).
+        y, h = fftlog.hankel_operator(
+            n, ln_k0, dln, mu=ell + 0.5, q=1.0,
+            y0_target=None if s_grid is None else s_grid[0],
+            taper_lo=taper, taper_hi=taper, lowring=s_grid is None)
+        if s_grid is None:
+            s_grid = y
+        sign = (-1.0) ** (ell // 2)
+        # H gives G(y) = ∫ a(k) J_mu(ky) dk/k for a on the k lattice.
+        # xi_l(s) = sign sqrt(pi/2)/(2 pi^2) s^{-1/2} G[k^{5/2} P_l](s)
+        pre = sign * np.sqrt(np.pi / 2.0) / (2.0 * np.pi**2)
+        fwd[ell] = (pre / np.sqrt(s_grid))[:, None] * h * (k**2.5)[None, :]
+    # Backward operators: input lattice = s grid.
+    ln_s0 = float(np.log(s_grid[0]))
+    dln_s = float(np.log(s_grid[1]) - np.log(s_grid[0]))
+    k_back = None
+    bwd = {}
+    for ell in ells:
+        yb, hb = fftlog.hankel_operator(
+            n, ln_s0, dln_s, mu=ell + 0.5, q=1.0,
+            y0_target=k[0] if k_back is None else k_back[0],
+            taper_lo=taper, taper_hi=taper, lowring=k_back is None)
+        if k_back is None:
+            k_back = yb
+        sign = (-1.0) ** (ell // 2)
+        pre = sign * (2.0 * np.pi) ** 1.5
+        bwd[ell] = (pre / np.sqrt(k_back))[:, None] * hb * (s_grid**2.5)[None, :]
+    return k, s_grid, fwd, k_back, bwd
+
+
+def _catmull_rom_rows(x_src, x_query):
+    """Static (n_query, n_src) cubic interpolation matrix in ln x
+    (build-time numpy; the same static-weight trick as limber_fft —
+    NO runtime gathers)."""
+    lx = np.log(x_src)
+    lq = np.log(np.asarray(x_query, dtype=np.float64))
+    d = lx[1] - lx[0]
+    t = (lq - lx[0]) / d
+    i1 = np.clip(np.floor(t).astype(int), 1, len(lx) - 3)
+    u = t - i1
+    w0 = -0.5 * u * (1 - u) ** 2
+    w1 = 1.0 + u * u * (1.5 * u - 2.5)
+    w2 = u * (0.5 + u * (2.0 - 1.5 * u))
+    w3 = 0.5 * u * u * (u - 1.0)
+    rows = np.zeros((lq.size, lx.size))
+    for j, (i, a, b, c, e) in enumerate(zip(i1, w0, w1, w2, w3)):
+        rows[j, i - 1:i + 3] = (a, b, c, e)
+    return rows
+
+
+def window_convolved_multipoles(cosmo: CosmoParams, halo_p: HaloParams,
+                                model, k_obs, window_q, ells=(0, 2, 4),
+                                sigma_v=0.0, n_mu: int = 16,
+                                n_fft: int = 512, k_lo: float = 2e-4,
+                                k_hi: float = 60.0,
+                                with_bao: bool = False,
+                                grid: GridSpec = DEFAULT_GRID):
+    """Survey-window-convolved multipoles at observed ``k_obs``.
+
+    The Wilson et al. 2017 configuration-space route, gather-free:
+
+      1. P_ell on a static log-k lattice (direct halo evaluation);
+      2. xi_ell(s) by spherical-Bessel FFTLog (one (n, n) matmul per
+         ell, shared low-ringing s grid);
+      3. xi'_L(s) = Σ C[L, l1, l2] xi_l1(s) Q_l2(s) with the exact
+         Legendre couplings and the window's configuration-space
+         multipoles Q_l2;
+      4. P'_L(k) by the inverse transform + a static cubic
+         interpolation matrix onto ``k_obs``.
+
+    ``window_q``: callable s_Mpc_over_h -> (n_q_ell, n_s) array of the
+    normalized window multipoles [Q_0, Q_2, Q_4, ...] (Q_0(0) = 1), OR
+    a plain (n_q_ell, n_s)-shaped constructor evaluated at BUILD time
+    on the static s grid (numpy in, numpy out — the window is survey
+    geometry, not a traced parameter).  An unwindowed survey is
+    window_q = lambda s: np.stack([np.ones_like(s)]) — then the result
+    reduces to :func:`multipoles` at interior k to FFTLog round-trip
+    accuracy (~1e-3 with default tapers; tested).
+
+    Truncation: the coupling sum runs over the given ``ells`` for the
+    theory side and over the rows ``window_q`` provides; higher-order
+    leakage (e.g. Q_6 into P'_4) is dropped — the standard truncation.
+    """
+    k_obs = np.asarray(k_obs, dtype=np.float64)
+    ells = tuple(ells)
+    ln_k0 = float(np.log(k_lo))
+    dln = float(np.log(k_hi / k_lo) / (n_fft - 1))
+    k_lat, s_grid, fwd, k_back, bwd = _sph_hankel_ops(
+        n_fft, ln_k0, dln, ells)
+    q_arr = np.asarray(window_q(s_grid), dtype=np.float64)
+    if q_arr.ndim == 1:
+        q_arr = q_arr[None, :]
+    q_ells = tuple(2 * i for i in range(q_arr.shape[0]))
+    coup = legendre_coupling(ells, ells, q_ells)      # (L, l1, l2)
+    interp = _catmull_rom_rows(k_back, k_obs)         # (n_obs, n_fft)
+    hp = jax.lax.Precision.HIGHEST
+
+    p_ell = multipoles(cosmo, halo_p, model, jnp.asarray(k_lat),
+                       ells=ells, sigma_v=sigma_v, n_mu=n_mu,
+                       with_bao=with_bao, grid=grid)  # (n_ell, n_fft)
+    xi = jnp.stack([jnp.matmul(jnp.asarray(fwd[ell]), p_ell[i],
+                               precision=hp)
+                    for i, ell in enumerate(ells)])   # (n_ell, n_s)
+    # Couple with the window: xi'_L(s) = Σ_{l1 l2} C xi_l1 Q_l2.
+    xiq = jnp.einsum("Lab,as,bs->Ls", jnp.asarray(coup), xi,
+                     jnp.asarray(q_arr), precision=hp)
+    p_conv = jnp.stack([jnp.matmul(jnp.asarray(bwd[ell]), xiq[i],
+                                   precision=hp)
+                        for i, ell in enumerate(ells)])
+    return jnp.matmul(p_conv, jnp.asarray(interp).T, precision=hp)

@@ -194,3 +194,85 @@ def test_grad_vmap(model):
     assert np.all(np.isfinite(a))
     # FoG strictly damps the monopole at high k.
     assert a[0, 0, 1] > a[1, 0, 1] > a[2, 0, 1]
+
+
+def test_legendre_coupling_rationals():
+    """The quadrature couplings reproduce the published Wilson et al.
+    2017 rational coefficients."""
+    c = rsd.legendre_coupling((0, 2, 4), (0, 2, 4), (0, 2, 4))
+    ell = {0: 0, 2: 1, 4: 2}
+    want = {
+        (0, 0, 0): 1.0, (0, 2, 2): 1.0 / 5.0, (0, 4, 4): 1.0 / 9.0,
+        (0, 2, 0): 0.0, (0, 0, 2): 0.0,
+        (2, 0, 2): 1.0, (2, 2, 0): 1.0, (2, 2, 2): 2.0 / 7.0,
+        (2, 2, 4): 2.0 / 7.0, (4, 2, 2): 18.0 / 35.0,
+        (4, 4, 0): 1.0, (4, 0, 4): 1.0,
+    }
+    for (L, l1, l2), v in want.items():
+        np.testing.assert_allclose(c[ell[L], ell[l1], ell[l2]], v,
+                                   rtol=0, atol=1e-13, err_msg=str((L, l1, l2)))
+
+
+def test_sph_hankel_operator_analytic():
+    """Forward spherical-Bessel operator vs the exact Gaussian pair
+    xi_l(s) = (-1)^{l/2}/(2 pi^2) ∫ k^2 e^{-a^2 k^2} j_l(ks) dk
+    (l=0 closed form; l=2,4 by adaptive quadrature)."""
+    from scipy.special import spherical_jn
+
+    n, k_lo, k_hi = 512, 2e-4, 60.0
+    ln_k0 = np.log(k_lo)
+    dln = np.log(k_hi / k_lo) / (n - 1)
+    k, s, fwd, k_back, bwd = rsd._sph_hankel_ops(n, ln_k0, dln, (0, 2, 4))
+    a = 2.0
+    p = np.exp(-a * a * k * k)
+    # Interior s where xi is above the single-FFT absolute noise floor
+    # (~1e-11 of the peak; the Gaussian pair dies like e^{-s^2/16}).
+    sel = (s > 0.5) & (s < 10.0)
+    for ell in (0, 2, 4):
+        got = fwd[ell] @ p
+        sign = (-1.0) ** (ell // 2)
+        for si in np.asarray(s[sel])[::25]:
+            ref = sign / (2 * np.pi**2) * quad(
+                lambda kk: kk * kk * np.exp(-a * a * kk * kk)
+                * spherical_jn(ell, kk * si), 0, np.inf, limit=400)[0]
+            i = int(np.argmin(np.abs(s - si)))
+            np.testing.assert_allclose(got[i], ref, rtol=5e-4,
+                                       atol=1e-9,
+                                       err_msg=f"ell={ell} s={si}")
+    # Round trip: backward(forward(p)) == p at interior k, per ell.
+    kin = (k_back > 1e-2) & (k_back < 10.0)
+    interp = rsd._catmull_rom_rows(k, k_back[kin])
+    for ell in (0, 2, 4):
+        back = bwd[ell] @ (fwd[ell] @ p)
+        np.testing.assert_allclose(back[kin], interp @ p, rtol=0,
+                                   atol=3e-3 * p.max(),
+                                   err_msg=f"roundtrip ell={ell}")
+
+
+@pytest.mark.slow
+def test_window_identity_and_physics(model):
+    """Q = [1] (no window) reduces the convolved multipoles to the
+    plain ones at interior k; a finite window damps the quadrupole
+    amplitude and mixes it into the monopole at low k."""
+    k_obs = jnp.asarray([0.05, 0.1, 0.2, 0.4])
+    plain = np.asarray(rsd.multipoles(C0, HP, model, k_obs, sigma_v=3.0))
+    conv = np.asarray(rsd.window_convolved_multipoles(
+        C0, HP, model, k_obs, lambda s: np.ones((1, s.size)),
+        sigma_v=3.0))
+    np.testing.assert_allclose(conv, plain, rtol=2e-2)
+    np.testing.assert_allclose(conv[0], plain[0], rtol=5e-3)  # monopole
+    # A BOSS-like window: Q_0 ~ smooth cutoff at the survey scale,
+    # small Q_2 anisotropy.
+    def q_win(s):
+        q0 = 1.0 / (1.0 + (s / 300.0) ** 4)
+        q2 = -0.1 * (s / 300.0) ** 2 / (1.0 + (s / 300.0) ** 4)
+        return np.stack([q0, q2])
+
+    win = np.asarray(rsd.window_convolved_multipoles(
+        C0, HP, model, k_obs, q_win, sigma_v=3.0))
+    assert np.all(np.isfinite(win))
+    # Low-k monopole is suppressed by the lost super-survey modes.
+    assert win[0, 0] < plain[0, 0]
+    # High-k unaffected at the % level (P_0/P_2; the hexadecapole is
+    # ~1e-3 of the monopole there and carries the FFTLog floor).
+    np.testing.assert_allclose(win[:2, -1], plain[:2, -1], rtol=3e-2)
