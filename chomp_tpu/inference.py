@@ -48,6 +48,10 @@ __all__ = [
     "fisher_matrix",
     "map_fit",
     "hmc",
+    "marginalized_covariance",
+    "point_mass_templates",
+    "theta_cut_mask",
+    "apply_scale_cuts",
 ]
 
 
@@ -136,20 +140,61 @@ class GaussianLikelihood:
     lower, upper : optional box; outside it the negative log posterior
         gains a large finite penalty (1e6 per violated bound) so
         samplers/optimizers stay jittable and recover.
+    templates : optional (n_t, n_data) array of linear nuisance
+        TEMPLATES whose amplitudes are marginalized ANALYTICALLY —
+        the model is t(p) + Σ_a α_a T_a with Gaussian (or improper
+        flat) priors on the α's, and the α-integral of the Gaussian
+        likelihood is done in closed form:
+
+            chi²_marg = r^T C⁻¹ r − b^T A⁻¹ b,
+            b = T C⁻¹ r,  A = T C⁻¹ T^T + diag(1/σ_α²),
+
+        the Sherman–Morrison–Woodbury quadratic form of the inflated
+        covariance C + T^T diag(σ_α²) T, but exact at σ_α = ∞ (entries
+        of ``template_sigma`` may be inf/NaN/None for the improper
+        flat prior — the standard treatment of the γt point-mass term
+        and additive systematics; MacCrann et al. 2020 point to the
+        same algebra).  Everything is precomputed against the Cholesky
+        factor at build: per-evaluation cost is one extra (n_data,
+        n_t) matvec + an (n_t, n_t) solve.  ``fisher`` uses the same
+        marginalized metric, so template-degenerate parameter
+        directions correctly lose their information.
+    template_sigma : optional (n_t,) prior widths for the template
+        amplitudes (default: all improper/flat).
     """
 
     def __init__(self, theory_fn, data, cov, prior_mean=None,
-                 prior_sigma=None, lower=None, upper=None):
+                 prior_sigma=None, lower=None, upper=None,
+                 templates=None, template_sigma=None):
         self.theory_fn = theory_fn
         self.data = jnp.asarray(data)
         cov = np.asarray(cov, dtype=np.float64)
         if cov.shape != (self.data.size, self.data.size):
             raise ValueError(f"cov shape {cov.shape} does not match "
                              f"data length {self.data.size}")
-        self._chol = jnp.asarray(np.linalg.cholesky(cov))
+        chol = np.linalg.cholesky(cov)
+        self._chol = jnp.asarray(chol)
         # ln det C and the Gaussian normalization are constant —
         # irrelevant for sampling a fixed covariance; chi2 is the
         # quantity every consumer wants.
+        if templates is not None:
+            t = np.atleast_2d(np.asarray(templates, dtype=np.float64))
+            if t.shape[1] != self.data.size:
+                raise ValueError(f"templates shape {t.shape} does not "
+                                 f"match data length {self.data.size}")
+            import scipy.linalg as sla
+            yt = sla.solve_triangular(chol, t.T, lower=True)  # L⁻¹ Tᵀ
+            a = yt.T @ yt
+            if template_sigma is not None:
+                ts = np.asarray(template_sigma, dtype=float).reshape(-1)
+                if ts.size != t.shape[0]:
+                    raise ValueError("template_sigma length != n_t")
+                a = a + np.diag(np.where(np.isfinite(ts) & (ts > 0),
+                                         1.0 / ts**2, 0.0))
+            self._yt = jnp.asarray(yt)                        # (n_d, n_t)
+            self._a_chol = jnp.asarray(np.linalg.cholesky(a))
+        else:
+            self._yt = None
         self.prior_mean = (None if prior_mean is None
                            else jnp.asarray(prior_mean))
         if prior_sigma is not None:
@@ -164,7 +209,12 @@ class GaussianLikelihood:
     def chi2(self, p):
         r = self.theory_fn(p) - self.data
         y = jax.scipy.linalg.solve_triangular(self._chol, r, lower=True)
-        return y @ y
+        out = y @ y
+        if self._yt is not None:
+            b = self._yt.T @ y
+            z = jax.scipy.linalg.cho_solve((self._a_chol, True), b)
+            out = out - b @ z
+        return out
 
     def log_like(self, p):
         return -0.5 * self.chi2(p)
@@ -184,9 +234,20 @@ class GaussianLikelihood:
 
     def fisher(self, p0):
         """Fisher matrix at p0 including the Gaussian-prior curvature
-        (the natural HMC mass matrix / forecast covariance inverse)."""
-        f = fisher_matrix(self.theory_fn, np.asarray(self._chol @
-                                                     self._chol.T), p0)
+        (the natural HMC mass matrix / forecast covariance inverse).
+        With templates, uses the marginalized metric
+        M = C⁻¹ − C⁻¹T^T A⁻¹ T C⁻¹ — a parameter direction whose
+        response lies along a flat-prior template carries ZERO
+        information, as it must."""
+        p0 = jnp.asarray(p0)
+        jac = jax.jacfwd(self.theory_fn)(p0)             # (n_d, n_par)
+        yj = jax.scipy.linalg.solve_triangular(self._chol, jac,
+                                               lower=True)
+        f = yj.T @ yj
+        if self._yt is not None:
+            bj = self._yt.T @ yj                          # (n_t, n_par)
+            zj = jax.scipy.linalg.cho_solve((self._a_chol, True), bj)
+            f = f - bj.T @ zj
         if self._prior_w is not None:
             f = f + jnp.diag(self._prior_w)
         return f
@@ -319,6 +380,141 @@ def moped_compression(theory_fn, cov, p0):
                           precision=jax.lax.Precision.HIGHEST)
 
     return b_mat, compress
+
+
+def marginalized_covariance(cov, templates, sigmas):
+    """The explicitly inflated covariance C + T^T diag(σ²) T for
+    FINITE template-amplitude priors — the matrix-level equivalent of
+    GaussianLikelihood(templates=, template_sigma=) (exact identity by
+    Sherman–Morrison–Woodbury; tested).  Use when a downstream
+    consumer wants one matrix (e.g. an external sampler); prefer the
+    likelihood-level route for improper (σ=∞) priors, which no finite
+    matrix represents."""
+    cov = np.asarray(cov, dtype=np.float64)
+    t = np.atleast_2d(np.asarray(templates, dtype=np.float64))
+    s2 = np.asarray(sigmas, dtype=float).reshape(-1) ** 2
+    if not np.all(np.isfinite(s2)):
+        raise ValueError("marginalized_covariance needs finite sigmas; "
+                         "use GaussianLikelihood(templates=) for the "
+                         "improper flat prior")
+    return cov + (t.T * s2) @ t
+
+
+def point_mass_templates(n_lens, n_src, theta_deg, mode: str = "pair",
+                         beta=None, cmb_lensing: bool = False,
+                         n_counts: int = 0):
+    """Point-mass (enclosed-mass) templates for the γt rows of the
+    tomographic 3x2pt data vector.
+
+    A residual point mass B at the lens adds Δγt(θ) = B/(Σ_crit θ²) —
+    the exact non-local imprint of all unmodelled small-scale mass
+    (MacCrann et al. 2020's analytic-marginalization target).  This
+    builds the (n_t, n_data) template array over the
+    ``covariance.tomographic_probes(n_lens, n_src, cmb_lensing)``
+    data-vector order with ``len(theta_deg)`` θ-points per probe,
+    matching ``make_tomographic_pipeline``'s stacking:
+    1/θ² evaluated at the pipeline's θ points (the prediction
+    convention — point evaluations at log-spaced centers,
+    correlation.theta_bins_deg), zeros everywhere else.
+
+    mode="pair" (default): one free amplitude per (lens i, source j)
+    pair — n_lens*n_src templates; conservative, needs no Σ_crit.
+    mode="lens": one amplitude per LENS bin, the source-bin scaling
+    fixed by ``beta`` (n_lens, n_src) ∝ ⟨Σ_crit⁻¹⟩_{ij} — n_lens
+    templates (the tighter DES-Y3-style treatment; ``beta`` required).
+
+    ``n_counts``: number of cluster-count bins appended AFTER the
+    3x2pt block (clusters.joint_counts_3x2pt_covariance stacking) —
+    extends the templates with zeros there.  Amplitude units are
+    absorbed by the free amplitude; only the 1/θ² shape matters.
+    Pair with GaussianLikelihood(templates=...) for exact analytic
+    marginalization."""
+    theta = np.asarray(theta_deg, dtype=float).reshape(-1)
+    nb = theta.size
+    shape = 1.0 / theta**2
+    # Probe block layout: w_i | gt_{ij} | xip_{j<=k} | xim_{j<=k} | wgk_i
+    n_pairs = n_src * (n_src + 1) // 2
+    n_probe = (n_lens + n_lens * n_src + 2 * n_pairs
+               + (n_lens if cmb_lensing else 0))
+    n_data = n_probe * nb + int(n_counts)
+
+    def gt_block(i, j):
+        return (n_lens + i * n_src + j) * nb
+
+    if mode == "pair":
+        out = np.zeros((n_lens * n_src, n_data))
+        for i in range(n_lens):
+            for j in range(n_src):
+                s = gt_block(i, j)
+                out[i * n_src + j, s:s + nb] = shape
+    elif mode == "lens":
+        if beta is None:
+            raise ValueError("mode='lens' needs beta (n_lens, n_src) "
+                             "∝ <Sigma_crit^-1> per pair")
+        beta = np.asarray(beta, dtype=float)
+        if beta.shape != (n_lens, n_src):
+            raise ValueError(f"beta shape {beta.shape} != "
+                             f"({n_lens}, {n_src})")
+        out = np.zeros((n_lens, n_data))
+        for i in range(n_lens):
+            for j in range(n_src):
+                s = gt_block(i, j)
+                out[i, s:s + nb] = beta[i, j] * shape
+    else:
+        raise ValueError(f"mode must be 'pair' or 'lens', got {mode!r}")
+    return out
+
+
+def theta_cut_mask(n_lens, n_src, theta_deg, cuts,
+                   cmb_lensing: bool = False, n_counts: int = 0,
+                   default=(0.0, np.inf)):
+    """Boolean keep-mask over the tomographic data vector from
+    per-probe angular scale cuts.
+
+    ``cuts``: dict mapping probe names ("gt_01") or family prefixes
+    ("w", "gt", "xip", "xim", "wgk") to (θ_min_deg, θ_max_deg); a
+    specific name overrides its family; ``default`` applies otherwise.
+    Returns keep (n_data,) bool — θ-points strictly inside [θ_min,
+    θ_max] survive.  Count bins (``n_counts``, appended last) are
+    always kept — cut them by hand if needed.  Feed to
+    ``apply_scale_cuts``."""
+    from chomp_tpu.covariance import tomographic_probes
+
+    theta = np.asarray(theta_deg, dtype=float).reshape(-1)
+    nb = theta.size
+    probes = tomographic_probes(n_lens, n_src, cmb_lensing=cmb_lensing)
+    keep = []
+    for (name, _mu, _ch) in probes:
+        fam = name.split("_")[0]
+        lo, hi = cuts.get(name, cuts.get(fam, default))
+        keep.append((theta >= lo) & (theta <= hi))
+    keep.append(np.ones(int(n_counts), dtype=bool))
+    return np.concatenate(keep)
+
+
+def apply_scale_cuts(keep, theory_fn, data, cov, templates=None):
+    """Restrict (theory_fn, data, cov [, templates]) to the kept
+    entries of a boolean mask — the standard scale-cut operation.
+    The cut theory_fn stays pure-JAX (static boolean gather at trace
+    time, free under jit).  Templates that become all-zero under the
+    cut are DROPPED (their amplitude would be unconstrained and A
+    singular).  Returns (theory_fn', data', cov') or
+    (theory_fn', data', cov', templates')."""
+    keep = np.asarray(keep, dtype=bool).reshape(-1)
+    data = np.asarray(data)
+    if keep.size != data.size:
+        raise ValueError(f"mask length {keep.size} != data {data.size}")
+    idx = jnp.asarray(np.nonzero(keep)[0])
+
+    def cut_fn(p):
+        return jnp.take(theory_fn(p), idx, axis=0)
+
+    cov = np.asarray(cov)[np.ix_(keep, keep)]
+    if templates is None:
+        return cut_fn, data[keep], cov
+    t = np.atleast_2d(np.asarray(templates))[:, keep]
+    t = t[np.any(t != 0.0, axis=1)]
+    return cut_fn, data[keep], cov, t
 
 
 def fisher_matrix(theory_fn, cov, p0):

@@ -141,4 +141,27 @@ print(f"marginalized over 4 systematics: sigma(Omega_m) = {err6[0]:.4f} "
       f"(x{err6[0] / err[0]:.2f}), sigma(sigma_8) = {err6[1]:.4f} "
       f"(x{err6[1] / err[1]:.2f})")
 assert np.all(err6 >= err * 0.999)
+
+# --- analysis hygiene: scale cuts + point-mass marginalization -------
+# Drop gt below 0.1 deg (unmodelled small-scale mass), then marginalize
+# the residual enclosed-mass 1/theta^2 term analytically (improper
+# prior) per lens x source pair — the Fisher loses exactly the
+# template-degenerate directions, nothing else.
+from chomp_tpu import inference
+
+keep = inference.theta_cut_mask(
+    len(lens), len(src), theta_mid,
+    {"gt": (0.1, np.inf), "w": (0.08, np.inf)})
+tpl = inference.point_mass_templates(len(lens), len(src), theta_mid)
+fn_cut, d_cut, cov_cut, tpl_cut = inference.apply_scale_cuts(
+    keep, vec_of_params, vec, cov, templates=tpl)
+like = inference.GaussianLikelihood(fn_cut, d_cut, cov_cut,
+                                    templates=tpl_cut)
+p2 = jnp.array([cosmo.omega_m0, cosmo.sigma_8])
+err_pm = np.sqrt(np.diag(np.linalg.inv(np.asarray(like.fisher(p2)))))
+print(f"cut ({int(keep.sum())}/{keep.size} pts) + point-mass-"
+      f"marginalized: sigma(Omega_m) = {err_pm[0]:.4f}, "
+      f"sigma(sigma_8) = {err_pm[1]:.4f}")
+assert float(like.chi2(p2)) < 1e-6          # data == theory at fiducial
+assert np.all(np.isfinite(err_pm)) and np.all(err_pm >= err * 0.999)
 print("OK")

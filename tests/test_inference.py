@@ -305,3 +305,167 @@ def test_moped_lossless_fisher():
     f_comp = np.asarray(inference.fisher_matrix(
         lambda p: compress(theory(p)), np.eye(n_p), p0))
     np.testing.assert_allclose(f_comp, f_full, rtol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# Analytic template marginalization + scale cuts
+# ---------------------------------------------------------------------------
+
+
+def test_template_marginalization_woodbury_identity():
+    """Finite-sigma template route == explicitly inflated covariance
+    C + T^T diag(s^2) T (Sherman-Morrison-Woodbury, exact identity)."""
+    a, b, cov, theory = _toy(seed=5)
+    rng = np.random.default_rng(7)
+    t = rng.normal(size=(2, b.size))
+    sig = np.array([0.7, 2.3])
+    data = b + rng.normal(size=b.size)
+    lk_t = inference.GaussianLikelihood(theory, data, cov, templates=t,
+                                        template_sigma=sig)
+    cov_inf = inference.marginalized_covariance(cov, t, sig)
+    lk_i = inference.GaussianLikelihood(theory, data, cov_inf)
+    for seed in (0, 1):
+        p = jnp.asarray(np.random.default_rng(seed).normal(size=3))
+        np.testing.assert_allclose(float(lk_t.chi2(p)),
+                                   float(lk_i.chi2(p)), rtol=1e-10)
+    # fisher through the same metric
+    np.testing.assert_allclose(np.asarray(lk_t.fisher(jnp.zeros(3))),
+                               np.asarray(lk_i.fisher(jnp.zeros(3))),
+                               rtol=1e-9)
+
+
+def test_template_marginalization_brute_force():
+    """chi2_marg differences equal -2 Delta ln integral over the
+    template amplitude of exp(-chi2(alpha)/2) (dense numeric grid)."""
+    a, b, cov, theory = _toy(seed=11, n_data=5)
+    rng = np.random.default_rng(2)
+    t = rng.normal(size=5)
+    sig = 1.7
+    data = b + 0.4 * t + rng.normal(size=5) * 0.2
+    lk = inference.GaussianLikelihood(theory, data, cov,
+                                      templates=t[None, :],
+                                      template_sigma=[sig])
+    cinv = np.linalg.inv(cov)
+
+    def neg2ln_marg(p):
+        r0 = np.asarray(theory(jnp.asarray(p))) - data
+        al = np.linspace(-40, 40, 20001)
+        chi2 = np.array([(r0 + x * t) @ cinv @ (r0 + x * t)
+                         + x * x / sig**2 for x in al])
+        c0 = chi2.min()
+        return c0 - 2.0 * np.log(np.trapezoid(
+            np.exp(-(chi2 - c0) / 2), al))
+
+    p1 = np.array([0.1, -0.2, 0.5])
+    p2 = np.array([1.0, 0.3, -0.7])
+    d_analytic = float(lk.chi2(jnp.asarray(p2)) - lk.chi2(jnp.asarray(p1)))
+    d_brute = neg2ln_marg(p2) - neg2ln_marg(p1)
+    np.testing.assert_allclose(d_analytic, d_brute, rtol=1e-6)
+
+
+def test_template_improper_prior_invariance():
+    """With a flat (sigma=inf) template prior, chi2 is EXACTLY
+    invariant under data -> data + alpha * template, and a parameter
+    direction aligned with the template carries zero Fisher info."""
+    a, b, cov, theory = _toy(seed=9)
+    t = np.asarray(a[:, 0])          # template == response of p[0]
+    data = b + 0.25
+    lk0 = inference.GaussianLikelihood(theory, data, cov,
+                                       templates=t[None, :])
+    lk1 = inference.GaussianLikelihood(theory, data + 17.3 * t, cov,
+                                       templates=t[None, :])
+    p = jnp.asarray([0.4, -1.0, 0.2])
+    np.testing.assert_allclose(float(lk0.chi2(p)), float(lk1.chi2(p)),
+                               rtol=1e-8, atol=1e-8)
+    f = np.asarray(lk0.fisher(p))
+    # p[0]'s response IS the template: its marginal info must vanish.
+    assert abs(f[0, 0]) < 1e-7 * abs(np.asarray(
+        inference.fisher_matrix(theory, cov, p))[0, 0])
+
+
+def test_point_mass_templates_layout():
+    """1/theta^2 lands exactly on the gt blocks of the tomographic
+    data-vector order; zeros elsewhere; 'lens' mode applies beta."""
+    from chomp_tpu.covariance import tomographic_probes
+
+    n_lens, n_src = 2, 3
+    theta = np.array([0.5, 1.0, 2.0])
+    nb = theta.size
+    t = inference.point_mass_templates(n_lens, n_src, theta)
+    probes = tomographic_probes(n_lens, n_src)
+    assert t.shape == (n_lens * n_src, len(probes) * nb)
+    for i in range(n_lens):
+        for j in range(n_src):
+            row = t[i * n_src + j]
+            blk = [q for q, (nm, _, _) in enumerate(probes)
+                   if nm == f"gt_{i}{j}"][0]
+            np.testing.assert_allclose(row[blk * nb:(blk + 1) * nb],
+                                       1.0 / theta**2)
+            mask = np.ones(row.size, bool)
+            mask[blk * nb:(blk + 1) * nb] = False
+            assert np.all(row[mask] == 0.0)
+    beta = np.arange(6, dtype=float).reshape(2, 3) + 1
+    tl = inference.point_mass_templates(n_lens, n_src, theta,
+                                        mode="lens", beta=beta)
+    assert tl.shape == (n_lens, len(probes) * nb)
+    blk01 = [q for q, (nm, _, _) in enumerate(probes)
+             if nm == "gt_01"][0]
+    np.testing.assert_allclose(tl[0, blk01 * nb:(blk01 + 1) * nb],
+                               beta[0, 1] / theta**2)
+    # counts tail + cmb rows just pad with zeros
+    tc = inference.point_mass_templates(n_lens, n_src, theta,
+                                        cmb_lensing=True, n_counts=4)
+    assert tc.shape[1] == (len(tomographic_probes(
+        n_lens, n_src, cmb_lensing=True))) * nb + 4
+    assert np.all(tc[:, -4:] == 0.0)
+
+
+def test_theta_cut_mask_and_apply():
+    """Family + per-name cuts; cut likelihood == manual sub-block;
+    all-zero templates dropped."""
+    n_lens, n_src = 1, 2
+    theta = np.array([0.3, 1.0, 3.0, 9.0])
+    keep = inference.theta_cut_mask(
+        n_lens, n_src, theta,
+        {"w": (0.5, np.inf), "gt": (0.9, 5.0), "xim_01": (2.5, np.inf),
+         "xip": (0.0, np.inf), "xim": (0.0, np.inf)})
+    from chomp_tpu.covariance import tomographic_probes
+    probes = tomographic_probes(n_lens, n_src)
+    names = [p[0] for p in probes]
+    nb = theta.size
+    expect = {"w_0": [False, True, True, True],
+              "gt_00": [False, True, True, False],
+              "gt_01": [False, True, True, False],
+              "xim_01": [False, False, True, True]}
+    for nm, pat in expect.items():
+        q = names.index(nm)
+        np.testing.assert_array_equal(keep[q * nb:(q + 1) * nb], pat)
+    # xip rows untouched
+    q = names.index("xip_00")
+    assert keep[q * nb:(q + 1) * nb].all()
+
+    rng = np.random.default_rng(0)
+    n_d = len(names) * nb
+    jac = rng.normal(size=(n_d, 2))
+    t0 = rng.normal(size=n_d)
+    theory = lambda p: jnp.asarray(t0) + jnp.asarray(jac) @ p
+    m = rng.normal(size=(n_d, n_d))
+    cov = m @ m.T + n_d * np.eye(n_d)
+    data = t0 + rng.normal(size=n_d)
+    tpl = inference.point_mass_templates(n_lens, n_src, theta)
+    # one template entirely inside the cut region -> must be dropped
+    dead = np.zeros((1, n_d))
+    q = names.index("w_0")
+    dead[0, q * nb] = 1.0           # only the first w point (cut away)
+    fn2, d2, c2, t2 = inference.apply_scale_cuts(
+        keep, theory, data, cov, templates=np.vstack([tpl, dead]))
+    assert t2.shape[0] == tpl.shape[0]
+    lk_cut = inference.GaussianLikelihood(fn2, d2, c2, templates=t2)
+    # manual reference
+    kk = np.asarray(keep, bool)
+    manual = inference.GaussianLikelihood(
+        lambda p: theory(p)[jnp.asarray(np.nonzero(kk)[0])],
+        data[kk], cov[np.ix_(kk, kk)], templates=tpl[:, kk])
+    p = jnp.asarray([0.3, -0.8])
+    np.testing.assert_allclose(float(lk_cut.chi2(p)),
+                               float(manual.chi2(p)), rtol=1e-12)
