@@ -53,7 +53,8 @@ from chomp_tpu.params import DEFAULT_GRID, CosmoParams, GridSpec, HaloParams
 
 __all__ = ["power_rsd_mu", "multipoles", "multipole_covariance",
            "ap_parameters", "multipoles_ap", "f_sigma8",
-           "legendre_coupling", "window_convolved_multipoles"]
+           "legendre_coupling", "window_convolved_multipoles",
+           "windowed_multipole_covariance"]
 
 
 def f_sigma8(cosmo: CosmoParams, z, grid: GridSpec = DEFAULT_GRID):
@@ -380,3 +381,111 @@ def window_convolved_multipoles(cosmo: CosmoParams, halo_p: HaloParams,
                                    precision=hp)
                         for i, ell in enumerate(ells)])
     return jnp.matmul(p_conv, jnp.asarray(interp).T, precision=hp)
+
+
+def _window_coupling_operator(n_fft, ln_k0, dln, ells, window_q):
+    """Static float64 window-convolution operator on the log-k lattice:
+    M[L, l1] (n_fft, n_fft) with P'_L(k_back) = Σ_l1 M[L,l1] P_l1(k_lat)
+    — the Wilson route of :func:`window_convolved_multipoles` folded
+    into ONE matrix per multipole pair at build time:
+    M[L,l1] = bwd[L] · diag(G[L,l1](s)) · fwd[l1],
+    G[L,l1](s) = Σ_l2 C[L,l1,l2] Q_l2(s).  Returns (k_lat, k_back, M)
+    with M shaped (n_L, n_l1, n_fft, n_fft)."""
+    ells = tuple(ells)
+    k_lat, s_grid, fwd, k_back, bwd = _sph_hankel_ops(
+        n_fft, ln_k0, dln, ells)
+    q_arr = np.asarray(window_q(s_grid), dtype=np.float64)
+    if q_arr.ndim == 1:
+        q_arr = q_arr[None, :]
+    q_ells = tuple(2 * i for i in range(q_arr.shape[0]))
+    coup = legendre_coupling(ells, ells, q_ells)      # (L, l1, l2)
+    g = np.einsum("abq,qs->abs", coup, q_arr)         # (L, l1, n_s)
+    m = np.empty((len(ells), len(ells), n_fft, n_fft))
+    for i, big_l in enumerate(ells):
+        for j, l1 in enumerate(ells):
+            m[i, j] = bwd[big_l] @ (g[i, j][:, None] * fwd[l1])
+    return k_lat, k_back, m
+
+
+def windowed_multipole_covariance(cosmo: CosmoParams, halo_p: HaloParams,
+                                  model, k_edges, window_q, volume,
+                                  ells=(0, 2, 4), sigma_v=0.0,
+                                  n_mu: int = 16, n_fft: int = 768,
+                                  k_lo: float = 2e-4, k_hi: float = 60.0,
+                                  with_bao: bool = False,
+                                  grid: GridSpec = DEFAULT_GRID,
+                                  n_bar=None):
+    """Gaussian covariance of the SURVEY-WINDOW-CONVOLVED multipoles in
+    k bins ``k_edges`` — the consistent partner of
+    :func:`window_convolved_multipoles` (an analysis that convolves the
+    prediction but keeps the unwindowed FKP covariance double-counts
+    the window: the convolution correlates neighbouring k bins and
+    redistributes the per-bin mode counts).
+
+    Model: the windowed estimator is the Wilson et al. convolution of
+    the ideal per-mode estimator, so its covariance is the pushforward
+    C' = R C_lat R^T of the fine-lattice Gaussian covariance
+    (ell-coupled FKP integrand ``blocks(k_i)`` / N_i per log-lattice
+    cell, exactly :func:`multipole_covariance`'s per-bin algebra at
+    cell granularity) through the static operator
+    R = [mode-count-weighted bin average onto ``k_edges``] ∘ M, with
+    M[L,l1] the build-time window-coupling matrix
+    (:func:`_window_coupling_operator`).  All static-weight matmuls —
+    zero gathers; jit/vmap/grad-able in (cosmo, sigma_v).
+
+    Accuracy: with the identity window (Q = [1]) this reduces to
+    :func:`multipole_covariance` up to (a) the FFTLog round-trip taper
+    (~1e-3 relative on M) and (b) lattice-cell discretization of the
+    bin average, O(1/4 / cells-per-bin) on the diagonal — keep
+    ``n_fft`` high enough that each k bin spans ≳10 cells (tested at
+    ~2% with the defaults).  A real window additionally requires the
+    lattice to resolve the window width Δk ~ 2π/L_survey.  The window
+    enters the SIGNAL part of the variance through the convolved
+    spectrum; the shot-noise plateau keeps the unwindowed 1/n̄ (the
+    window's effect on the noise is a normalization absorbed in the
+    estimator convention — the same truncation as the prediction
+    route).  Returns (n_ell n_bins, n_ell n_bins), ell-major, matching
+    :func:`multipole_covariance` ordering."""
+    k_edges = np.asarray(k_edges, dtype=np.float64)
+    ells = tuple(ells)
+    ln_k0 = float(np.log(k_lo))
+    dln = float(np.log(k_hi / k_lo) / (n_fft - 1))
+    k_lat, k_back, m_op = _window_coupling_operator(
+        n_fft, ln_k0, dln, ells, window_q)
+    # Mode counts per lattice cell (geometric cell edges) and per
+    # observed bin cell-overlap weights, both on the BACK grid for the
+    # binning and the LAT grid for the source variance.
+    def cell_edges(k):
+        mid = np.sqrt(k[1:] * k[:-1])
+        return np.concatenate([[k[0] ** 2 / mid[0]], mid,
+                               [k[-1] ** 2 / mid[-1]]])
+
+    e_lat = cell_edges(k_lat)
+    n_lat = volume * (e_lat[1:] ** 3 - e_lat[:-1] ** 3) / (12.0 * np.pi ** 2)
+    e_back = cell_edges(k_back)
+    # Overlap |cell ∩ bin| in mode measure -> bin-average weights.
+    lo = np.maximum(e_back[:-1][None, :], k_edges[:-1][:, None])
+    hi = np.minimum(e_back[1:][None, :], k_edges[1:][:, None])
+    ov = np.clip(hi ** 3 - lo ** 3, 0.0, None)        # (n_bins, n_fft)
+    b_rows = ov / ov.sum(axis=1, keepdims=True)
+    # R[L, X, l1, i] = Σ_j B[X, j] M[L, l1, j, i]
+    r_op = np.einsum("Xj,ABji->AXBi", b_rows, m_op)
+    hp = jax.lax.Precision.HIGHEST
+
+    # Per-cell FKP integrand blocks[a, b, i] (multipole_covariance's
+    # algebra on the lattice).
+    mu, w = _mu_rule(n_mu)
+    p_s = power_rsd_mu(cosmo, halo_p, model, jnp.asarray(k_lat), mu,
+                       sigma_v, with_bao, grid)       # (n_fft, n_mu)
+    nb = model.n_g if n_bar is None else jnp.asarray(n_bar)
+    tot2 = (p_s + 1.0 / nb) ** 2
+    legs = jnp.stack([_legendre(ell, mu) for ell in ells])
+    pref = jnp.asarray([(2.0 * ell + 1.0) for ell in ells])
+    integ = jnp.einsum("am,bm,im,m->abi", legs, legs, tot2, w,
+                       precision=hp)
+    blocks = (pref[:, None, None] * pref[None, :, None] * integ
+              / jnp.asarray(n_lat)[None, None, :])    # (a, b, i)
+    cov = jnp.einsum("AXai,abi,BYbi->AXBY", jnp.asarray(r_op), blocks,
+                     jnp.asarray(r_op), precision=hp)
+    n_l, n_b = len(ells), k_edges.size - 1
+    return cov.reshape(n_l * n_b, n_l * n_b)
