@@ -260,6 +260,20 @@ def main(batch_size: int = 100):
 
     stage("RSD P_ell + FKP covariance", rsd_obs)
 
+    # Configuration-space multipoles xi_ell(s) (BAO scales) + the
+    # Grieb-style Gaussian covariance (24 s-bins).
+    s_xi = jnp.asarray(np.linspace(30.0, 140.0, 23))
+    s_edges_xi = np.linspace(30.0, 150.0, 25)
+
+    def xi_obs(c):
+        m = halo.build_halo_model(c, h, hod, 0.5)
+        return (rsd_mod.xi_multipoles(c, h, m, s_xi, sigma_v=4.0,
+                                      with_bao=True),
+                rsd_mod.xi_multipole_covariance(c, h, m, s_edges_xi,
+                                                1.0e9, sigma_v=4.0))
+
+    stage("xi_ell(s) + Gaussian covariance", xi_obs)
+
     print(f"{'stage':34s} ms/cosmology")
     for name, ms in rows:
         print(f"  {name:32s} {ms:8.3f}")

@@ -350,3 +350,184 @@ def test_windowed_covariance_jit_grad(model):
 
     g = float(jax.grad(tr)(3.0))
     assert np.isfinite(g) and g != 0.0
+
+
+def test_windowed_covariance_rejects_out_of_range_bins(model):
+    """k_edges bins with zero overlap on the FFTLog back grid raise a
+    clear error instead of producing NaN rows (advisor round-3)."""
+    # Default back grid spans roughly [k_lo, k_hi]; a bin far above it
+    # has zero overlap mass.
+    k_edges = np.array([50.0, 80.0, 120.0])
+    with pytest.raises(ValueError, match="no overlap"):
+        rsd.windowed_multipole_covariance(
+            C0, HP, model, k_edges, lambda s: np.ones((1, s.size)),
+            1.0e9, sigma_v=3.0, n_fft=256)
+
+
+# ---------------------------------------------------------------------------
+# Configuration-space multipoles
+# ---------------------------------------------------------------------------
+
+
+def test_xi_antiderivative_closed_forms():
+    """X_ell(x) = int_0^x t^2 j_ell dt closed forms (incl. the Si-based
+    ell = 2, 4 identities) against adaptive quadrature."""
+    from scipy.special import spherical_jn
+
+    for ell in (0, 2, 4):
+        for x in (0.37, 2.0, 9.3, 41.7, 180.0):
+            ref = quad(lambda t: t * t * spherical_jn(ell, t), 0.0, x,
+                       epsabs=1e-13, epsrel=1e-12, limit=2000)[0]
+            got = float(rsd._xi_antiderivative(ell, np.asarray([x]))[0])
+            np.testing.assert_allclose(got, ref, rtol=2e-10, atol=1e-12)
+    # x = 0 exactly 0 for every ell.
+    for ell in (0, 2, 4):
+        assert rsd._xi_antiderivative(ell, np.asarray([0.0]))[0] == 0.0
+
+
+def test_binned_bessel_exactness():
+    """Bin-averaged j_ell from the antiderivative == dense quadrature,
+    including a wide bin at large k s where naive GL would alias."""
+    from scipy.integrate import simpson
+
+    s_edges = np.array([20.0, 60.0, 130.0])
+    k = np.array([0.013, 0.21, 2.9])
+    for ell in (0, 2, 4):
+        got = rsd._binned_sph_bessel(ell, k, s_edges)
+        from scipy.special import spherical_jn
+        for x_i in range(2):
+            s1, s2 = s_edges[x_i], s_edges[x_i + 1]
+            s = np.linspace(s1, s2, 120001)
+            for k_i, kk in enumerate(k):
+                num = simpson(s * s * spherical_jn(ell, kk * s), x=s)
+                den = (s2**3 - s1**3) / 3.0
+                np.testing.assert_allclose(got[x_i, k_i], num / den,
+                                           rtol=5e-9, atol=1e-14)
+
+
+def test_xi_multipoles_direct_referee(model):
+    """FFTLog xi_ell(s) == direct uniform-k Simpson of the SAME
+    (tapered) P_ell — isolates the spherical-Bessel operator path."""
+    from scipy.integrate import simpson
+    from scipy.special import spherical_jn
+
+    n_fft, k_lo, k_hi = 512, 2e-4, 60.0
+    s_obs = np.array([35.0, 62.0, 105.0])
+    got = np.asarray(rsd.xi_multipoles(C0, HP, model, s_obs,
+                                       ells=(0, 2), n_fft=n_fft,
+                                       k_lo=k_lo, k_hi=k_hi))
+    # Direct route: P_ell is SMOOTH in ln k, so evaluate the halo
+    # model on a log grid and cubic-spline onto the dense uniform-k
+    # quadrature grid (which resolves k s <= k_hi s_max); the FFTLog's
+    # cosine^2 taper applied in ln k so the comparison tests the
+    # transform, not the band limits.
+    from scipy.interpolate import CubicSpline
+
+    k_log = np.logspace(np.log10(k_lo), np.log10(k_hi), 1536)
+    p_log = np.asarray(rsd.multipoles(C0, HP, model,
+                                      jnp.asarray(k_log), ells=(0, 2)))
+    k = np.linspace(k_lo, k_hi, 40001)
+    p_ell = CubicSpline(np.log(k_log), p_log, axis=1)(np.log(k))
+    lk = (np.log(k) - np.log(k_lo)) / np.log(k_hi / k_lo)
+    taper = np.ones_like(lk)
+    frac = 0.08
+    lo = lk < frac
+    hi = lk > 1 - frac
+    taper[lo] = np.sin(0.5 * np.pi * lk[lo] / frac) ** 2
+    taper[hi] = np.sin(0.5 * np.pi * (1 - lk[hi]) / frac) ** 2
+    scale = np.max(np.abs(got), axis=1)
+    for row, ell in enumerate((0, 2)):
+        sign = (-1.0) ** (ell // 2)
+        for j, s in enumerate(s_obs):
+            ref = sign / (2 * np.pi**2) * simpson(
+                k * k * p_ell[row] * taper * spherical_jn(ell, k * s), x=k)
+            assert abs(got[row, j] - ref) < 3e-3 * scale[row], (
+                ell, s, got[row, j], ref)
+
+
+def test_xi_multipoles_window_identity_and_ap_reduction(model):
+    """Identity window == unwindowed EXACTLY (C[L,l1,0] = delta);
+    fid == cosmo AP reduces to the plain multipoles at roundoff."""
+    s_obs = np.array([40.0, 80.0])
+    plain = np.asarray(rsd.xi_multipoles(C0, HP, model, s_obs,
+                                         n_fft=256))
+    winid = np.asarray(rsd.xi_multipoles(
+        C0, HP, model, s_obs, n_fft=256,
+        window_q=lambda s: np.stack([np.ones_like(s)])))
+    np.testing.assert_allclose(winid, plain, rtol=1e-12)
+    ap = np.asarray(rsd.xi_multipoles(C0, HP, model, s_obs, n_fft=256,
+                                      fid=C0))
+    np.testing.assert_allclose(ap, plain, rtol=1e-8)
+
+
+def test_xi_covariance_pure_shot_closure(model):
+    """Shot-dominated limit: the diagonal equals the Poisson pair
+    variance (2l+1)/(2 pi V n^2 W_X); off-diagonal (distinct s bins)
+    is relatively tiny — the exact Bessel-completeness white closure."""
+    s_edges = np.array([30.0, 50.0, 80.0, 120.0])
+    # n_bar SMALL enough that the 2 P/n cross term (~2 P n relative to
+    # the white plateau) is << the tolerance: at 1e-8 it is ~2e-4.
+    vol, n_bar = 1.0e9, 1e-8
+    cov = np.asarray(rsd.xi_multipole_covariance(
+        C0, HP, model, s_edges, vol, ells=(0, 2), n_bar=n_bar,
+        n_k=128))
+    w_bin = (s_edges[1:] ** 3 - s_edges[:-1] ** 3) / 3.0
+    n_b = w_bin.size
+    for row, ell in enumerate((0, 2)):
+        expect = (2 * ell + 1) / (2 * np.pi * vol * n_bar**2 * w_bin)
+        d = np.diag(cov)[row * n_b:(row + 1) * n_b]
+        np.testing.assert_allclose(d, expect, rtol=5e-3)
+    # distinct-bin same-ell correlations are far below the diagonal
+    blk = cov[:n_b, :n_b]
+    dd = np.sqrt(np.outer(np.diag(blk), np.diag(blk)))
+    off = np.abs(blk / dd)[~np.eye(n_b, dtype=bool)]
+    assert off.max() < 0.01
+
+
+@pytest.mark.slow
+def test_xi_covariance_fourier_sandwich_referee(model):
+    """Signal-dominated covariance == the transform sandwich
+    J Cov_P J^T of the FINE-k-binned multipole covariance (independent
+    route through multipole_covariance's FKP algebra)."""
+    s_edges = np.array([40.0, 70.0, 110.0])
+    vol = 1.0e9
+    n_bar = 1.0          # huge density -> shot negligible
+    ells = (0, 2)
+    k_cut = 2.0
+    got = np.asarray(rsd.xi_multipole_covariance(
+        C0, HP, model, s_edges, vol, ells=ells, n_bar=n_bar,
+        k_lo=1e-3, k_cut=k_cut, n_k=192))
+    # Fine uniform k bins: width * s_max_sum << pi.
+    n_bins = 1400
+    k_e = np.linspace(1e-3, k_cut, n_bins + 1)
+    cov_p = np.asarray(rsd.multipole_covariance(
+        C0, HP, model, jnp.asarray(k_e), vol, ells=ells, n_bar=n_bar))
+    k_c = 0.5 * (k_e[1:] + k_e[:-1])
+    meas = (k_e[1:] ** 3 - k_e[:-1] ** 3) / 3.0       # int k^2 dk
+    n_b = s_edges.size - 1
+    jmat = np.zeros((len(ells) * n_b, len(ells) * n_bins))
+    for row, ell in enumerate(ells):
+        bj = rsd._binned_sph_bessel(ell, k_c, s_edges)  # (n_b, n_bins)
+        sign = (-1.0) ** (ell // 2)
+        jmat[row * n_b:(row + 1) * n_b,
+             row * n_bins:(row + 1) * n_bins] = (
+            sign / (2 * np.pi**2) * bj * meas[None, :])
+    ref = jmat @ cov_p @ jmat.T
+    scale = np.sqrt(np.outer(np.diag(ref), np.diag(ref)))
+    np.testing.assert_allclose(got / scale, ref / scale, atol=0.02)
+    # and the matrix is symmetric (to roundoff) and PSD
+    np.testing.assert_allclose(got, got.T, rtol=0.0,
+                               atol=1e-12 * np.abs(got).max())
+    w = np.linalg.eigvalsh(0.5 * (got + got.T))
+    assert w.min() >= -1e-10 * w.max()
+
+
+def test_xi_covariance_jit_grad(model):
+    def tr(sv):
+        c = rsd.xi_multipole_covariance(
+            C0, HP, model, np.array([40.0, 70.0, 110.0]), 1e9,
+            ells=(0, 2), sigma_v=sv, n_k=96)
+        return jnp.trace(c)
+
+    g = float(jax.grad(tr)(3.0))
+    assert np.isfinite(g) and g != 0.0
