@@ -189,7 +189,18 @@ class GaussianLikelihood:
                 ts = np.asarray(template_sigma, dtype=float).reshape(-1)
                 if ts.size != t.shape[0]:
                     raise ValueError("template_sigma length != n_t")
-                a = a + np.diag(np.where(np.isfinite(ts) & (ts > 0),
+                if np.any(ts == 0.0):
+                    # sigma -> 0 pins the amplitude to zero (an inert
+                    # template) — the OPPOSITE of the flat prior the
+                    # isfinite branch encodes; silently mapping 0 to
+                    # "flat" would invert the user's intent.  Drop the
+                    # template instead of passing 0.
+                    raise ValueError(
+                        "template_sigma == 0 means a template pinned to "
+                        "zero amplitude — remove that template instead; "
+                        "only inf/NaN entries mean the improper flat "
+                        "prior")
+                a = a + np.diag(np.where(np.isfinite(ts),
                                          1.0 / ts**2, 0.0))
             self._yt = jnp.asarray(yt)                        # (n_d, n_t)
             self._a_chol = jnp.asarray(np.linalg.cholesky(a))
@@ -393,6 +404,9 @@ def marginalized_covariance(cov, templates, sigmas):
     cov = np.asarray(cov, dtype=np.float64)
     t = np.atleast_2d(np.asarray(templates, dtype=np.float64))
     s2 = np.asarray(sigmas, dtype=float).reshape(-1) ** 2
+    if s2.size not in (1, t.shape[0]):
+        raise ValueError(f"sigmas length {s2.size} != n_templates "
+                         f"{t.shape[0]} (scalar broadcast is allowed)")
     if not np.all(np.isfinite(s2)):
         raise ValueError("marginalized_covariance needs finite sigmas; "
                          "use GaussianLikelihood(templates=) for the "
@@ -474,8 +488,9 @@ def theta_cut_mask(n_lens, n_src, theta_deg, cuts,
     ``cuts``: dict mapping probe names ("gt_01") or family prefixes
     ("w", "gt", "xip", "xim", "wgk") to (θ_min_deg, θ_max_deg); a
     specific name overrides its family; ``default`` applies otherwise.
-    Returns keep (n_data,) bool — θ-points strictly inside [θ_min,
-    θ_max] survive.  Count bins (``n_counts``, appended last) are
+    Returns keep (n_data,) bool — θ-points inside the CLOSED interval
+    [θ_min, θ_max] survive (boundary points are kept).  Count bins
+    (``n_counts``, appended last) are
     always kept — cut them by hand if needed.  Feed to
     ``apply_scale_cuts``."""
     from chomp_tpu.covariance import tomographic_probes
@@ -492,14 +507,19 @@ def theta_cut_mask(n_lens, n_src, theta_deg, cuts,
     return np.concatenate(keep)
 
 
-def apply_scale_cuts(keep, theory_fn, data, cov, templates=None):
+def apply_scale_cuts(keep, theory_fn, data, cov, templates=None,
+                     template_sigma=None):
     """Restrict (theory_fn, data, cov [, templates]) to the kept
     entries of a boolean mask — the standard scale-cut operation.
     The cut theory_fn stays pure-JAX (static boolean gather at trace
     time, free under jit).  Templates that become all-zero under the
     cut are DROPPED (their amplitude would be unconstrained and A
-    singular).  Returns (theory_fn', data', cov') or
-    (theory_fn', data', cov', templates')."""
+    singular) — pass ``template_sigma`` to have the matching prior
+    entries dropped in sync (a caller-held sigma vector would
+    otherwise desynchronize from the surviving template rows).
+    Returns (theory_fn', data', cov'),
+    (theory_fn', data', cov', templates'), or
+    (theory_fn', data', cov', templates', template_sigma')."""
     keep = np.asarray(keep, dtype=bool).reshape(-1)
     data = np.asarray(data)
     if keep.size != data.size:
@@ -511,10 +531,19 @@ def apply_scale_cuts(keep, theory_fn, data, cov, templates=None):
 
     cov = np.asarray(cov)[np.ix_(keep, keep)]
     if templates is None:
+        if template_sigma is not None:
+            raise ValueError("template_sigma given without templates")
         return cut_fn, data[keep], cov
     t = np.atleast_2d(np.asarray(templates))[:, keep]
-    t = t[np.any(t != 0.0, axis=1)]
-    return cut_fn, data[keep], cov, t
+    row_keep = np.any(t != 0.0, axis=1)
+    t = t[row_keep]
+    if templates is not None and template_sigma is None:
+        return cut_fn, data[keep], cov, t
+    ts = np.asarray(template_sigma, dtype=float).reshape(-1)
+    if ts.size != row_keep.size:
+        raise ValueError(f"template_sigma length {ts.size} != "
+                         f"n_templates {row_keep.size}")
+    return cut_fn, data[keep], cov, t, ts[row_keep]
 
 
 def fisher_matrix(theory_fn, cov, p0):
@@ -613,3 +642,240 @@ def hmc(neg_log_post, mass, p0, key, n_steps: int = 200, n_leap: int = 5,
         keys = jax.random.split(key, p0.shape[0])
         return jax.vmap(chain)(keys, p0)
     return chain(key, p0)
+
+
+# ---------------------------------------------------------------------------
+# Adaptive HMC (window adaptation) + chain diagnostics
+# ---------------------------------------------------------------------------
+
+
+def adaptive_hmc(neg_log_post, p0, key, n_warmup: int = 500,
+                 n_samples: int = 1000, n_chains: int = 4,
+                 target_accept: float = 0.8, n_leap: int = 16,
+                 jitter: float = 0.5, init_step: float = 0.1,
+                 init_jitter: float = 0.1, dense_mass: bool = False):
+    """Self-tuning Hamiltonian Monte Carlo: dual-averaging step-size
+    adaptation (Hoffman & Gelman 2014 §3.2) + mass-matrix estimation
+    from warmup samples + uniformly JITTERED trajectory lengths, the
+    whole run (warmup and sampling) in jitted lax.scans with
+    ``n_chains`` chains vmapped.
+
+    TPU-first design note: this is deliberately NOT NUTS.  NUTS's
+    recursively doubled, U-turn-terminated trajectories are
+    data-dependent control flow — inside jit they lower to a
+    while_loop padded to the worst-case depth, which serializes the
+    chain and stalls the systolic pipeline on hardware built for
+    fixed shapes.  Jittered fixed-length HMC with a tuned step size
+    and estimated mass keeps every step the same compiled program
+    (the whole sampler is three lax.scans), while the trajectory
+    jitter breaks the resonant-periodicity pathologies that motivated
+    NUTS (same reasoning as the ChEES-HMC line of work: Hoffman &
+    Sountsov 2021).  All chains advance in lockstep as ONE batched
+    program — cross-chain adaptation uses the mean acceptance
+    statistic, so adding chains costs almost nothing on the MXU.
+
+    Warmup = two dual-averaging windows: the first adapts the step
+    size under the initial (identity) metric; the second estimates
+    the posterior covariance from the first window's second half
+    (regularized, Stan-style shrinkage), rebuilds the metric
+    (diagonal by default, ``dense_mass=True`` for the full matrix),
+    and re-adapts the step size under it.  Sampling then runs at the
+    fixed tuned (eps, mass) with per-iteration trajectory lengths
+    L ~ Uniform{ceil((1-jitter) n_leap), ..., n_leap} applied by
+    masked leapfrog (fixed shape: always ``n_leap`` compiled steps).
+
+    Parameters: ``p0`` (dim,) — chains start from p0 plus N(0,
+    init_jitter^2) scatter; ``target_accept`` 0.8 is the standard
+    optimum neighbourhood.  Returns a dict with ``samples``
+    (n_chains, n_samples, dim), ``accept`` (n_chains, n_samples)
+    acceptance probabilities, ``step_size``, ``mass_diag`` (or
+    ``mass``), ``warmup_accept``.  Feed ``samples`` to
+    :func:`split_rhat` / :func:`effective_sample_size`."""
+    p0 = jnp.asarray(p0, dtype=jnp.result_type(float))
+    dim = p0.shape[-1]
+    grad_u = jax.grad(neg_log_post)
+    vpost = jax.vmap(neg_log_post)
+    vgrad = jax.vmap(grad_u)
+
+    def leapfrog_masked(q, p, eps, m_inv_mul, n_active):
+        """n_leap compiled leapfrog steps; steps past n_active are
+        masked no-ops (per-chain n_active)."""
+        def step(i, qp):
+            q, p = qp
+            live = (i < n_active)[:, None]            # (n_chains, 1)
+            p_half = p - 0.5 * eps * vgrad(q)
+            q_new = q + eps * m_inv_mul(p_half)
+            p_new = p_half - 0.5 * eps * vgrad(q_new)
+            return (jnp.where(live, q_new, q), jnp.where(live, p_new, p))
+
+        return jax.lax.fori_loop(0, n_leap, step, (q, p))
+
+    def kinetic(p, m_inv_mul):
+        return 0.5 * jnp.sum(p * m_inv_mul(p), axis=-1)
+
+    def hmc_sweep(q, u_q, key, eps, m_inv_mul, m_chol_mul, n_active):
+        k1, k2 = jax.random.split(key)
+        p = m_chol_mul(jax.random.normal(k1, q.shape))
+        q_new, p_new = leapfrog_masked(q, p, eps, m_inv_mul, n_active)
+        u_new = vpost(q_new)
+        dh = (u_new - u_q + kinetic(p_new, m_inv_mul)
+              - kinetic(p, m_inv_mul))
+        # Divergences (non-finite U) reject with probability 1.
+        alpha = jnp.where(jnp.isfinite(dh),
+                          jnp.minimum(1.0, jnp.exp(-dh)), 0.0)
+        acc = jax.random.uniform(k2, (q.shape[0],)) < alpha
+        q = jnp.where(acc[:, None], q_new, q)
+        u_q = jnp.where(acc, u_new, u_q)
+        return q, u_q, alpha
+
+    # Dual averaging state: (ln_eps, ln_eps_bar, h_bar, t).
+    gamma, t0, kappa = 0.05, 10.0, 0.75
+
+    def da_update(state, alpha_mean, mu):
+        ln_e, ln_eb, h_bar, t = state
+        t = t + 1.0
+        eta_h = 1.0 / (t + t0)
+        h_bar = (1.0 - eta_h) * h_bar + eta_h * (target_accept
+                                                 - alpha_mean)
+        ln_e = mu - jnp.sqrt(t) / gamma * h_bar
+        eta = t ** (-kappa)
+        ln_eb = eta * ln_e + (1.0 - eta) * ln_eb
+        return (ln_e, ln_eb, h_bar, t)
+
+    def warmup_window(q0, u0, key, eps0, m_inv_mul, m_chol_mul, n_iter):
+        mu = jnp.log(10.0 * eps0)
+        da0 = (jnp.log(eps0), jnp.log(eps0), 0.0, 0.0)
+
+        def step(carry, key):
+            q, u_q, da = carry
+            eps = jnp.exp(da[0])
+            n_act = jnp.full((q.shape[0],), n_leap)
+            q, u_q, alpha = hmc_sweep(q, u_q, key, eps, m_inv_mul,
+                                      m_chol_mul, n_act)
+            da = da_update(da, jnp.mean(alpha), mu)
+            return (q, u_q, da), (q, alpha)
+
+        keys = jax.random.split(key, n_iter)
+        (q, u_q, da), (qs, alphas) = jax.lax.scan(
+            step, (q0, u0, da0), keys)
+        return q, u_q, jnp.exp(da[1]), qs, alphas
+
+    n_w1 = max(n_warmup // 2, 1)
+    n_w2 = max(n_warmup - n_w1, 1)
+    eye = jnp.eye(dim)
+
+    @jax.jit
+    def run(key):
+        kinit, kw1, kw2, ksamp = jax.random.split(key, 4)
+        q = p0[None, :] + init_jitter * jax.random.normal(
+            kinit, (n_chains, dim))
+        u_q = vpost(q)
+        ident = lambda p: p
+        # Window 1: adapt eps under the identity metric.
+        q, u_q, eps1, qs1, a1 = warmup_window(q, u_q, kw1, init_step,
+                                              ident, ident, n_w1)
+        # Metric from window 1's second half (all chains pooled),
+        # Stan-style shrinkage toward unity.
+        half = qs1[n_w1 // 2:].reshape(-1, dim)
+        n_est = half.shape[0]
+        mean = jnp.mean(half, axis=0)
+        cen = half - mean
+        shrink = n_est / (n_est + 5.0)
+        if dense_mass:
+            cov = cen.T @ cen / (n_est - 1.0)
+            cov = shrink * cov + (1.0 - shrink) * 1e-3 * eye
+            chol_cov = jnp.linalg.cholesky(cov)
+            m_inv_mul = lambda p: p @ cov.T
+            # p ~ N(0, M) with M = cov^{-1}: draw z, solve L^T p = z.
+            m_chol_mul = lambda z: jax.scipy.linalg.solve_triangular(
+                chol_cov.T, z.T, lower=False).T
+            metric = cov
+        else:
+            var = jnp.var(cen, axis=0, ddof=1)
+            var = shrink * var + (1.0 - shrink) * 1e-3
+            m_inv_mul = lambda p: p * var
+            m_chol_mul = lambda z: z / jnp.sqrt(var)
+            metric = var
+        # Window 2: re-adapt eps under the new metric.
+        q, u_q, eps2, _qs2, a2 = warmup_window(q, u_q, kw2, eps1,
+                                               m_inv_mul, m_chol_mul,
+                                               n_w2)
+
+        # Sampling at fixed (eps2, metric), jittered trajectory length.
+        l_min = max(int(np.ceil((1.0 - jitter) * n_leap)), 1)
+
+        def samp_step(carry, key):
+            q, u_q = carry
+            k_l, k_s = jax.random.split(key)
+            n_act = jax.random.randint(k_l, (q.shape[0],), l_min,
+                                       n_leap + 1)
+            q, u_q, alpha = hmc_sweep(q, u_q, k_s, eps2, m_inv_mul,
+                                      m_chol_mul, n_act)
+            return (q, u_q), (q, alpha)
+
+        keys = jax.random.split(ksamp, n_samples)
+        (_q, _u), (qs, alphas) = jax.lax.scan(samp_step, (q, u_q), keys)
+        warm_acc = jnp.concatenate([a1, a2], axis=0)
+        return (jnp.moveaxis(qs, 0, 1), jnp.moveaxis(alphas, 0, 1),
+                eps2, metric, warm_acc)
+
+    samples, accept, eps, metric, warm_acc = run(key)
+    out = {"samples": samples, "accept": accept,
+           "step_size": float(eps), "warmup_accept": warm_acc}
+    if dense_mass:
+        out["mass"] = np.linalg.inv(np.asarray(metric))
+    else:
+        out["mass_diag"] = 1.0 / np.asarray(metric)
+    return out
+
+
+def split_rhat(chains):
+    """Split potential-scale-reduction diagnostic (Gelman et al., BDA3
+    / Vehtari et al. 2021 without rank-normalization): each chain is
+    split in half, R-hat = sqrt(var_plus / W) with
+    var_plus = W (n-1)/n + B/n.  ``chains``: (n_chains, n_samples,
+    dim) -> (dim,) numpy.  Values ≲ 1.01 indicate convergence."""
+    x = np.asarray(chains, dtype=np.float64)
+    m, n, dim = x.shape
+    h = n // 2
+    x = np.concatenate([x[:, :h], x[:, h:2 * h]], axis=0)  # (2m, h, d)
+    cm = x.mean(axis=1)                                    # (2m, d)
+    w = x.var(axis=1, ddof=1).mean(axis=0)                 # (d,)
+    b = h * cm.var(axis=0, ddof=1)
+    var_plus = w * (h - 1) / h + b / h
+    return np.sqrt(var_plus / w)
+
+
+def effective_sample_size(chains):
+    """Effective sample size per dimension (Stan's cross-chain
+    autocovariance estimator with Geyer's initial-positive-sequence
+    truncation).  ``chains``: (n_chains, n_samples, dim) -> (dim,)
+    numpy."""
+    x = np.asarray(chains, dtype=np.float64)
+    m, n, dim = x.shape
+    cm = x.mean(axis=1, keepdims=True)
+    cen = x - cm
+    # Per-chain autocovariance via FFT (biased /n, Stan convention).
+    npad = int(2 ** np.ceil(np.log2(2 * n)))
+    f = np.fft.rfft(cen, n=npad, axis=1)
+    acov = np.fft.irfft(f * np.conj(f), n=npad, axis=1)[:, :n].real / n
+    within = acov[:, 0, :].mean(axis=0) * n / (n - 1.0)    # (d,)
+    b_over_n = cm[:, 0, :].var(axis=0, ddof=1) if m > 1 else 0.0
+    var_plus = within * (n - 1.0) / n + b_over_n
+    rho = 1.0 - (within[None, :] - acov.mean(axis=0)) / var_plus
+    rho[0] = 1.0
+    ess = np.empty(dim)
+    for d in range(dim):
+        # Geyer initial positive sequence: tau = -1 + 2 sum of the
+        # consecutive-lag pairs (rho_2k + rho_2k+1), truncated at the
+        # first negative pair (the first pair is rho_0 + rho_1 >= 0).
+        tau = -1.0
+        t = 0
+        while t + 1 < n:
+            pair = rho[t, d] + rho[t + 1, d]
+            if pair < 0.0:
+                break
+            tau += 2.0 * pair
+            t += 2
+        ess[d] = m * n / max(tau, 1e-12)
+    return ess

@@ -175,3 +175,29 @@ assert acc2.mean() > 0.5
 assert abs(mean2[2] - 0.4) < 5 * max(sd2[2], 1e-3)
 assert sd2[3] < 0.02          # the m prior binds
 print("OK")
+
+# ---------------------------------------------------------------------------
+# Self-tuning sampler (inference.adaptive_hmc) on the Laplace surrogate
+# ---------------------------------------------------------------------------
+# adaptive_hmc needs no hand-chosen (mass, eps): dual-averaging step-
+# size adaptation + warmup mass estimation + jittered trajectories,
+# all fixed-shape lax.scans (the TPU-first alternative to NUTS — see
+# its docstring).  Demonstrated here on the quadratic Laplace
+# surrogate of the posterior above (instant; swap in neg_log_post for
+# the real-pipeline version of the same call).
+mu_lap = jnp.array([cosmo0.omega_m0, cosmo0.sigma_8])
+surrogate = lambda p: 0.5 * (p - mu_lap) @ fisher @ (p - mu_lap)
+out = inference.adaptive_hmc(surrogate, mu_lap, jax.random.PRNGKey(7),
+                             n_warmup=300, n_samples=500, n_chains=4,
+                             n_leap=8)
+rhat = inference.split_rhat(out["samples"])
+ess = inference.effective_sample_size(out["samples"])
+sd_hmc = np.asarray(out["samples"]).reshape(-1, 2).std(axis=0)
+sd_lap = np.sqrt(np.diag(np.linalg.inv(np.asarray(fisher))))
+print(f"adaptive_hmc: eps={out['step_size']:.3f} "
+      f"accept={float(np.mean(out['accept'])):.2f} "
+      f"R-hat={rhat.max():.3f} min-ESS={ess.min():.0f}")
+print(f"  sigma(Omega_m, sigma_8) = {sd_hmc[0]:.4f}, {sd_hmc[1]:.4f} "
+      f"(Laplace {sd_lap[0]:.4f}, {sd_lap[1]:.4f})")
+assert rhat.max() < 1.05 and np.allclose(sd_hmc, sd_lap, rtol=0.25)
+print("OK (adaptive)")

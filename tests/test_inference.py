@@ -469,3 +469,147 @@ def test_theta_cut_mask_and_apply():
     p = jnp.asarray([0.3, -0.8])
     np.testing.assert_allclose(float(lk_cut.chi2(p)),
                                float(manual.chi2(p)), rtol=1e-12)
+
+
+def test_template_sigma_zero_raises():
+    """sigma_alpha = 0 (a pinned, inert template) must NOT be silently
+    mapped to the improper flat prior (advisor round-3)."""
+    a, b, cov, theory = _toy(seed=5)
+    t = np.random.default_rng(1).normal(size=(2, b.size))
+    with pytest.raises(ValueError, match="template_sigma == 0"):
+        inference.GaussianLikelihood(theory, b, cov, templates=t,
+                                     template_sigma=[1.0, 0.0])
+
+
+def test_marginalized_covariance_sigma_length_check():
+    a, b, cov, theory = _toy(seed=5)
+    t = np.random.default_rng(1).normal(size=(2, b.size))
+    with pytest.raises(ValueError, match="sigmas length"):
+        inference.marginalized_covariance(cov, t, [0.5, 0.5, 0.5])
+    # scalar broadcast stays allowed
+    c1 = inference.marginalized_covariance(cov, t, 0.5)
+    c2 = inference.marginalized_covariance(cov, t, [0.5, 0.5])
+    np.testing.assert_allclose(c1, c2, rtol=1e-14)
+
+
+def test_apply_scale_cuts_template_sigma_sync():
+    """Cutting with template_sigma keeps the prior vector aligned with
+    the surviving template rows (advisor round-3)."""
+    rng = np.random.default_rng(3)
+    n_d = 8
+    jac = rng.normal(size=(n_d, 2))
+    theory = lambda p: jnp.asarray(jac) @ p
+    m = rng.normal(size=(n_d, n_d))
+    cov = m @ m.T + n_d * np.eye(n_d)
+    data = rng.normal(size=n_d)
+    keep = np.ones(n_d, bool)
+    keep[:3] = False
+    # template 0 lives only in the cut region -> dropped with its sigma
+    t = np.zeros((2, n_d))
+    t[0, 1] = 1.0
+    t[1, 5] = 1.0
+    sig = np.array([0.7, 1.9])
+    fn2, d2, c2, t2, s2 = inference.apply_scale_cuts(
+        keep, theory, data, cov, templates=t, template_sigma=sig)
+    assert t2.shape == (1, keep.sum()) and s2.shape == (1,)
+    assert s2[0] == sig[1]
+    # consumable downstream without a length mismatch
+    inference.GaussianLikelihood(fn2, d2, c2, templates=t2,
+                                 template_sigma=s2)
+    with pytest.raises(ValueError, match="without templates"):
+        inference.apply_scale_cuts(keep, theory, data, cov,
+                                   template_sigma=sig)
+
+
+# ---------------------------------------------------------------------------
+# Adaptive HMC + chain diagnostics
+# ---------------------------------------------------------------------------
+
+
+def test_effective_sample_size_referee():
+    """ESS on synthetic chains: iid -> ~N_total; AR(1) with known
+    autocorrelation -> N (1-phi)/(1+phi), both within MC tolerance."""
+    rng = np.random.default_rng(0)
+    n, m = 4000, 4
+    iid = rng.normal(size=(m, n, 1))
+    ess = inference.effective_sample_size(iid)
+    assert abs(ess[0] / (m * n) - 1.0) < 0.15
+    phi = 0.7
+    eps = rng.normal(size=(m, n))
+    ar = np.empty((m, n))
+    ar[:, 0] = eps[:, 0] / np.sqrt(1 - phi**2)
+    for t in range(1, n):
+        ar[:, t] = phi * ar[:, t - 1] + eps[:, t]
+    ess_ar = inference.effective_sample_size(ar[:, :, None])
+    expect = m * n * (1 - phi) / (1 + phi)
+    assert abs(ess_ar[0] / expect - 1.0) < 0.25
+
+
+def test_split_rhat_referee():
+    rng = np.random.default_rng(1)
+    good = rng.normal(size=(4, 2000, 2))
+    r = inference.split_rhat(good)
+    assert np.all(r < 1.01)
+    # Disjoint chain means -> large R-hat; within-chain drift (first
+    # half vs second half) is caught by the SPLIT statistic.
+    bad = good.copy()
+    bad[0, :, 0] += 5.0
+    assert inference.split_rhat(bad)[0] > 1.5
+    drift = good.copy()
+    drift[:, 1000:, 1] += 4.0
+    assert inference.split_rhat(drift)[1] > 1.5
+
+
+def test_adaptive_hmc_gaussian_recovery():
+    """Correlated-Gaussian posterior: the tuned sampler recovers the
+    mean and covariance within MC error, converges (R-hat), and the
+    dense-mass variant handles strong correlation."""
+    cov = np.array([[1.0, 0.85, 0.0],
+                    [0.85, 1.0, 0.3],
+                    [0.0, 0.3, 2.0]])
+    prec = jnp.asarray(np.linalg.inv(cov))
+    mean = jnp.asarray([1.0, -2.0, 0.5])
+
+    def nlp(p):
+        d = p - mean
+        return 0.5 * d @ prec @ d
+
+    out = inference.adaptive_hmc(nlp, jnp.zeros(3),
+                                 jax.random.PRNGKey(0), n_warmup=400,
+                                 n_samples=800, n_chains=4, n_leap=12,
+                                 dense_mass=True)
+    s = np.asarray(out["samples"]).reshape(-1, 3)
+    r = inference.split_rhat(out["samples"])
+    assert np.all(r < 1.02), r
+    ess = inference.effective_sample_size(out["samples"])
+    se = np.sqrt(np.diag(cov) / ess)
+    assert np.all(np.abs(s.mean(axis=0) - np.asarray(mean))
+                  < 5.0 * se), (s.mean(axis=0), se)
+    np.testing.assert_allclose(np.cov(s.T), cov, atol=0.25)
+    # tuned step size lands in a sane range and acceptance near target
+    assert 0.05 < out["step_size"] < 5.0
+    assert 0.6 < float(np.mean(out["accept"])) < 0.99
+    # dense mass approximates the true covariance direction: the
+    # estimated metric must decorrelate the 0-1 pair
+    mass = out["mass"]
+    mass_cov = np.linalg.inv(mass)
+    rho = mass_cov[0, 1] / np.sqrt(mass_cov[0, 0] * mass_cov[1, 1])
+    assert abs(rho - 0.85) < 0.25
+
+
+def test_adaptive_hmc_diag_mass_scaling():
+    """Diagonal metric absorbs per-dimension scale differences: the
+    estimated mass_diag tracks 1/var over two decades."""
+    var = np.array([1.0, 100.0])
+
+    def nlp(p):
+        return 0.5 * jnp.sum(p * p / jnp.asarray(var))
+
+    out = inference.adaptive_hmc(nlp, jnp.zeros(2),
+                                 jax.random.PRNGKey(3), n_warmup=500,
+                                 n_samples=600, n_chains=4, n_leap=12)
+    md = out["mass_diag"]
+    ratio = (md[0] / md[1]) / (var[1] / var[0])
+    assert 0.3 < ratio < 3.0, md
+    s = np.asarray(out["samples"]).reshape(-1, 2)
+    np.testing.assert_allclose(s.var(axis=0), var, rtol=0.3)
