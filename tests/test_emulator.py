@@ -1,0 +1,107 @@
+"""Emulator layer tests: LHS design, PCA compression, MLP accuracy on
+an analytic target, precomputed-sweep path, jit/vmap/grad."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chomp_tpu import emulator
+
+
+def test_latin_hypercube_stratification():
+    bounds = np.array([[0.0, 1.0], [-2.0, 4.0]])
+    x = emulator.latin_hypercube(jax.random.PRNGKey(0), 64, bounds)
+    assert x.shape == (64, 2)
+    for d in range(2):
+        lo, hi = bounds[d]
+        assert x[:, d].min() >= lo and x[:, d].max() <= hi
+        # exactly one sample per stratum
+        strata = np.floor((x[:, d] - lo) / (hi - lo) * 64).astype(int)
+        assert np.array_equal(np.sort(strata), np.arange(64))
+
+
+def _smooth_target(p):
+    """Analytic smooth map R^2 -> R^12 (rank > 2 in output space)."""
+    t = jnp.linspace(0.0, 1.0, 12)
+    return (jnp.sin(2.0 * p[0] + 3.0 * t) * (1.0 + 0.5 * p[1])
+            + p[0] * p[1] * t * t)
+
+
+def test_emulator_accuracy_and_grad():
+    bounds = np.array([[-1.0, 1.0], [-1.0, 1.0]])
+    emu, rep = emulator.train_emulator(
+        _smooth_target, bounds, jax.random.PRNGKey(1), n_train=512,
+        n_val=64, n_pca=None, hidden=(96, 96), n_epochs=3000,
+        batch_size=128, learning_rate=3e-3)
+    # Measured at these settings: max_rel ~2.5e-2, rms ~2e-3 (scales
+    # down with n_train/width/epochs — production settings go finer).
+    assert rep.max_rel_err < 4e-2, (rep.max_err, rep.max_rel_err)
+    assert rep.rms_err < 5e-3, rep.rms_err
+    # training converged (loss fell by orders of magnitude)
+    assert rep.loss[-1] < 1e-4 * rep.loss[0]
+    # pure-JAX surface: jit, vmap, grad
+    p = jnp.asarray([0.3, -0.4])
+    y = jax.jit(lambda q: emu(q))(p)   # wrap: the pytree is an operand, not a static fun
+    np.testing.assert_allclose(np.asarray(y),
+                               np.asarray(_smooth_target(p)), atol=0.05)
+    g = jax.jacfwd(emu)(p)
+    ref = jax.jacfwd(_smooth_target)(p)
+    # emulator gradients track the true Jacobian (loose: NN derivative)
+    assert np.abs(np.asarray(g) - np.asarray(ref)).max() < 0.5
+    vb = jax.vmap(emu)(jnp.stack([p, 2 * p]))
+    assert vb.shape == (2, 12)
+
+
+def test_emulator_pca_subspace():
+    """Outputs in an exact 3-dim subspace: n_pca=3 is lossless at the
+    PCA level and the emulator reaches the same accuracy as full-rank."""
+    basis = np.linalg.qr(np.random.default_rng(0)
+                         .normal(size=(20, 3)))[0].T  # (3, 20)
+
+    def target(p):
+        c = jnp.stack([p[0], p[1] * p[1], jnp.sin(p[0] + p[1])])
+        return c @ jnp.asarray(basis)
+
+    bounds = np.array([[-1.0, 1.0], [-1.0, 1.0]])
+    emu, rep = emulator.train_emulator(
+        target, bounds, jax.random.PRNGKey(2), n_train=256, n_val=32,
+        n_pca=3, hidden=(48, 48), n_epochs=2000, batch_size=64)
+    assert emu.basis.shape == (3, 20)
+    # basis rows orthonormal
+    np.testing.assert_allclose(np.asarray(emu.basis) @
+                               np.asarray(emu.basis).T, np.eye(3),
+                               atol=1e-10)
+    assert rep.max_rel_err < 6e-2 and rep.rms_err < 5e-3, rep
+
+
+def test_emulator_precomputed_sweep_path():
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-1, 1, size=(200, 2))
+    y = np.stack([np.asarray(_smooth_target(jnp.asarray(p)))
+                  for p in x])
+    emu, rep = emulator.train_emulator(
+        None, np.array([[-1, 1], [-1, 1]]), jax.random.PRNGKey(4),
+        x_train=x, y_train=y, n_pca=None, hidden=(48, 48),
+        n_epochs=2500, batch_size=64)
+    assert rep.n_train == 175 and rep.n_val == 25
+    # This test exercises the precomputed-data PATH; 175 random (non-
+    # LHS) nodes bound the worst-case generalization near ~10%.
+    assert rep.max_rel_err < 0.25 and rep.rms_err < 0.03, rep
+
+
+def test_emulator_io_roundtrip(tmp_path):
+    """The frozen-pytree emulator saves/loads with utils.io and
+    reproduces bitwise."""
+    from chomp_tpu.utils import io
+
+    bounds = np.array([[-1.0, 1.0], [-1.0, 1.0]])
+    emu, _ = emulator.train_emulator(
+        _smooth_target, bounds, jax.random.PRNGKey(5), n_train=64,
+        n_val=8, n_pca=4, hidden=(16,), n_epochs=50, batch_size=32)
+    p = jnp.asarray([0.2, 0.7])
+    y0 = np.asarray(emu(p))
+    f = tmp_path / "emu.npz"
+    io.save_pytree(str(f), emu)
+    emu2 = io.load_pytree(str(f), emu)
+    np.testing.assert_array_equal(np.asarray(emu2(p)), y0)
