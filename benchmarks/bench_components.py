@@ -274,6 +274,18 @@ def main(batch_size: int = 100):
 
     stage("xi_ell(s) + Gaussian covariance", xi_obs)
 
+    # Projected correlation wp(rp) (HOD-fitting observable) + its
+    # covariance pushforward.
+    rp_wp = np.geomspace(0.3, 30.0, 14)
+
+    def wp_obs(c):
+        m = halo.build_halo_model(c, h, hod, 0.5)
+        return (rsd_mod.wp_rp(c, h, m, rp_wp, sigma_v=4.0),
+                rsd_mod.wp_covariance(c, h, m, rp_wp, 1.0e9,
+                                      sigma_v=4.0))
+
+    stage("wp(rp) + covariance", wp_obs)
+
     print(f"{'stage':34s} ms/cosmology")
     for name, ms in rows:
         print(f"  {name:32s} {ms:8.3f}")

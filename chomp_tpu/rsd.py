@@ -55,7 +55,7 @@ __all__ = ["power_rsd_mu", "multipoles", "multipole_covariance",
            "ap_parameters", "multipoles_ap", "f_sigma8",
            "legendre_coupling", "window_convolved_multipoles",
            "windowed_multipole_covariance", "xi_multipoles",
-           "xi_multipole_covariance"]
+           "xi_multipole_covariance", "wp_rp", "wp_covariance"]
 
 
 def f_sigma8(cosmo: CosmoParams, z, grid: GridSpec = DEFAULT_GRID):
@@ -716,3 +716,129 @@ def xi_multipole_covariance(cosmo: CosmoParams, halo_p: HaloParams,
     cov = cov + (white[:, :, None, None] * eye_l[:, None, :, None]
                  * eye_b[None, :, None, :])
     return cov.reshape(n_l * n_b, n_l * n_b)
+
+
+# ---------------------------------------------------------------------------
+# Projected correlation function wp(rp)
+# ---------------------------------------------------------------------------
+
+
+def _legendre_np(ell: int, mu):
+    mu = np.asarray(mu, dtype=np.float64)
+    if ell == 0:
+        return np.ones_like(mu)
+    if ell == 2:
+        return 0.5 * (3.0 * mu * mu - 1.0)
+    if ell == 4:
+        m2 = mu * mu
+        return 0.125 * (35.0 * m2 * m2 - 30.0 * m2 + 3.0)
+    raise ValueError(f"only even ell in (0, 2, 4) supported, got {ell}")
+
+
+def _wp_operator(s_grid, rp, ells, pi_max: float, n_pi: int):
+    """Static operator W[r, l, j]: wp(rp_r) = sum_lj W xi_l(s_grid_j)
+    — the line-of-sight quadrature wp = 2 \\int_0^pi_max dpi
+    xi_s(rp, pi) with xi_s = sum_l xi_l(s) L_l(pi/s) folded into ONE
+    (n_rp, n_ell, n_s_grid) float64 matrix at build time (GL in pi;
+    the integrand is smooth in pi at fixed rp, so ~48 nodes are
+    quadrature-exact; Catmull-Rom rows in ln s land every (rp, pi)
+    node on the FFTLog s grid)."""
+    from numpy.polynomial.legendre import leggauss
+
+    rp = np.asarray(rp, dtype=np.float64)
+    x, w = leggauss(n_pi)
+    pi_n = 0.5 * pi_max * (x + 1.0)                  # (n_pi,)
+    w_n = pi_max * w                                 # 2 * dpi weights
+    s_rq = np.sqrt(rp[:, None] ** 2 + pi_n[None, :] ** 2)  # (n_rp, n_pi)
+    mu_rq = pi_n[None, :] / s_rq
+    rows = _catmull_rom_rows(s_grid, s_rq.ravel())   # (n_rp*n_pi, n_s)
+    rows = rows.reshape(rp.size, n_pi, s_grid.size)
+    out = np.empty((rp.size, len(ells), s_grid.size))
+    for i, ell in enumerate(ells):
+        leg = _legendre_np(ell, mu_rq)               # (n_rp, n_pi)
+        out[:, i, :] = np.einsum("rq,q,rqj->rj", leg, w_n, rows)
+    return out
+
+
+def wp_rp(cosmo: CosmoParams, halo_p: HaloParams, model, rp,
+          pi_max: float = 100.0, ells=(0, 2, 4), sigma_v=0.0,
+          n_mu: int = 16, n_pi: int = 48, n_fft: int = 512,
+          k_lo: float = 2e-4, k_hi: float = 60.0,
+          with_bao: bool = False, grid: GridSpec = DEFAULT_GRID,
+          redshift_space: bool = True, powers=None):
+    """Projected correlation function wp(rp) (Mpc/h) — THE classic
+    HOD-fitting observable (Zehavi et al. style):
+
+        wp(rp) = 2 \\int_0^{pi_max} dpi  xi_s(rp, pi),
+
+    with the finite line-of-sight depth ``pi_max`` of the estimator
+    kept EXACTLY (at finite pi_max redshift-space distortions do NOT
+    cancel — the standard Kaiser residual correction, e.g. van den
+    Bosch et al. 2013 — so the default integrates the dispersion-model
+    xi_s via its multipoles; ``redshift_space=False`` integrates the
+    real-space xi_gg instead, the infinite-pi_max limit convention).
+
+    TPU dataflow: xi_ell on the FFTLog s grid (one static matmul per
+    ell, as :func:`xi_multipoles`) contracted with the precomputed
+    line-of-sight operator of :func:`_wp_operator` — zero runtime
+    gathers; jit/vmap/grad-able in (cosmo, sigma_v).  Returns
+    (n_rp,)."""
+    rp = np.asarray(rp, dtype=np.float64)
+    ells = tuple(ells) if redshift_space else (0,)
+    ln_k0 = float(np.log(k_lo))
+    dln = float(np.log(k_hi / k_lo) / (n_fft - 1))
+    k_lat, s_grid, fwd, _kb, _bwd = _sph_hankel_ops(n_fft, ln_k0, dln,
+                                                    ells)
+    w_op = _wp_operator(s_grid, rp, ells, pi_max, n_pi)
+    hp = jax.lax.Precision.HIGHEST
+    if redshift_space:
+        p_ell = multipoles(cosmo, halo_p, model, jnp.asarray(k_lat),
+                           ells=ells, sigma_v=sigma_v, n_mu=n_mu,
+                           with_bao=with_bao, grid=grid, powers=powers)
+    else:
+        ps = (halo.powers(cosmo, halo_p, model, jnp.asarray(k_lat),
+                          with_bao, grid) if powers is None else powers)
+        p_ell = ps["power_gg"][None, :]
+    xi = jnp.stack([jnp.matmul(jnp.asarray(fwd[ell]), p_ell[i],
+                               precision=hp)
+                    for i, ell in enumerate(ells)])   # (n_ell, n_s)
+    return jnp.einsum("rlj,lj->r", jnp.asarray(w_op), xi, precision=hp)
+
+
+def wp_covariance(cosmo: CosmoParams, halo_p: HaloParams, model, rp,
+                  volume, pi_max: float = 100.0, ells=(0, 2, 4),
+                  sigma_v=0.0, n_mu: int = 16, n_pi: int = 48,
+                  n_k: int = 192, k_lo: float = 1e-3,
+                  k_cut: float = 4.0, n_s_fine: int = 160,
+                  with_bao: bool = False,
+                  grid: GridSpec = DEFAULT_GRID, n_bar=None,
+                  redshift_space: bool = True):
+    """Gaussian covariance of wp(rp) at the POINT separations ``rp``:
+    the pushforward W Cov_xi W^T of the fine-s-binned multipole
+    covariance (:func:`xi_multipole_covariance` — which carries the
+    exact Bessel-bin factors and the analytic pure-shot closure)
+    through the same line-of-sight operator as :func:`wp_rp`, with
+    xi_l taken piecewise from ``n_s_fine`` LOG-uniform fine bins
+    spanning [min(rp)/2, sqrt(max(rp)^2 + pi_max^2)] (the s^2-measure
+    centroids of geometric bins are exactly log-uniform, so the
+    static Catmull-Rom interpolation applies; convergence is at the
+    percent level for the default n_s_fine — check against a doubled
+    value for your geometry).  All static matmuls; jit/vmap/grad-able.
+    Returns (n_rp, n_rp)."""
+    rp = np.asarray(rp, dtype=np.float64)
+    ells = tuple(ells) if redshift_space else (0,)
+    s_lo = max(0.5 * rp.min(), 1e-2)
+    s_hi = np.sqrt(rp.max() ** 2 + pi_max ** 2) * 1.02
+    s_edges = np.geomspace(s_lo, s_hi, n_s_fine + 1)
+    cov_xi = xi_multipole_covariance(
+        cosmo, halo_p, model, s_edges, volume, ells=ells,
+        sigma_v=sigma_v, n_mu=n_mu, n_k=n_k, k_lo=k_lo, k_cut=k_cut,
+        with_bao=with_bao, grid=grid, n_bar=n_bar)
+    # Bin centroids in the s^2 measure (what the bin average weights).
+    cent = (0.75 * (s_edges[1:] ** 4 - s_edges[:-1] ** 4)
+            / (s_edges[1:] ** 3 - s_edges[:-1] ** 3))
+    w_op = _wp_operator(cent, rp, ells, pi_max, n_pi)  # (n_rp, l, n_f)
+    w_flat = jnp.asarray(w_op.reshape(rp.size, -1))
+    hp = jax.lax.Precision.HIGHEST
+    return jnp.matmul(jnp.matmul(w_flat, cov_xi, precision=hp),
+                      w_flat.T, precision=hp)

@@ -531,3 +531,77 @@ def test_xi_covariance_jit_grad(model):
 
     g = float(jax.grad(tr)(3.0))
     assert np.isfinite(g) and g != 0.0
+
+
+# ---------------------------------------------------------------------------
+# Projected correlation function wp(rp)
+# ---------------------------------------------------------------------------
+
+
+def test_wp_gaussian_closed_form(model):
+    """With a hand-built Gaussian P_gg (gm = mm = 0) the wp integral
+    has a CLOSED FORM:  xi(s) = A k0^3/(8 pi^{3/2}) exp(-k0^2 s^2/4),
+    wp(rp) = xi-prefactor * exp(-k0^2 rp^2/4) * 2 sqrt(pi)/k0
+             * erf(k0 pi_max / 2)."""
+    from scipy.special import erf
+
+    amp, k0 = 2.0e4, 0.21
+    n_fft, k_lo, k_hi = 512, 2e-4, 60.0
+    k_lat = np.exp(np.linspace(np.log(k_lo), np.log(k_hi), n_fft))
+    pg = amp * np.exp(-((k_lat / k0) ** 2))
+    ps = {"power_gg": jnp.asarray(pg),
+          "power_gm": jnp.zeros(n_fft), "power_mm": jnp.zeros(n_fft)}
+    rp = np.array([2.0, 6.0, 12.0, 20.0])
+    pi_max = 60.0
+    for rs_mode in (True, False):
+        got = np.asarray(rsd.wp_rp(C0, HP, model, rp, pi_max=pi_max,
+                                   n_fft=n_fft, k_lo=k_lo, k_hi=k_hi,
+                                   redshift_space=rs_mode, powers=ps))
+        pref = amp * k0**3 / (8.0 * np.pi**1.5)
+        ref = (pref * np.exp(-(k0 * rp) ** 2 / 4.0)
+               * 2.0 * np.sqrt(np.pi) / k0 * erf(k0 * pi_max / 2.0))
+        np.testing.assert_allclose(got, ref, rtol=5e-3)
+
+
+def test_wp_kaiser_residual(model):
+    """Finite-pi_max wp in redshift space exceeds the real-space wp at
+    large rp (the standard Kaiser residual) and matches it at small
+    rp where the 1-halo term dominates."""
+    rp = np.array([0.5, 20.0])
+    rs = np.asarray(rsd.wp_rp(C0, HP, model, rp, pi_max=80.0))
+    re = np.asarray(rsd.wp_rp(C0, HP, model, rp, pi_max=80.0,
+                              redshift_space=False))
+    assert rs[1] / re[1] > 1.05, (rs, re)
+    assert abs(rs[0] / re[0] - 1.0) < 0.10, (rs, re)
+    # and everything is positive / finite at typical scales
+    assert np.all(rs > 0) and np.all(np.isfinite(rs))
+
+
+def test_wp_covariance_psd_and_convergence(model):
+    rp = np.array([3.0, 8.0, 20.0])
+    cov = np.asarray(rsd.wp_covariance(C0, HP, model, rp, 1.0e9,
+                                       pi_max=60.0, n_s_fine=160,
+                                       n_k=128))
+    np.testing.assert_allclose(cov, cov.T,
+                               atol=1e-12 * np.abs(cov).max())
+    w = np.linalg.eigvalsh(0.5 * (cov + cov.T))
+    assert w.min() >= -1e-10 * w.max()
+    assert np.all(np.diag(cov) > 0)
+    cov2 = np.asarray(rsd.wp_covariance(C0, HP, model, rp, 1.0e9,
+                                        pi_max=60.0, n_s_fine=240,
+                                        n_k=128))
+    np.testing.assert_allclose(np.diag(cov), np.diag(cov2), rtol=0.03)
+    # 1/V scaling exact
+    cov_half = np.asarray(rsd.wp_covariance(C0, HP, model, rp, 2.0e9,
+                                            pi_max=60.0, n_s_fine=160,
+                                            n_k=128))
+    np.testing.assert_allclose(cov, 2.0 * cov_half, rtol=1e-10)
+
+
+def test_wp_jit_grad(model):
+    def f(sv):
+        return jnp.sum(rsd.wp_rp(C0, HP, model, np.array([2.0, 10.0]),
+                                 sigma_v=sv, n_fft=256))
+
+    g = float(jax.grad(f)(3.0))
+    assert np.isfinite(g) and g != 0.0
