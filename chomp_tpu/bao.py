@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from chomp_tpu import background, linear
 from chomp_tpu.params import C_OVER_H0, CosmoParams
 
-__all__ = ["r_drag", "bao_vector"]
+__all__ = ["r_drag", "bao_vector", "damped_power_template"]
 
 _KINDS = ("dm_over_rd", "dh_over_rd", "dv_over_rd")
 
@@ -61,3 +61,42 @@ def bao_vector(cosmo: CosmoParams, z, kinds=_KINDS, n: int = 64):
             raise ValueError(f"unknown BAO kind {kind!r}; pick from "
                              f"{_KINDS}")
     return jnp.stack(rows)
+
+
+def damped_power_template(cosmo: CosmoParams, k, mu=None, z=0.0,
+                          sigma_par=10.0, sigma_perp=6.0, grid=None):
+    """The standard compressed-BAO-fit power template: the linear
+    wiggle spectrum with its oscillations Gaussian-damped by nonlinear
+    bulk flows (Eisenstein, Seo & White 2007; the BOSS/DESI fitting
+    form):
+
+        P_t(k, mu) = P_nw(k) + [P_lin(k) - P_nw(k)]
+                               * exp(-k^2 Sigma^2(mu) / 2),
+        Sigma^2(mu) = mu^2 sigma_par^2 + (1 - mu^2) sigma_perp^2,
+
+    with P_nw this framework's own EH98 no-wiggle shape and P_lin the
+    full wiggle form — the SAME transfer pair the halo model uses, so
+    template and full-shape analyses share one r_d (linear.
+    sound_horizon_drag positions the wiggles).  ``mu=None`` returns
+    the isotropic template (Sigma^2 = (sigma_par^2 + 2 sigma_perp^2)/3,
+    the angle-average); otherwise (n_k, n_mu).  sigma_par/perp are
+    TRACED (fit or marginalize them; reconstruction shrinks both).
+    Pair with rsd.ap_parameters for the alpha scalings, or evaluate at
+    warped k as in rsd.multipoles_ap."""
+    from chomp_tpu.params import DEFAULT_GRID
+
+    if grid is None:
+        grid = DEFAULT_GRID
+    k = jnp.atleast_1d(jnp.asarray(k))
+    p_w = linear.linear_power(cosmo, k, z, True, grid)
+    p_nw = linear.linear_power(cosmo, k, z, False, grid)
+    sp2 = jnp.asarray(sigma_par) ** 2
+    st2 = jnp.asarray(sigma_perp) ** 2
+    if mu is None:
+        s2 = (sp2 + 2.0 * st2) / 3.0
+        damp = jnp.exp(-0.5 * k * k * s2)
+        return p_nw + (p_w - p_nw) * damp
+    mu = jnp.atleast_1d(jnp.asarray(mu))
+    s2 = mu * mu * sp2 + (1.0 - mu * mu) * st2          # (n_mu,)
+    damp = jnp.exp(-0.5 * (k * k)[:, None] * s2[None, :])
+    return p_nw[:, None] + (p_w - p_nw)[:, None] * damp

@@ -90,3 +90,42 @@ def test_grad_vmap():
         replace(C0, omega_m0=om, omega_l0=1.0 - om), z))(
         jnp.asarray([0.25, 0.278, 0.31]))
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_damped_power_template():
+    """Limits: sigma -> 0 reduces to the full wiggle spectrum;
+    sigma -> large leaves only the no-wiggle shape; mu anisotropy
+    interpolates between sigma_perp (mu=0) and sigma_par (mu=1); the
+    isotropic case equals the angle-average Sigma^2; traced gradients
+    flow through the damping scales."""
+    from chomp_tpu import bao, linear
+
+    c = default_cosmo()
+    k = jnp.asarray(np.logspace(-2, 0, 40))
+    p_w = np.asarray(linear.linear_power(c, k, 0.0, True))
+    p_nw = np.asarray(linear.linear_power(c, k, 0.0, False))
+    t0 = np.asarray(bao.damped_power_template(c, k, sigma_par=0.0,
+                                              sigma_perp=0.0))
+    np.testing.assert_allclose(t0, p_w, rtol=1e-12)
+    t_inf = np.asarray(bao.damped_power_template(c, k, sigma_par=300.0,
+                                                 sigma_perp=300.0))
+    np.testing.assert_allclose(t_inf[k > 0.05], p_nw[k > 0.05],
+                               rtol=1e-6)
+    t_mu = np.asarray(bao.damped_power_template(
+        c, k, mu=jnp.asarray([0.0, 1.0]), sigma_par=12.0,
+        sigma_perp=4.0))
+    ref_perp = p_nw + (p_w - p_nw) * np.exp(
+        -0.5 * np.asarray(k) ** 2 * 16.0)
+    ref_par = p_nw + (p_w - p_nw) * np.exp(
+        -0.5 * np.asarray(k) ** 2 * 144.0)
+    np.testing.assert_allclose(t_mu[:, 0], ref_perp, rtol=1e-10)
+    np.testing.assert_allclose(t_mu[:, 1], ref_par, rtol=1e-10)
+    iso = np.asarray(bao.damped_power_template(c, k, sigma_par=12.0,
+                                               sigma_perp=4.0))
+    s2 = (144.0 + 2 * 16.0) / 3.0
+    ref_iso = p_nw + (p_w - p_nw) * np.exp(-0.5 * np.asarray(k)**2 * s2)
+    np.testing.assert_allclose(iso, ref_iso, rtol=1e-10)
+
+    g = jax.grad(lambda s: jnp.sum(bao.damped_power_template(
+        c, k, sigma_par=s, sigma_perp=4.0)))(10.0)
+    assert np.isfinite(float(g)) and float(g) != 0.0
