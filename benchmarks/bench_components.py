@@ -286,6 +286,36 @@ def main(batch_size: int = 100):
 
     stage("wp(rp) + covariance", wp_obs)
 
+    # Emulated serving path (emulator.py): train a small surrogate of
+    # the flagship w+gt pipeline on an LHS sweep (exact evals ride the
+    # vmapped fast path), then time batched emulator evaluations —
+    # the production-MCMC cost after amortizing the sweep.
+    from chomp_tpu import emulator as emu_mod
+    from chomp_tpu.utils.tree import replace as _rep
+
+    full_pipe = make_pipeline(h, hod, dist)
+
+    def emu_theory(p):
+        c = _rep(default_cosmo(), omega_m0=p[0], omega_l0=1.0 - p[0],
+                 sigma_8=p[1])
+        out = full_pipe(c)
+        return jnp.concatenate([out["w_theta"], out["gamma_t"]])
+
+    t0 = time.perf_counter()
+    emu, rep = emu_mod.train_emulator(
+        emu_theory, np.array([[0.24, 0.32], [0.7, 0.92]]),
+        jax.random.PRNGKey(0), n_train=192, n_val=32, n_pca=16,
+        hidden=(96, 96), n_epochs=1500, batch_size=64)
+    t_train = time.perf_counter() - t0
+    p_batch = jnp.asarray(
+        np.random.default_rng(0).uniform([0.25, 0.72], [0.31, 0.90],
+                                         size=(4096, 2)))
+    emu_f = jax.jit(lambda ps: jax.vmap(emu)(ps))
+    dt = timed(emu_f, p_batch)
+    rows.append((f"emulated w+gt serving (4096 batch)", dt / 4096 * 1e3))
+    print(f"  [emulator: {rep.n_train} exact evals + fit in "
+          f"{t_train:.0f}s, holdout max_rel {rep.max_rel_err:.1e}]")
+
     print(f"{'stage':34s} ms/cosmology")
     for name, ms in rows:
         print(f"  {name:32s} {ms:8.3f}")

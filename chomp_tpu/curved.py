@@ -1139,7 +1139,15 @@ def curved_nongaussian_covariance(cosmo, halo_p, model, dist,
     exact.  The footprint still enters as the uniform effective area
     Ω_eff = A₂²/A₄ (``mask`` may also be a float Ω in sr) — cNG mask
     coupling beyond Ω_eff is higher-order (broadband T̄), the same
-    treatment as the flat engine's mask= path.  The multipole sum
+    treatment as the flat engine's mask= path.  This matches standard
+    practice (CosmoLike / Krause & Eifler 2017; Barreira, Krause &
+    Schmidt 2018): the trispectrum term is broadband in ℓ so mask
+    convolution reduces to the effective-area normalization at the
+    few-percent-of-a-subdominant-term level, while the response part
+    of the mask coupling that IS large — super-survey modes — is
+    carried exactly by the separate SSC term (chomp_tpu.ssc, which
+    integrates σ_b²(χ) against THIS mask's geometry), so footprint
+    information enters where it matters.  The multipole sum
     truncates at ``ell_max``: use bins ≳ 10/ell_max radians, as for
     curved_gaussian_block.  ``tri_kwargs`` forward to
     covariance.projected_trispectrum (n_k_tri, u_stride,
