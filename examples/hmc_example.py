@@ -9,8 +9,8 @@ chain (leapfrog + Metropolis inside one lax.scan): something the
 scipy-object reference cannot do at all (upstream:correlation.py
 computes one model at a time, no derivatives).
 
-Run: python examples/hmc_example.py        (CPU f64; ~15 min
-for both chains.  The same
+Run: python examples/hmc_example.py        (CPU f64; ~20-30 min
+for both chains + the adaptive demo on the 1-core box.  The same
 sampler jit-compiles for the TPU — the pipeline is the bench.py fast
 path — where each chain step costs ~2 gradient evaluations at
 ~1 ms/cosmology-gradient.)
