@@ -632,6 +632,20 @@ def _xi_cov_geometry(ells, s_edges, n_k: int, k_lo: float, k_cut: float,
     lnk = np.linspace(np.log(k_lo), np.log(k_cut), n_k)
     k_lat = np.exp(lnk)
     s_sum_max = 2.0 * s_edges[-1]
+    # The per-cell GL order must resolve the fastest j_l j_l'
+    # oscillation phase 2 k s_max; if the n_sub_max clamp binds, the
+    # top cells are silently under-integrated (the cluster-SSC
+    # aliasing class, NUMERICS.md) — refuse quietly degrading.
+    worst = s_sum_max * (k_lat[-1] - k_lat[-2])
+    worst_p = int(np.ceil(worst / phase_per_node)) + 4
+    if worst_p > n_sub_max:
+        import warnings
+        warnings.warn(
+            f"_xi_cov_geometry: the per-cell GL order clamp binds "
+            f"(need {worst_p} nodes for phase {worst:.0f} rad, clamp "
+            f"n_sub_max={n_sub_max}); the j_l j_l' product in the top "
+            f"k cells is under-integrated.  Raise n_k (finer cells) "
+            f"or n_sub_max.", stacklevel=3)
     nodes, weights = [], []
     for i in range(n_k - 1):
         a, b = k_lat[i], k_lat[i + 1]

@@ -605,3 +605,20 @@ def test_wp_jit_grad(model):
 
     g = float(jax.grad(f)(3.0))
     assert np.isfinite(g) and g != 0.0
+
+
+def test_xi_cov_geometry_clamp_warns():
+    """ADVICE r4: when the per-cell GL order clamp binds (s_edges so
+    wide the top-cell oscillation phase exceeds n_sub_max nodes), the
+    geometry builder must warn instead of silently under-integrating;
+    the default production settings stay warning-free."""
+    import warnings as _w
+
+    wide = np.linspace(10.0, 900.0, 8)       # 2 k s_max ~ 1800*dk rad
+    with pytest.warns(UserWarning, match="GL order clamp binds"):
+        rsd._xi_cov_geometry((0, 2), wide, n_k=48, k_lo=1e-3,
+                             k_cut=4.0)
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        rsd._xi_cov_geometry((0, 2, 4), np.linspace(5.0, 150.0, 12),
+                             n_k=192, k_lo=1e-3, k_cut=4.0)
