@@ -770,6 +770,13 @@ def adaptive_hmc(neg_log_post, p0, key, n_warmup: int = 500,
         q = p0[None, :] + init_jitter * jax.random.normal(
             kinit, (n_chains, dim))
         u_q = vpost(q)
+        # A chain initialized where U is non-finite (jitter landed
+        # outside a prior barrier) would have dh = inf - inf = NaN in
+        # every sweep and silently never move: fall back to p0.
+        u_center = vpost(p0[None, :])[0]
+        bad0 = ~jnp.isfinite(u_q)
+        q = jnp.where(bad0[:, None], p0[None, :], q)
+        u_q = jnp.where(bad0, u_center, u_q)
         ident = lambda p: p
         # Window 1: adapt eps under the identity metric.
         q, u_q, eps1, qs1, a1 = warmup_window(q, u_q, kw1, init_step,
@@ -817,9 +824,20 @@ def adaptive_hmc(neg_log_post, p0, key, n_warmup: int = 500,
         (_q, _u), (qs, alphas) = jax.lax.scan(samp_step, (q, u_q), keys)
         warm_acc = jnp.concatenate([a1, a2], axis=0)
         return (jnp.moveaxis(qs, 0, 1), jnp.moveaxis(alphas, 0, 1),
-                eps2, metric, warm_acc)
+                eps2, metric, warm_acc, jnp.sum(bad0), u_center)
 
-    samples, accept, eps, metric, warm_acc = run(key)
+    samples, accept, eps, metric, warm_acc, n_bad0, u_center = run(key)
+    if not np.isfinite(float(u_center)):
+        raise ValueError(
+            "adaptive_hmc: neg_log_post(p0) is non-finite — the chain "
+            "start point itself is outside the posterior support.")
+    if int(n_bad0) > 0:
+        import warnings
+        warnings.warn(
+            f"adaptive_hmc: {int(n_bad0)}/{n_chains} chains had a "
+            f"non-finite neg_log_post at their jittered start (outside "
+            f"a prior barrier?) and were re-initialized at p0.  "
+            f"Consider a smaller init_jitter.", stacklevel=2)
     out = {"samples": samples, "accept": accept,
            "step_size": float(eps), "warmup_accept": warm_acc}
     if dense_mass:
@@ -879,3 +897,102 @@ def effective_sample_size(chains):
             t += 2
         ess[d] = m * n / max(tau, 1e-12)
     return ess
+
+
+def external_loglike(like, vectorized: bool = False,
+                     bad_value: float = -jnp.inf):
+    """numpy-in / numpy-out ln-POSTERIOR callable for EXTERNAL samplers
+    (emcee / Cobaya / zeus / dynesty) — VERDICT round-4 item 10.
+
+    ``like`` is anything with a ``neg_log_post(p)`` method
+    (:class:`GaussianLikelihood`, :class:`PoissonLikelihood`,
+    :class:`CompositeLikelihood`) or a bare callable returning the
+    NEGATIVE log posterior.  The wrapper:
+
+      - jits the traced function ONCE (first call compiles; the
+        external sampler's per-call overhead is then one device
+        dispatch);
+      - flips the sign to the external convention (ln P, higher =
+        better — emcee's ``log_prob_fn`` / Cobaya's ``logp``);
+      - accepts/returns plain numpy (floats out), so the sampler
+        never sees a JAX type;
+      - maps non-finite evaluations to ``bad_value`` (-inf by
+        default: emcee's reject convention) instead of propagating
+        NaN into the chain.
+
+    ``vectorized=True`` returns a batch form mapping (n_walkers,
+    n_dim) -> (n_walkers,) via one vmapped call — pass
+    ``vectorize=True`` to ``emcee.EnsembleSampler`` alongside it.
+
+    Example (emcee)::
+
+        log_prob = external_loglike(gauss_like)
+        sampler = emcee.EnsembleSampler(nw, ndim, log_prob)
+
+    Example (Cobaya external likelihood)::
+
+        info = {"likelihood": {"chomp": {
+            "external": external_loglike(gauss_like),
+            "input_params": [...]}}, ...}
+    """
+    nlp = like.neg_log_post if hasattr(like, "neg_log_post") else like
+
+    if vectorized:
+        batch = jax.jit(jax.vmap(lambda p: -nlp(p)))
+
+        def log_prob(ps):
+            out = np.asarray(batch(jnp.asarray(np.atleast_2d(
+                np.asarray(ps, dtype=np.float64)))))
+            return np.where(np.isfinite(out), out, bad_value)
+
+        return log_prob
+
+    single = jax.jit(lambda p: -nlp(p))
+
+    def log_prob(p, *args):
+        val = float(single(jnp.asarray(np.asarray(p, dtype=np.float64))))
+        return val if np.isfinite(val) else bad_value
+
+    return log_prob
+
+
+def ensemble_sample(log_prob, p0_walkers, n_steps: int, seed: int = 0,
+                    a: float = 2.0):
+    """Minimal affine-invariant ensemble sampler (Goodman & Weare 2010
+    stretch move, the emcee algorithm) over a NUMPY ``log_prob`` —
+    the self-contained fallback driver for :func:`external_loglike`
+    when emcee itself is not installed (this image has no network).
+
+    Pure host-side numpy by design: it exercises the exact external
+    contract (one float per call, -inf = reject).  For production
+    chains prefer :func:`adaptive_hmc` (gradient-based, on-device) or
+    install emcee and pass it the same ``log_prob``.
+
+    Returns (n_steps, n_walkers, n_dim) samples and the acceptance
+    fraction."""
+    rng = np.random.default_rng(seed)
+    walkers = np.array(p0_walkers, dtype=np.float64, copy=True)
+    n_w, n_dim = walkers.shape
+    if n_w < 2 * n_dim:
+        raise ValueError(f"need >= {2 * n_dim} walkers for {n_dim} "
+                         f"dims, got {n_w}")
+    lp = np.array([log_prob(w) for w in walkers])
+    chain = np.empty((n_steps, n_w, n_dim))
+    n_acc = 0
+    half = n_w // 2
+    for t in range(n_steps):
+        for (sel, other) in (((slice(0, half)), slice(half, n_w)),
+                             ((slice(half, n_w)), slice(0, half))):
+            idx = np.arange(n_w)[sel]
+            comp = walkers[other]
+            z = ((a - 1.0) * rng.random(len(idx)) + 1.0) ** 2 / a
+            partners = comp[rng.integers(0, comp.shape[0], len(idx))]
+            prop = partners + z[:, None] * (walkers[idx] - partners)
+            lp_prop = np.array([log_prob(p) for p in prop])
+            ln_ratio = (n_dim - 1.0) * np.log(z) + lp_prop - lp[idx]
+            acc = np.log(rng.random(len(idx))) < ln_ratio
+            walkers[idx[acc]] = prop[acc]
+            lp[idx[acc]] = lp_prop[acc]
+            n_acc += int(acc.sum())
+        chain[t] = walkers
+    return chain, n_acc / (n_steps * n_w)

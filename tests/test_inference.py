@@ -613,3 +613,81 @@ def test_adaptive_hmc_diag_mass_scaling():
     assert 0.3 < ratio < 3.0, md
     s = np.asarray(out["samples"]).reshape(-1, 2)
     np.testing.assert_allclose(s.var(axis=0), var, rtol=0.3)
+
+
+def test_adaptive_hmc_nonfinite_init_recovery():
+    """ADVICE r4: chains whose jittered start lands outside a prior
+    barrier (non-finite neg_log_post) are re-seeded at p0 with a
+    warning instead of silently freezing; a non-finite p0 raises."""
+    def nlp(p):
+        # hard barrier: support is p[0] > -0.1
+        return jnp.where(p[0] > -0.1, 0.5 * jnp.sum(p * p), jnp.inf)
+
+    with pytest.warns(UserWarning, match="re-initialized at p0"):
+        out = inference.adaptive_hmc(
+            nlp, jnp.zeros(2), jax.random.PRNGKey(3), n_warmup=100,
+            n_samples=100, n_chains=8, n_leap=8, init_jitter=0.5)
+    # every chain moves (no frozen all-reject chains)
+    s = np.asarray(out["samples"])            # (chains, draws, dim)
+    per_chain_var = s.var(axis=1).sum(axis=1)
+    assert np.all(per_chain_var > 1e-4), per_chain_var
+
+    with pytest.raises(ValueError, match="non-finite"):
+        inference.adaptive_hmc(nlp, jnp.asarray([-5.0, 0.0]),
+                               jax.random.PRNGKey(0), n_warmup=10,
+                               n_samples=10, n_chains=2)
+
+
+def test_external_loglike_contract():
+    """external_loglike: numpy in/float out, ln-P sign, -inf on
+    non-finite, vectorized batch form, bare-callable support."""
+    cov = np.diag([0.5, 2.0])
+    prec = jnp.asarray(np.linalg.inv(cov))
+
+    def theory(p):
+        return p
+
+    like = inference.GaussianLikelihood(theory, jnp.zeros(2),
+                                        jnp.asarray(cov))
+    lp = inference.external_loglike(like)
+    p = np.array([0.3, -0.4])
+    expect = -0.5 * float(p @ np.linalg.inv(cov) @ p)
+    assert isinstance(lp(p), float)
+    np.testing.assert_allclose(lp(p), expect, rtol=1e-12)
+
+    # bare neg-log-post callable; NaN -> -inf
+    def nlp(q):
+        return jnp.where(q[0] > 0, 0.5 * jnp.sum(q * q), jnp.nan)
+
+    lp2 = inference.external_loglike(nlp)
+    assert lp2(np.array([-1.0, 0.0])) == -np.inf
+    np.testing.assert_allclose(lp2(np.array([1.0, 0.0])), -0.5)
+
+    # vectorized form: (n_walkers, n_dim) -> (n_walkers,)
+    lpv = inference.external_loglike(like, vectorized=True)
+    ps = np.array([[0.3, -0.4], [0.0, 0.0]])
+    out = lpv(ps)
+    assert out.shape == (2,)
+    np.testing.assert_allclose(out[0], expect, rtol=1e-12)
+    np.testing.assert_allclose(out[1], 0.0, atol=1e-12)
+
+
+def test_ensemble_sample_gaussian():
+    """The stretch-move fallback sampler recovers a 2-D Gaussian's
+    moments through the pure-numpy external contract."""
+    cov = np.array([[1.0, 0.6], [0.6, 1.0]])
+    prec = np.linalg.inv(cov)
+
+    def log_prob(p):
+        return float(-0.5 * p @ prec @ p)
+
+    rng = np.random.default_rng(0)
+    p0 = 0.1 * rng.normal(size=(12, 2))
+    chain, acc = inference.ensemble_sample(log_prob, p0, 1500, seed=1)
+    assert 0.2 < acc < 0.9, acc
+    flat = chain[500:].reshape(-1, 2)
+    np.testing.assert_allclose(flat.mean(axis=0), 0.0, atol=0.15)
+    np.testing.assert_allclose(np.cov(flat.T), cov, atol=0.25)
+
+    with pytest.raises(ValueError, match="walkers"):
+        inference.ensemble_sample(log_prob, p0[:3], 10)
