@@ -101,6 +101,11 @@ class TrainReport:
     n_train: int
     n_val: int
     loss: np.ndarray
+    # Sobolev training only (jac_weight > 0): worst holdout Jacobian
+    # entry relative to that entry's RMS over the training Jacobians.
+    jac_max_rel_err: float | None = None
+    # PCA rank actually used (after pca_tol calibration, if any).
+    n_pca: int | None = None
 
 
 def _init_mlp(key, sizes):
@@ -117,7 +122,10 @@ def train_emulator(theory_fn, bounds, key, n_train: int = 512,
                    hidden=(128, 128), n_epochs: int = 2000,
                    batch_size: int = 128, learning_rate: float = 3e-3,
                    x_train=None, y_train=None, x_val=None, y_val=None,
-                   eval_batch: int | None = None):
+                   eval_batch: int | None = None,
+                   jac_weight: float = 0.0,
+                   j_train=None, j_val=None,
+                   pca_tol: float | None = None):
     """Fit an :class:`Emulator` to ``theory_fn`` over the box
     ``bounds`` ((n_dim, 2) [lo, hi]).  Returns (emulator, report).
 
@@ -129,12 +137,77 @@ def train_emulator(theory_fn, bounds, key, n_train: int = 512,
     SVD-compressed to ``n_pca`` components (None or >= n_out disables
     compression losslessly); the MLP fits the whitened coefficients
     with adam + cosine decay in one lax.scan (epoch = one permuted
-    minibatch pass)."""
+    minibatch pass).
+
+    ``jac_weight > 0`` turns on SOBOLEV training (VERDICT round-4
+    item 5): the exact Jacobians dy/dp at the design nodes — one more
+    vmapped ``jax.jacfwd(theory_fn)`` sweep, forward-mode so the cost
+    scales with the (small) parameter count — enter the loss as
+    ``jac_weight * mean((J_mlp - J_exact)^2)`` in whitened
+    coefficient/input coordinates.  Value-only training reaches 1e-5
+    VALUE accuracy while the Jacobian wiggles at the 10-20% level
+    (examples/emulator_example.py LESSON); Sobolev training makes
+    emulator-side Fisher matrices/gradients trustworthy.  The report
+    then carries ``jac_max_rel_err`` from the holdout Jacobians.
+    Precomputed-sweep callers pass ``j_train`` (n, n_out, n_dim)
+    (+ optional ``j_val``) alongside x/y.
+
+    ``pca_tol`` replaces the fixed ``n_pca`` with ERROR-CALIBRATED
+    truncation: the smallest rank whose per-output RMS reconstruction
+    error is below ``pca_tol`` relative to that output's RMS signal
+    (so no output is silently truncated harder than the tolerance)."""
     bounds = np.asarray(bounds, dtype=np.float64)
     k_design, k_init, k_perm = jax.random.split(key, 3)
 
+    if (x_train is None) != (y_train is None):
+        raise ValueError(
+            "train_emulator: pass BOTH x_train and y_train to reuse a "
+            "precomputed sweep, or neither to run a fresh LHS sweep "
+            f"(got x_train={'set' if x_train is not None else 'None'}, "
+            f"y_train={'set' if y_train is not None else 'None'}).")
+    if y_train is None and theory_fn is None:
+        raise ValueError(
+            "train_emulator: theory_fn=None requires a precomputed "
+            "x_train/y_train sweep.")
+    sobolev = jac_weight > 0.0
+    if sobolev and y_train is not None and j_train is None:
+        raise ValueError(
+            "train_emulator: jac_weight > 0 with a precomputed sweep "
+            "needs j_train (n, n_out, n_dim) Jacobians as well.")
+
     if y_train is None:
         x_all = latin_hypercube(k_design, n_train + n_val, bounds)
+        if sobolev:
+            # Sobolev designs pin the BOX BOUNDARY: the MLP's worst
+            # Jacobian error concentrates at the edges/corners an
+            # interior LHS rarely visits (measured on the analytic
+            # referee: interior-LHS holdout max-rel ~12%, + corners
+            # ~4%, + per-face LHS ~1%).  Replace the first few
+            # training nodes with the box vertices plus a small LHS on
+            # every face (total capped at n_train/4).
+            import itertools
+
+            n_dim_b = bounds.shape[0]
+            extras = []
+            if 2 ** n_dim_b <= max(n_train // 8, 1):
+                extras.extend(np.asarray(list(
+                    itertools.product(*bounds)), dtype=np.float64))
+            n_face = max(n_train // (16 * n_dim_b), 2)
+            fkeys = jax.random.split(k_design, 2 * n_dim_b + 1)
+            k_design = fkeys[-1]
+            for d in range(n_dim_b):
+                sub = np.delete(np.arange(n_dim_b), d)
+                for j, v in enumerate(bounds[d]):
+                    pts = np.empty((n_face, n_dim_b))
+                    pts[:, d] = v
+                    if sub.size:
+                        pts[:, sub] = latin_hypercube(
+                            fkeys[2 * d + j], n_face, bounds[sub])
+                    extras.append(pts)
+            extras = np.concatenate(
+                [np.atleast_2d(e) for e in extras])
+            n_x = min(len(extras), n_train // 4)
+            x_all = np.concatenate([extras[:n_x], x_all[n_x:]])
         vfn = jax.jit(jax.vmap(theory_fn))
         chunks = []
         step = eval_batch or (n_train + n_val)
@@ -143,13 +216,28 @@ def train_emulator(theory_fn, bounds, key, n_train: int = 512,
         y_all = np.concatenate(chunks, axis=0)
         x_train, y_train = x_all[:n_train], y_all[:n_train]
         x_val, y_val = x_all[n_train:], y_all[n_train:]
+        if sobolev:
+            # The Sobolev sweep: exact dy/dp at every node, forward
+            # mode (cost ~ n_dim pipeline evals per node).
+            vjac = jax.jit(jax.vmap(jax.jacfwd(theory_fn)))
+            jchunks = []
+            for i in range(0, x_all.shape[0], step):
+                jchunks.append(np.asarray(
+                    vjac(jnp.asarray(x_all[i:i + step]))))
+            j_all = np.concatenate(jchunks, axis=0)
+            j_train, j_val = j_all[:n_train], j_all[n_train:]
     else:
         x_train = np.asarray(x_train, dtype=np.float64)
         y_train = np.asarray(y_train, dtype=np.float64)
+        if sobolev:
+            j_train = np.asarray(j_train, dtype=np.float64)
         if x_val is None:
             n_v = max(x_train.shape[0] // 8, 1)
             x_val, y_val = x_train[-n_v:], y_train[-n_v:]
             x_train, y_train = x_train[:-n_v], y_train[:-n_v]
+            if sobolev:
+                j_val = j_train[-n_v:]
+                j_train = j_train[:-n_v]
         n_train, n_val = x_train.shape[0], x_val.shape[0]
 
     n_dim, n_out = x_train.shape[1], y_train.shape[1]
@@ -157,7 +245,21 @@ def train_emulator(theory_fn, bounds, key, n_train: int = 512,
     x_sd = x_train.std(axis=0) + 1e-12
     y_mu = y_train.mean(axis=0)
     yc = y_train - y_mu
-    if n_pca is None or n_pca >= min(n_out, n_train):
+    scale = np.sqrt((y_train ** 2).mean(axis=0)) + 1e-30
+    if pca_tol is not None:
+        # Error-calibrated truncation: residual MSE per output of a
+        # rank-r reconstruction is sum_{i>=r} (s_i^2/n) vh_i^2; pick
+        # the smallest r with every output's relative RMS residual
+        # below pca_tol.
+        _u, s, vh = np.linalg.svd(yc, full_matrices=False)
+        contrib = (s[:, None] ** 2 / yc.shape[0]) * vh ** 2
+        tail = np.cumsum(contrib[::-1], axis=0)[::-1]     # (r, n_out)
+        rel = np.sqrt(tail) / scale[None, :]
+        ok = np.max(rel, axis=1) <= pca_tol               # rank r drops modes >= r
+        ranks = np.nonzero(ok)[0]
+        r = int(ranks[0]) if ranks.size else vh.shape[0]
+        basis = vh[:max(r, 1)]
+    elif n_pca is None or n_pca >= min(n_out, n_train):
         basis = np.eye(n_out)
     else:
         # Rows of vh are the principal directions (orthonormal).
@@ -186,9 +288,27 @@ def train_emulator(theory_fn, bounds, key, n_train: int = 512,
         w, b = ws[-1]
         return h @ w + b
 
-    def loss_fn(ws, x, c):
-        r = apply(ws, x) - c
-        return jnp.mean(r * r)
+    if sobolev:
+        # Whitened-coordinate Jacobian targets: c = basis @ (y - y_mu),
+        # cw = c / c_sd, xw = (x - x_mu) / x_sd  =>
+        # dcw/dxw = (basis @ dy/dx) * x_sd / c_sd.
+        jw_np = (np.einsum("po,nod->npd", basis, j_train)
+                 * x_sd[None, None, :] / c_sd[None, :, None])
+        jw = jnp.asarray(jw_np)
+        jac_apply = jax.vmap(jax.jacfwd(lambda x, ws: apply(ws, x)),
+                             in_axes=(0, None))
+
+        def loss_fn(ws, x, c, jt):
+            r = apply(ws, x) - c
+            jr = jac_apply(x, ws) - jt
+            return jnp.mean(r * r) + jac_weight * jnp.mean(jr * jr)
+    else:
+        jw = jnp.zeros((n_train, basis.shape[0], 0))
+
+        def loss_fn(ws, x, c, jt):
+            del jt
+            r = apply(ws, x) - c
+            return jnp.mean(r * r)
 
     vg = jax.value_and_grad(loss_fn)
 
@@ -199,15 +319,17 @@ def train_emulator(theory_fn, bounds, key, n_train: int = 512,
             idx = jax.random.permutation(key, n_train)[:n_batches * bs]
             xb = xw[idx].reshape(n_batches, bs, n_dim)
             cb = cw[idx].reshape(n_batches, bs, -1)
+            jb = jw[idx].reshape(n_batches, bs, basis.shape[0],
+                                 jw.shape[-1])
 
-            def mini(carry, xc):
+            def mini(carry, xcj):
                 ws, st = carry
-                l, g = vg(ws, xc[0], xc[1])
+                l, g = vg(ws, xcj[0], xcj[1], xcj[2])
                 up, st = opt.update(g, st, ws)
                 ws = optax.apply_updates(ws, up)
                 return (ws, st), l
 
-            (ws, st), ls = jax.lax.scan(mini, (ws, st), (xb, cb))
+            (ws, st), ls = jax.lax.scan(mini, (ws, st), (xb, cb, jb))
             return (ws, st), jnp.mean(ls)
 
         keys = jax.random.split(key, n_epochs)
@@ -222,11 +344,20 @@ def train_emulator(theory_fn, bounds, key, n_train: int = 512,
                    c_sd=jnp.asarray(c_sd))
     pred = np.asarray(jax.jit(jax.vmap(emu))(jnp.asarray(x_val)))
     err = pred - np.asarray(y_val)
-    scale = np.sqrt((np.asarray(y_train) ** 2).mean(axis=0)) + 1e-30
+    jac_rel = None
+    if sobolev and j_val is not None and np.shape(j_val)[0] > 0:
+        jpred = np.asarray(jax.jit(jax.vmap(jax.jacfwd(emu)))(
+            jnp.asarray(x_val)))
+        jscale = (np.sqrt((np.asarray(j_train) ** 2).mean(axis=0))
+                  + 1e-30)                            # (n_out, n_dim)
+        jac_rel = float(np.abs((jpred - np.asarray(j_val))
+                               / jscale[None]).max())
     report = TrainReport(max_err=float(np.abs(err).max()),
                          rms_err=float(np.sqrt((err ** 2).mean())),
                          max_rel_err=float(np.abs(err / scale).max()),
                          n_train=int(x_train.shape[0]),
                          n_val=int(np.shape(y_val)[0]),
-                         loss=np.asarray(losses))
+                         loss=np.asarray(losses),
+                         jac_max_rel_err=jac_rel,
+                         n_pca=int(basis.shape[0]))
     return emu, report

@@ -105,3 +105,86 @@ def test_emulator_io_roundtrip(tmp_path):
     io.save_pytree(str(f), emu)
     emu2 = io.load_pytree(str(f), emu)
     np.testing.assert_array_equal(np.asarray(emu2(p)), y0)
+
+
+def test_emulator_mismatched_sweep_args_raise():
+    """ADVICE r4: passing exactly one of x_train/y_train must raise
+    instead of silently discarding the caller's design; theory_fn=None
+    without a sweep must raise instead of crashing in vmap."""
+    bounds = np.array([[-1.0, 1.0], [-1.0, 1.0]])
+    x = np.zeros((8, 2))
+    with pytest.raises(ValueError, match="BOTH x_train and y_train"):
+        emulator.train_emulator(_smooth_target, bounds,
+                                jax.random.PRNGKey(0), x_train=x)
+    with pytest.raises(ValueError, match="BOTH x_train and y_train"):
+        emulator.train_emulator(_smooth_target, bounds,
+                                jax.random.PRNGKey(0),
+                                y_train=np.zeros((8, 12)))
+    with pytest.raises(ValueError, match="theory_fn=None"):
+        emulator.train_emulator(None, bounds, jax.random.PRNGKey(0))
+
+
+def test_sobolev_training_fixes_jacobian():
+    """VERDICT r4 item 5: value-only training gives accurate VALUES but
+    wiggly Jacobians (10-20%, the round-4 LESSON); jac_weight > 0
+    (Sobolev: exact-Jacobian loss + box-edge design augmentation)
+    brings the HOLDOUT Jacobian max-rel error under 2%, and the
+    emulator Fisher ENTRIES then match the exact target's within 5%."""
+    from chomp_tpu import inference
+
+    bounds = np.array([[-1.0, 1.0], [-1.0, 1.0]])
+    emu_s, rep_s = emulator.train_emulator(
+        _smooth_target, bounds, jax.random.PRNGKey(2), jac_weight=1.0,
+        n_train=256, n_val=32, n_pca=None, hidden=(128, 128),
+        n_epochs=8000, batch_size=64, learning_rate=2e-3)
+    assert rep_s.jac_max_rel_err is not None
+    # the headline criterion: holdout Jacobian max-rel <= 2%
+    assert rep_s.jac_max_rel_err < 0.02, rep_s.jac_max_rel_err
+    assert rep_s.max_rel_err < 5e-3, rep_s.max_rel_err
+
+    # Fisher entries (not just widths) within 5% of exact.
+    p0 = jnp.asarray([0.2, -0.3])
+    d0 = np.asarray(_smooth_target(p0))
+    cov = np.diag((0.05 * np.abs(d0) + 1e-3 * np.abs(d0).max()) ** 2)
+    f_ex = np.asarray(inference.fisher_matrix(_smooth_target, cov, p0))
+    f_em = np.asarray(inference.fisher_matrix(emu_s, cov, p0))
+    rel = np.abs(f_em - f_ex).max() / np.abs(f_ex).max()
+    assert rel < 0.05, (rel, f_ex, f_em)
+
+    # value-only training reports no Jacobian metric
+    _, rep_v = emulator.train_emulator(
+        _smooth_target, bounds, jax.random.PRNGKey(2), n_train=64,
+        n_val=8, n_pca=None, hidden=(16,), n_epochs=50, batch_size=32)
+    assert rep_v.jac_max_rel_err is None
+
+
+def test_sobolev_precomputed_requires_jacobians():
+    x = np.zeros((16, 2))
+    y = np.zeros((16, 3))
+    with pytest.raises(ValueError, match="j_train"):
+        emulator.train_emulator(None, np.array([[-1, 1], [-1, 1]]),
+                                jax.random.PRNGKey(0), x_train=x,
+                                y_train=y, jac_weight=1.0)
+
+
+def test_pca_tol_calibrated_truncation():
+    """pca_tol picks the smallest rank meeting a PER-OUTPUT relative
+    reconstruction tolerance; the chosen rank grows as tol shrinks and
+    reconstruction honors the budget."""
+    rng = np.random.default_rng(0)
+    # 3 strong modes + a weak 4th: rank should track the tolerance.
+    t = np.linspace(0, 1, 20)
+    modes = np.stack([np.sin(3 * t), np.cos(5 * t), t * t,
+                      0.01 * np.sin(9 * t)])
+    amps = rng.normal(size=(300, 4)) * np.array([1.0, 0.5, 0.25, 1.0])
+    y = amps @ modes + 2.0
+    x = rng.uniform(-1, 1, size=(300, 2))
+    _, rep_loose = emulator.train_emulator(
+        None, np.array([[-1, 1], [-1, 1]]), jax.random.PRNGKey(1),
+        x_train=x, y_train=y, pca_tol=0.05, n_epochs=10, hidden=(8,))
+    _, rep_tight = emulator.train_emulator(
+        None, np.array([[-1, 1], [-1, 1]]), jax.random.PRNGKey(1),
+        x_train=x, y_train=y, pca_tol=1e-10, n_epochs=10, hidden=(8,))
+    assert rep_loose.n_pca <= 3
+    assert rep_tight.n_pca >= 4
+    assert rep_loose.n_pca < rep_tight.n_pca
