@@ -625,6 +625,7 @@ def tomographic_bandpower_covariance(cosmo, halo_p, model, lens_dists,
                                      cmb_lensing=None,
                                      kernel_mode: str = "spin0",
                                      matter_power: str = "halo",
+                                     psd_guard: str | None = None,
                                      **ng_kwargs):
     """Covariance of the FULL tomographic decoupled-bandpower vector —
     (n_probe nb, n_probe nb) over harmonic_probes order, matching
@@ -794,5 +795,8 @@ def tomographic_bandpower_covariance(cosmo, halo_p, model, lens_dists,
             blocks[pa][pb] = blk
             if pb != pa:
                 blocks[pb][pa] = blk.T
-    return jnp.concatenate(
-        [jnp.concatenate(row, axis=1) for row in blocks], axis=0)
+    from chomp_tpu.covariance import _apply_psd_guard
+
+    return _apply_psd_guard(
+        jnp.concatenate([jnp.concatenate(row, axis=1)
+                         for row in blocks], axis=0), psd_guard)

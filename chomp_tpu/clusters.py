@@ -715,12 +715,18 @@ def cluster_dndz_table(cosmo: CosmoParams, halo_p: HaloParams,
                              n_array=jnp.asarray(p / p.max()))
 
 
-def joint_counts_3x2pt_covariance(cov_nn, cov_nx, cov_dd):
+def joint_counts_3x2pt_covariance(cov_nn, cov_nx, cov_dd,
+                                  psd_guard: str | None = None):
     """Stack the joint [[NN, NX], [NX^T, DD]] covariance from the
     counts block, the cross block, and any 3x2pt covariance (the
     tomographic builders' output — Gaussian + cNG + SSC as
     configured).  Shapes must agree: (n_N, n_N), (n_N, n_D),
-    (n_D, n_D)."""
+    (n_D, n_D).  ``psd_guard="clip"`` projects the assembled matrix
+    onto the PSD cone (covariance.psd_clip) — the mixed-quadrature
+    off-diagonal blocks can push tiny eigenvalues negative."""
+    from chomp_tpu.covariance import _apply_psd_guard
+
     top = jnp.concatenate([cov_nn, cov_nx], axis=1)
     bot = jnp.concatenate([cov_nx.T, cov_dd], axis=1)
-    return jnp.concatenate([top, bot], axis=0)
+    return _apply_psd_guard(jnp.concatenate([top, bot], axis=0),
+                            psd_guard)

@@ -966,7 +966,9 @@ def nongaussian_covariance(cosmo: CosmoParams, halo_p: HaloParams,
     approximately so: auto-block diagonal entries can come out
     slightly NEGATIVE where the cNG is ≲1e-3 of the Gaussian diagonal
     (measured at multi-degree bins) — quadrature noise around zero,
-    not a sign of a wrong block."""
+    not a sign of a wrong block.  Every joint/tomographic builder
+    accepts ``psd_guard="clip"`` (:func:`psd_clip`) to project the
+    ASSEMBLED matrix back onto the PSD cone before returning it."""
     ells_np, w_np = _log_ell_weights(n_ell_cov, ell_lo, ell_hi)
     w = jnp.asarray(w_np)
     edges_i = np.radians(np.asarray(theta_edges_deg))
@@ -999,6 +1001,47 @@ def nongaussian_covariance(cosmo: CosmoParams, halo_p: HaloParams,
     d_j = pair_normalization(mask, edges_j)
     return core * jnp.asarray(mask.area4 * np.outer(ann_i, ann_j)
                               / np.outer(d_i, d_j))
+
+
+def psd_clip(cov, floor_rel: float = 0.0):
+    """Project a (nearly) symmetric covariance onto the PSD cone by
+    eigenvalue clipping (VERDICT round-4 item 4).
+
+    The exact connected (trispectrum) term is a PSD operator, but its
+    discretization — T̄ on a log-ell grid + 2-tap interpolation — is
+    only approximately so: assembled joint matrices can carry tiny
+    NEGATIVE eigenvalues (~1e-3 of the Gaussian diagonal at
+    multi-degree bins, :func:`nongaussian_covariance` docs), and a
+    downstream Cholesky then fails for a matrix the library returned
+    without complaint.  This symmetrizes, clips eigenvalues at
+    ``floor_rel * max(eigenvalue)`` (0 = exact PSD boundary), and
+    reassembles.
+
+    Grad-safe by construction: the correction is wrapped in
+    ``stop_gradient``, so gradients flow through the RAW matrix
+    unchanged (eigh's degenerate-eigenvalue NaN-gradient hazard never
+    enters).  Where the input is already PSD the correction is ~1 ulp.
+    jit/vmap-able."""
+    import jax
+
+    sym = 0.5 * (cov + cov.T)
+    lam, v = jnp.linalg.eigh(sym)
+    floor = floor_rel * jnp.max(jnp.abs(lam))
+    lam_c = jnp.maximum(lam, floor)
+    fixed = (v * lam_c[None, :]) @ v.T
+    fixed = 0.5 * (fixed + fixed.T)
+    return cov + jax.lax.stop_gradient(fixed - cov)
+
+
+def _apply_psd_guard(cov, psd_guard):
+    """Shared builder hook: ``psd_guard`` None = return as-is (the
+    historical bitwise path), "clip" = :func:`psd_clip`."""
+    if psd_guard is None:
+        return cov
+    if psd_guard == "clip":
+        return psd_clip(cov)
+    raise ValueError(f"psd_guard must be None or 'clip', got "
+                     f"{psd_guard!r}")
 
 
 def lattice_cl_callables(cosmo, halo_p, model, dist_lens, dist_src,
@@ -1053,7 +1096,8 @@ def joint_wtheta_gammat_covariance(cosmo: CosmoParams, halo_p: HaloParams,
                                    u_stride: int = 4, mask=None,
                                    exact_z_anchors: int | None = None,
                                    include_ssc: bool = False,
-                                   ssc_kwargs: dict | None = None):
+                                   ssc_kwargs: dict | None = None,
+                                   psd_guard: str | None = None):
     """Joint covariance of the stacked data vector [w_gg bins, gamma_t
     bins] — the full Morrison & Schneider 2013 clustering + g-g lensing
     program (upstream:covariance.py; SURVEY.md §2 row 13).
@@ -1178,7 +1222,8 @@ def joint_wtheta_gammat_covariance(cosmo: CosmoParams, halo_p: HaloParams,
             tracers=("g", "m", "g", "m"), mu_i=2, mu_j=2, **skw)
     top = jnp.concatenate([cov_ww, cov_wg], axis=1)
     bot = jnp.concatenate([cov_wg.T, cov_gg], axis=1)
-    return jnp.concatenate([top, bot], axis=0)
+    return _apply_psd_guard(jnp.concatenate([top, bot], axis=0),
+                            psd_guard)
 
 
 def joint_3x2pt_covariance(cosmo: CosmoParams, halo_p: HaloParams,
@@ -1197,7 +1242,8 @@ def joint_3x2pt_covariance(cosmo: CosmoParams, halo_p: HaloParams,
                            u_stride: int = 4, mask=None,
                            exact_z_anchors: int | None = None,
                            include_ssc: bool = False,
-                           ssc_kwargs: dict | None = None):
+                           ssc_kwargs: dict | None = None,
+                           psd_guard: str | None = None):
     """Joint covariance of the FULL 3x2pt data vector
     [w_gg, gamma_t, xi_+, xi_-] — (4 nb, 4 nb).
 
@@ -1321,7 +1367,7 @@ def joint_3x2pt_covariance(cosmo: CosmoParams, halo_p: HaloParams,
         jnp.concatenate([c_wp.T, c_gp.T, c_pp, c_pm], axis=1),
         jnp.concatenate([c_wm.T, c_gm.T, c_pm.T, c_mm], axis=1),
     ]
-    return jnp.concatenate(rows, axis=0)
+    return _apply_psd_guard(jnp.concatenate(rows, axis=0), psd_guard)
 
 
 def tomographic_lattice_cl_callables(cosmo, halo_p, model, lens_dists,
@@ -1750,6 +1796,7 @@ def tomographic_3x2pt_covariance(cosmo: CosmoParams, halo_p: HaloParams,
                                  ssc_kwargs: dict | None = None,
                                  cmb_lensing=None,
                                  matter_power: str = "halo",
+                                 psd_guard: str | None = None,
                                  **ng_kwargs):
     """Gaussian (+ optionally connected) covariance of the FULL
     TOMOGRAPHIC 3x2pt data vector — (n_probe nb, n_probe nb) over the
@@ -1877,8 +1924,9 @@ def tomographic_3x2pt_covariance(cosmo: CosmoParams, halo_p: HaloParams,
             blocks[pa][pb] = acc
             if pb != pa:
                 blocks[pb][pa] = acc.T
-    return jnp.concatenate(
-        [jnp.concatenate(row, axis=1) for row in blocks], axis=0)
+    return _apply_psd_guard(
+        jnp.concatenate([jnp.concatenate(row, axis=1)
+                         for row in blocks], axis=0), psd_guard)
 
 
 def wtheta_covariance(cosmo: CosmoParams, halo_p: HaloParams,

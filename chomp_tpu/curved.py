@@ -1191,7 +1191,7 @@ def curved_joint_wtheta_gammat_covariance(
         ell_split: int | None = None, with_bao: bool = False,
         grid=None, include_nongaussian: bool = False,
         include_ssc: bool = False, ssc_kwargs: dict | None = None,
-        **ng_kwargs):
+        psd_guard: str | None = None, **ng_kwargs):
     """Joint [w_gg, γt] covariance on a masked SPHERE — the curved
     analog of covariance.joint_wtheta_gammat_covariance, with the same
     TPU-first dataflow: the three C_ℓ's come from ONE halo evaluation
@@ -1271,7 +1271,10 @@ def curved_joint_wtheta_gammat_covariance(
         cov_ww, cov_wg, cov_gg = (blocks[k] for k in ("ww", "wg", "gg"))
     top = jnp.concatenate([cov_ww, cov_wg], axis=1)
     bot = jnp.concatenate([cov_wg.T, cov_gg], axis=1)
-    return jnp.concatenate([top, bot], axis=0)
+    from chomp_tpu.covariance import _apply_psd_guard
+
+    return _apply_psd_guard(jnp.concatenate([top, bot], axis=0),
+                            psd_guard)
 
 
 def curved_joint_3x2pt_covariance(
@@ -1280,7 +1283,7 @@ def curved_joint_3x2pt_covariance(
         ell_split: int | None = None, with_bao: bool = False,
         grid=None, include_nongaussian: bool = False,
         include_ssc: bool = False, ssc_kwargs: dict | None = None,
-        **ng_kwargs):
+        psd_guard: str | None = None, **ng_kwargs):
     """Joint [w_gg, γt, ξ_+, ξ_-] covariance on a masked SPHERE —
     (4 nb, 4 nb); the curved analog of
     covariance.joint_3x2pt_covariance, extending
@@ -1426,7 +1429,8 @@ def curved_tomographic_3x2pt_covariance(
         grid=None, include_nongaussian=False, nuisance=None,
         include_magnification: bool = False, include_ssc=False,
         ssc_kwargs: dict | None = None, cmb_lensing=None,
-        matter_power: str = "halo", **ng_kwargs):
+        matter_power: str = "halo", psd_guard: str | None = None,
+        **ng_kwargs):
     """Gaussian covariance of the full TOMOGRAPHIC 3x2pt data vector on
     a masked SPHERE — the curved analog of
     covariance.tomographic_3x2pt_covariance (same probe order:
@@ -1549,8 +1553,11 @@ def curved_tomographic_3x2pt_covariance(
             blocks[pa][pb] = acc
             if pb != pa:
                 blocks[pb][pa] = acc.T
-    return jnp.concatenate(
-        [jnp.concatenate(row, axis=1) for row in blocks], axis=0)
+    from chomp_tpu.covariance import _apply_psd_guard
+
+    return _apply_psd_guard(
+        jnp.concatenate([jnp.concatenate(row, axis=1)
+                         for row in blocks], axis=0), psd_guard)
 
 
 def curved_bmode_null(cl_ee, theta_edges_deg, mask,

@@ -637,3 +637,68 @@ def test_projected_trispectrum_exact_z_anchors(fiducial, setup):
         covariance.projected_trispectrum(
             fiducial, h, model, dist, ells, grid=g, n_k_tri=16,
             exact_z=True, exact_z_anchors=4)
+
+
+def test_psd_clip_unit():
+    """psd_clip: clips a known negative eigenvalue, is a ~ulp no-op on
+    a PSD input, and is grad-transparent (stop-grad correction)."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=(6, 6))
+    psd = a @ a.T + 6 * np.eye(6)
+    out = np.asarray(covariance.psd_clip(jnp.asarray(psd)))
+    np.testing.assert_allclose(out, psd, rtol=0, atol=1e-12 * psd.max())
+
+    lam, v = np.linalg.eigh(psd)
+    lam[0] = -0.5
+    neg = (v * lam[None, :]) @ v.T
+    fixed = np.asarray(covariance.psd_clip(jnp.asarray(neg)))
+    assert np.linalg.eigvalsh(fixed).min() >= -1e-10
+    np.linalg.cholesky(fixed + 1e-12 * np.eye(6))
+
+    # gradient flows through the RAW matrix: d sum(psd_clip(c*m))/dc
+    # equals sum(m) even when the clip is active.
+    m = jnp.asarray(neg)
+    g = jax.grad(lambda c: jnp.sum(covariance.psd_clip(c * m)))(1.0)
+    np.testing.assert_allclose(float(g), float(jnp.sum(m)), rtol=1e-12)
+
+    with pytest.raises(ValueError, match="psd_guard"):
+        covariance._apply_psd_guard(m, "bogus")
+
+
+@pytest.mark.slow
+def test_joint_covariance_psd_guard_worst_case(fiducial, setup):
+    """VERDICT r4 item 4: at the documented worst-case configuration —
+    multi-degree bins with the connected term on, where the T-bar
+    discretization can push cNG auto diagonals ~1e-3-of-Gaussian
+    NEGATIVE — the psd_guard="clip" joint matrix has positive
+    diagonals and passes Cholesky, and the guard moves the matrix by
+    at most the documented discretization-noise scale."""
+    from chomp_tpu.utils.tree import replace
+
+    h, model, dist, _ = setup
+    grid_wide = replace(DEFAULT_GRID, theta_min_deg=0.1,
+                        theta_max_deg=8.0)
+    edges = covariance.theta_bin_edges_deg(grid_wide, n_bins=6)
+    d_src = projection.DNdzGaussian(
+        z_min=jnp.asarray(0.3), z_max=jnp.asarray(2.5),
+        z0=jnp.asarray(1.2), sigma_z=jnp.asarray(0.3))
+    common = dict(include_nongaussian=True, n_k_tri=48, n_z_tri=12,
+                  n_ell_cov_ng=48, n_ell_cov_g=2048)
+    raw = np.asarray(covariance.joint_wtheta_gammat_covariance(
+        fiducial, h, model, dist, d_src, edges, OMEGA_S, N2D, 1.0e-9,
+        **common))
+    guarded = np.asarray(covariance.joint_wtheta_gammat_covariance(
+        fiducial, h, model, dist, d_src, edges, OMEGA_S, N2D, 1.0e-9,
+        psd_guard="clip", **common))
+    assert np.all(np.diag(guarded) > 0)
+    sym = 0.5 * (guarded + guarded.T)
+    np.linalg.cholesky(sym + 1e-12 * np.diag(sym).max() * np.eye(len(sym)))
+    assert np.linalg.eigvalsh(sym).min() >= -1e-10 * np.diag(sym).max()
+    # the guard is a small correction: bounded by the most negative
+    # raw eigenvalue (documented ~1e-3 of the Gaussian diagonal).
+    raw_min = np.linalg.eigvalsh(0.5 * (raw + raw.T)).min()
+    delta = np.abs(guarded - raw).max()
+    assert delta <= max(abs(raw_min), 1e-30) * (1.0 + 1e-6), \
+        (delta, raw_min)
