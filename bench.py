@@ -3,12 +3,25 @@
 Prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 
-Metric: wall-clock seconds per cosmology for the full flagship pipeline
-(BASELINE.json configs[4] asks >=100 batched cosmologies; 512
-amortizes the fixed per-launch host cost better): each computes the
-Sheth-Tormen mass function, Zheng05 HOD halo model, nonlinear P_gg and
-P_gm, Limber C_ell for clustering and lensing kernels, and
-w(theta)/gamma_t via the FFTLog MXU operator — all one jit+vmap program.
+Two configurations are measured (VERDICT round-4 item 2):
+  - "value": the SEPARABLE-growth parity configuration (what chomp
+    itself computes — the halo-model shape frozen at an explicit
+    z_pivot at the kernel mean redshift, so the run is warning-clean);
+    this is the continuity number tracked since round 1.
+  - "value_exact_z": the physics-honest configuration — the
+    separable-growth approximation dropped entirely via
+    exact_z_anchors=6 Chebyshev anchor sweeps (the repo's own
+    tests/test_exact_z_lattice.py shows the separable shape biases
+    C_ell at the >10% level for this deep kernel).
+
+Each computes the Sheth-Tormen mass function, Zheng05 HOD halo model,
+nonlinear P_gg and P_gm, Limber C_ell for clustering and lensing
+kernels, and w(theta)/gamma_t via the FFTLog MXU operator — all one
+jit+vmap program.
+
+Variance control (VERDICT round-4 item 8): N_REPS timed repetitions,
+the JSON carries median + IQR per configuration; day-to-day axon-tunnel
+variance (CLAUDE.md) makes single-rep means untrustworthy.
 
 Baseline: the BASELINE.md north-star target of 1.0 s/cosmology on one
 v5e chip (the reference itself publishes no numbers and takes
@@ -21,7 +34,36 @@ import sys
 import time
 
 N_COSMO = 512
-TARGET_S_PER_COSMO = 1.0  # BASELINE.md north-star row
+N_COSMO_EXACT = 64          # exact-z is ~5x the work; amortizes sooner
+N_REPS = 10
+TARGET_S_PER_COSMO = 1.0    # BASELINE.md north-star row
+
+
+def _measure(batched, batch, n_cosmo, label):
+    """Compile, warm, then N_REPS timed calls -> (median, iqr, out)."""
+    import jax
+    import numpy as np
+
+    t0 = time.perf_counter()
+    out = batched(batch)
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t0
+    print(f"[{label}] compile+first-run: {compile_s:.1f}s on "
+          f"{jax.devices()[0]}", file=sys.stderr)
+
+    times = []
+    for _ in range(N_REPS):
+        t0 = time.perf_counter()
+        out = batched(batch)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    times = np.asarray(times)
+    med = float(np.median(times))
+    q1, q3 = np.percentile(times, [25.0, 75.0])
+    print(f"[{label}] batch={n_cosmo} reps={N_REPS} "
+          f"median={med*1e3:.1f}ms iqr=[{q1*1e3:.1f},{q3*1e3:.1f}]ms "
+          f"per-cosmology={med/n_cosmo*1e3:.3f}ms", file=sys.stderr)
+    return med, float(q3 - q1), out
 
 
 def main():
@@ -47,40 +89,42 @@ def main():
     dist = projection.DNdzGaussian(
         z_min=jnp.asarray(0.0), z_max=jnp.asarray(2.0),
         z0=jnp.asarray(1.0), sigma_z=jnp.asarray(0.2))
+
+    # --- configuration A: separable-growth parity (the chomp-parity
+    # run, warning-clean: z_pivot pinned at the kernel mean) ----------
     fn = make_pipeline(default_halo(), default_hod(), dist,
                        power_spec="power_gg", grid=DEFAULT_GRID,
-                       include_lensing=True)
+                       include_lensing=True, z_pivot=1.0)
     batched = jax.jit(jax.vmap(fn))
-
     oms = jnp.linspace(0.24, 0.32, N_COSMO)
     s8s = jnp.linspace(0.75, 0.88, N_COSMO)
     batch = broadcast_cosmo(default_cosmo(), omega_m0=oms,
                             omega_l0=1.0 - oms, sigma_8=s8s)
-
-    # Compile + warm up.
-    t0 = time.perf_counter()
-    out = batched(batch)
-    jax.block_until_ready(out)
-    compile_s = time.perf_counter() - t0
-    print(f"compile+first-run: {compile_s:.1f}s on {jax.devices()[0]}",
-          file=sys.stderr)
-
-    # Steady state (amortized MCMC-sweep regime).
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = batched(batch)
-        jax.block_until_ready(out)
-    elapsed = (time.perf_counter() - t0) / reps
+    elapsed, iqr, out = _measure(batched, batch, N_COSMO, "separable")
     s_per_cosmo = elapsed / N_COSMO
 
     w = out["w_theta"]
-    finite = bool(jnp.all(jnp.isfinite(w)) and jnp.all(jnp.isfinite(out["gamma_t"])))
-    print(f"batch={N_COSMO} thetas={w.shape[-1]} wall={elapsed:.3f}s "
-          f"per-cosmology={s_per_cosmo * 1e3:.2f}ms finite={finite}",
-          file=sys.stderr)
+    finite = bool(jnp.all(jnp.isfinite(w))
+                  and jnp.all(jnp.isfinite(out["gamma_t"])))
     if not finite:
-        raise SystemExit("non-finite benchmark outputs")
+        raise SystemExit("non-finite benchmark outputs (separable)")
+
+    # --- configuration B: exact-z anchors (physics-honest) -----------
+    fn_x = make_pipeline(default_halo(), default_hod(), dist,
+                         power_spec="power_gg", grid=DEFAULT_GRID,
+                         include_lensing=True, exact_z_anchors=6)
+    batched_x = jax.jit(jax.vmap(fn_x))
+    oms_x = jnp.linspace(0.24, 0.32, N_COSMO_EXACT)
+    s8s_x = jnp.linspace(0.75, 0.88, N_COSMO_EXACT)
+    batch_x = broadcast_cosmo(default_cosmo(), omega_m0=oms_x,
+                              omega_l0=1.0 - oms_x, sigma_8=s8s_x)
+    elapsed_x, iqr_x, out_x = _measure(batched_x, batch_x,
+                                       N_COSMO_EXACT, "exact-z J=6")
+    s_per_cosmo_x = elapsed_x / N_COSMO_EXACT
+    finite_x = bool(jnp.all(jnp.isfinite(out_x["w_theta"]))
+                    and jnp.all(jnp.isfinite(out_x["gamma_t"])))
+    if not finite_x:
+        raise SystemExit("non-finite benchmark outputs (exact-z)")
 
     # --- auditability extras (VERDICT round-2 weak #3) ---------------
     # (a) XLA's own FLOP count for the whole batched program.
@@ -120,6 +164,12 @@ def main():
         "unit": "s/cosmology",
         "vs_baseline": TARGET_S_PER_COSMO / s_per_cosmo,
         "batch": N_COSMO,
+        "reps": N_REPS,
+        "iqr_s": iqr,
+        "value_exact_z": s_per_cosmo_x,
+        "batch_exact_z": N_COSMO_EXACT,
+        "iqr_exact_z_s": iqr_x,
+        "exact_z_anchors": 6,
         "dispatch_ms_lower_bound": dispatch_s * 1e3,
         "on_chip_ms_per_cosmology": on_chip_s / N_COSMO * 1e3,
         "flops_per_cosmology": flops / N_COSMO,

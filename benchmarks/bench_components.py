@@ -28,7 +28,7 @@ def timed(f, *args, reps=3):
     return (time.perf_counter() - t0) / reps
 
 
-def main(batch_size: int = 100):
+def main(batch_size: int = 100, json_path: str | None = None):
     from chomp_tpu import correlation, default_cosmo, default_halo, halo
     from chomp_tpu import limber_fft, linear, projection
     from chomp_tpu.hod import default_hod
@@ -327,6 +327,25 @@ def main(batch_size: int = 100):
     print(f"\nC_ell throughput: {evals / dt:.3e} ell-evals/sec/chip "
           f"({b} cosmologies x {len(ells_np)} ells in {dt*1e3:.1f} ms)")
 
+    if json_path is not None:
+        # Machine-auditable per-stage artifact (VERDICT round-4 item
+        # 7): one entry per stage so cross-round regressions are
+        # detectable without digging through session notes.
+        import json as _json
+
+        payload = {
+            "device": str(jax.devices()[0]),
+            "batch": b,
+            "unit": "ms/cosmology",
+            "stages": {name: ms for name, ms in rows},
+            "cl_throughput_ell_evals_per_s_per_chip": evals / dt,
+            "emulator_holdout_max_rel": float(rep.max_rel_err),
+        }
+        with open(json_path, "w") as fh:
+            _json.dump(payload, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        print(f"stage artifact written to {json_path}")
+
 
 def main_with_trace(trace_dir: str, batch_size: int = 100):
     """Run the stage benchmarks under a jax.profiler trace (SURVEY.md
@@ -337,9 +356,13 @@ def main_with_trace(trace_dir: str, batch_size: int = 100):
 
 
 if __name__ == "__main__":
+    json_out = None
+    if "--json" in sys.argv:
+        idx = sys.argv.index("--json")
+        json_out = sys.argv[idx + 1]
     if "--trace" in sys.argv:
         idx = sys.argv.index("--trace")
         main_with_trace(sys.argv[idx + 1] if len(sys.argv) > idx + 1
                         else "/tmp/chomp_tpu_trace")
     else:
-        main()
+        main(json_path=json_out)
