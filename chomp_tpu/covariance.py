@@ -246,13 +246,73 @@ def gaussian_covariance(cl_fn, theta_edges_deg, n2d, omega_s_sr,
     return cov + jnp.diag(diag)
 
 
+# MC-calibrated residual factors for the remaining coupled-region
+# spin-2 "wedge" overprediction, f(x) = c0 - a x^2 with
+# x = theta_center / sqrt(A2/pi) (disc-exact footprint scale).
+# Fitted over 6 (radius, spectrum) disc configurations x 5 bins with
+# the S4 field-phase damping and sqrt(R_bar)-weighted delta active
+# (tools/calibrate_spin2_wedge.py; residuals within +-14% "gt",
+# +-16% "xip" on the calibration set; held-out validation in
+# tests/test_mask_covariance.py).  w_gg needs no factor (its residual
+# is MC-noise-compatible and conservative).
+_WEDGE_FIT = {"gt": (0.897, 0.180), "xip": (0.957, 0.093)}
+
+
+def spin2_wedge_factors(mask, theta_edges_deg, probe: str):
+    """Per-bin multiplicative factors f_i = c0 - a x_i^2 (clipped to
+    [0.5, 1]) for the residual beyond-NKA overprediction of spin-2
+    auto blocks at footprint-scale bins (``_WEDGE_FIT``).  ``probe``:
+    "gt" or "xip"."""
+    if probe not in _WEDGE_FIT:
+        raise ValueError(f"spin2_wedge_factors: probe must be one of "
+                         f"{sorted(_WEDGE_FIT)}, got {probe!r}")
+    c0, a = _WEDGE_FIT[probe]
+    edges = np.radians(np.asarray(theta_edges_deg, dtype=float))
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    r_eff = np.sqrt(mask.area2 / np.pi)
+    xs = centers / r_eff
+    return np.clip(c0 - a * xs**2, 0.5, 1.0)
+
+
+def _weighted_bin_bessel(mask, edges_rad, mu, ells_np, n_gl: int = 64):
+    """sqrt(R̄₂₂/A₄)-weighted bin-averaged Bessel factors — the EXACT
+    short-kernel (delta-limit) replacement for bin_averaged_bessel on
+    a masked survey (beyond-NKA branch of gaussian_block):
+
+        bw_i(l) = (2/(hi²-lo²)) ∫_bin θ sqrt(R̄₂₂(θ)/A₄) J_mu(lθ) dθ,
+
+    from factorizing the exact 4-point Σ w(y)²w(y+r)w(y+r') ≈
+    sqrt(R̄₂₂(r)) sqrt(R̄₂₂(r')) in the short-correlation limit.
+    Reduces to the closed-form Jbar when R̄₂₂ ≈ A₄ across the bin
+    (small bins); footprint-scale bins are DAMPED by the declining
+    pair function — measured 1.6-2x overprediction of the unweighted
+    delta formula at high q (tools/calibrate_spin2_wedge.py study).
+    Static numpy (survey geometry)."""
+    from numpy.polynomial.legendre import leggauss
+    from scipy.special import jv
+
+    pf = getattr(mask, "pair_function2", mask.pair_function)
+    edges = np.asarray(edges_rad, dtype=float)
+    xg, wg = leggauss(n_gl)
+    out = np.empty((len(edges) - 1, len(ells_np)))
+    for i, (lo, hi) in enumerate(zip(edges[:-1], edges[1:])):
+        th = 0.5 * (hi - lo) * xg + 0.5 * (hi + lo)
+        wq = 0.5 * (hi - lo) * wg * th * np.sqrt(
+            np.maximum(pf(th), 0.0) / mask.area4)
+        out[i] = (2.0 / (hi * hi - lo * lo)) * (
+            jv(mu, np.asarray(ells_np)[None, :] * th[:, None])
+            * wq[:, None]).sum(axis=0)
+    return out
+
+
 def gaussian_block(cl_ac, cl_bd, cl_ad, cl_bc, theta_edges_deg_i,
                    theta_edges_deg_j, omega_s_sr, mu_i: int = 0,
                    mu_j: int = 0, noise_ac: float = 0.0,
                    noise_bd: float = 0.0, noise_ad: float = 0.0,
                    noise_bc: float = 0.0, n_ell_cov: int = 4096,
                    ell_lo: float = 1.0, ell_hi: float = 1.0e6,
-                   mask=None):
+                   mask=None, beyond_nka: bool = False,
+                   field_spins=None, wedge_probe: str | None = None):
     """Generic Gaussian covariance block Cov[w^(ab)_i, w^(cd)_j] (module
     docstring): (1/Omega_s) ∫ l dl/2pi Jbar^{mu_i}_i Jbar^{mu_j}_j
     [Ct_ac Ct_bd + Ct_ad Ct_bc].
@@ -287,7 +347,35 @@ def gaussian_block(cl_ac, cl_bd, cl_ad, cl_bc, theta_edges_deg_i,
     then ignored.  The J0 auto-block additionally has the full low-ell
     mode-coupling treatment in mask.masked_gaussian_covariance; the
     spin-2 coupling matrix (E/B mixing) is not modeled — at the fsky
-    level this is the standard approximation."""
+    level this is the standard approximation.
+
+    ``beyond_nka=True`` (round 5, needs ``mask``) activates the three
+    MC-validated refinements of the NKA treatment at footprint-scale
+    bins (study: tools/calibrate_spin2_wedge.py):
+
+      1. the delta-limit (high-q) regime uses sqrt(R̄₂₂)-weighted
+         bin-averaged Bessel factors (:func:`_weighted_bin_bessel`) —
+         the exact short-kernel limit; the flat A4 normalization
+         overpredicts footprint-scale bins up to 2x there (measured:
+         mc/an 0.50-0.84 -> 1.04-1.09 on the high-q disc referee);
+      2. ``field_spins`` = ((s_ac, s_bd), (s_ad, s_bc)) damps Wick
+         pairings whose correlators carry FIELD-phase spins the
+         estimator does not compensate by S_s(q)
+         (mask.field_phase_suppression) in the coupled region — the
+         xi_+ auto block's <γγ><γ*γ*> pairing, ((4, 4), (0, 0)), is
+         the standard case (measured 2-2.4x -> within ~20%);
+      3. ``wedge_probe`` ("gt" | "xip") applies the MC-calibrated
+         residual factor (:func:`spin2_wedge_factors`) for the
+         remaining coupled-region overlap-anisotropy overprediction
+         the first two do not model (gt: up to 1.45x -> +-14%).
+
+    The default (False) is the bitwise-stable NKA path; the joint
+    builders expose ``beyond_nka`` as one knob and set
+    field_spins/wedge_probe per block."""
+    if beyond_nka and mask is None:
+        raise ValueError("gaussian_block: beyond_nka=True needs a "
+                         "mask (the refinements are survey-geometry "
+                         "corrections)")
     noise_ac = float(noise_ac)
     noise_bd = float(noise_bd)
     noise_ad = float(noise_ad)
@@ -329,8 +417,21 @@ def gaussian_block(cl_ac, cl_bd, cl_ad, cl_bc, theta_edges_deg_i,
         pref0_np = np.outer(ann_i, ann_j) / np.outer(d_i, d_j)
         pref = jnp.asarray(mask.area4 * pref0_np)
     g = ells**2 * w / (2.0 * jnp.pi) * integrand
-    cov = pref * jnp.matmul(b_i * g[None, :], b_j.T,
-                            precision=hp)
+    if mask is not None and beyond_nka:
+        # Beyond-NKA delta region (round 5): the exact short-kernel
+        # factorization replaces the flat A4 pair-count normalization
+        # by sqrt(R̄₂₂)-weighted bin-averaged Bessels — the unweighted
+        # formula overpredicts footprint-scale bins 1.6-2x at high q
+        # (measured; _weighted_bin_bessel docstring).
+        bw_i = jnp.asarray(_weighted_bin_bessel(mask, edges_i, mu_i,
+                                                ells_np))
+        bw_j = jnp.asarray(_weighted_bin_bessel(mask, edges_j, mu_j,
+                                                ells_np))
+        cov = pref * jnp.matmul(bw_i * g[None, :], bw_j.T,
+                                precision=hp)
+    else:
+        cov = pref * jnp.matmul(b_i * g[None, :], b_j.T,
+                                precision=hp)
     if mask is not None and mask.coupling_width > 0.0:
         # Full low-ell mode coupling for EVERY (mu_i, mu_j) block:
         # replace the delta-limit piece below q* (where the log grid
@@ -343,14 +444,18 @@ def gaussian_block(cl_ac, cl_bd, cl_ad, cl_bc, theta_edges_deg_i,
         # both reduce to K₀ (and hence the delta limit) at q ≫ 1/R.
         # MC-validated (tests/test_mask_covariance.py joint spin-2 +
         # xi_pm referees): w-block and cross entries at MC accuracy;
-        # spin-2 AUTO blocks retain measured CONSERVATIVE
-        # overpredictions at footprint-scale bins — γt ~1.6x
-        # (partial-annulus wedge coupling), ξ+ up to ~2.4x (the
-        # <γγ><γ*γ*> Wick pairing carries an e^{4iφ_k} FIELD-phase
-        # coherence the estimator-phase moments cannot suppress),
-        # ξ− within 15% ((K0+K8)/2 measured 0.88-1.0 vs MC).  For
-        # footprint-scale spin-2 bins, prefer the CURVED route
-        # (curved.curved_gaussian_block / the curved joint builder):
+        # with the DEFAULT (plain-NKA) settings the spin-2 AUTO blocks
+        # retain measured CONSERVATIVE overpredictions at
+        # footprint-scale bins — γt ~1.6x (partial-annulus wedge
+        # coupling), ξ+ up to ~2.4x (the <γγ><γ*γ*> Wick pairing
+        # carries an e^{4iφ_k} FIELD-phase coherence the
+        # estimator-phase moments cannot suppress), ξ− within 15%
+        # ((K0+K8)/2 measured 0.88-1.0 vs MC).  ``beyond_nka=True``
+        # (round 5, docstring) closes most of that gap: held-out MC
+        # validation lands γt within ~20% and ξ+ within ~25%
+        # (tests below).  The CURVED route
+        # (curved.curved_gaussian_block / the curved joint builder)
+        # remains the alternative for footprint-scale spin-2 bins:
         # its Wigner-d kernels carry the exact sphere bin geometry and
         # are only ~5-25% conservative there, spin-2-SHT-MC-validated
         # (tests/test_curved.py::test_curved_spin2_mc_referee).
@@ -393,19 +498,56 @@ def gaussian_block(cl_ac, cl_bd, cl_ad, cl_bc, theta_edges_deg_i,
                     m_of(b_j, vec_r).T, precision=hp)
 
             ones = jnp.ones_like(ct_ac)
+            if beyond_nka and field_spins is not None:
+                # Field-phase decoherence (round 5): Wick pairings
+                # whose correlators carry spin phases the ESTIMATOR
+                # phase does not compensate lose coherence over the
+                # coupled kernel — damp each correlator by
+                # S_s(q) (mask.field_phase_suppression).  The standard
+                # case is the xi_+ auto block's <γγ><γ*γ*> pairing,
+                # field_spins = ((4, 4), (0, 0)): measured 2-2.4x NKA
+                # overprediction without the damping
+                # (tools/calibrate_spin2_wedge.py).
+                from chomp_tpu.mask import field_phase_suppression
+
+                e_low = np.asarray(ells_np[:n_low])
+                s_cache = {0: jnp.ones(n_low)}
+                for s in set(int(x) for x in np.ravel(field_spins)):
+                    if s != 0:
+                        s_cache[s] = jnp.asarray(
+                            field_phase_suppression(mask, e_low, s))
+                (s_ac, s_bd), (s_ad, s_bc) = field_spins
+                v_ac = ct_ac[:n_low] * s_cache[int(s_ac)]
+                v_bd = ct_bd[:n_low] * s_cache[int(s_bd)]
+                v_ad = ct_ad[:n_low] * s_cache[int(s_ad)]
+                v_bc = ct_bc[:n_low] * s_cache[int(s_bc)]
+            else:
+                v_ac, v_bd = ct_ac, ct_bd
+                v_ad, v_bc = ct_ad, ct_bc
             # Symmetrized (q, q') spectrum assignment: the kernel is
             # near-diagonal, so ordering only matters at the already-
             # neglected narrow-kernel order — but the unsymmetrized
             # form breaks auto-block symmetry at the ~5e-8 level.
-            coupled = (0.5 * (quad(ct_ac, ct_bd) + quad(ct_bd, ct_ac)
-                              + quad(ct_ad, ct_bc) + quad(ct_bc, ct_ad))
+            coupled = (0.5 * (quad(v_ac, v_bd) + quad(v_bd, v_ac)
+                              + quad(v_ad, v_bc) + quad(v_bc, v_ad))
                        - nn * quad(ones, ones)) / (2.0 * jnp.pi) ** 2
             g_low = (ells[:n_low] ** 2 * w[:n_low] / (2.0 * jnp.pi)
                      * integrand[:n_low])
+            dl_i = bw_i if beyond_nka else b_i
+            dl_j = bw_j if beyond_nka else b_j
             delta_low = mask.area4 * jnp.matmul(
-                b_i[:, :n_low] * g_low[None, :], b_j[:, :n_low].T,
+                dl_i[:, :n_low] * g_low[None, :], dl_j[:, :n_low].T,
                 precision=hp)
             cov = cov + jnp.asarray(pref0_np) * (coupled - delta_low)
+    if beyond_nka and wedge_probe is not None and mask is not None:
+        # MC-calibrated residual factor (spin2_wedge_factors) applied
+        # as a congruence outer(sqrt f) scaling of the quadrature part
+        # (the exact noise closures below stay untouched).
+        f_i = np.sqrt(spin2_wedge_factors(
+            mask, theta_edges_deg_i, wedge_probe))
+        f_j = np.sqrt(spin2_wedge_factors(
+            mask, theta_edges_deg_j, wedge_probe))
+        cov = cov * jnp.asarray(np.outer(f_i, f_j))
     if nn != 0.0 and mu_i == mu_j:
         # General annulus-overlap closure (docstring): numpy, static.
         lo_i, hi_i = edges_i[:-1], edges_i[1:]
@@ -1097,7 +1239,8 @@ def joint_wtheta_gammat_covariance(cosmo: CosmoParams, halo_p: HaloParams,
                                    exact_z_anchors: int | None = None,
                                    include_ssc: bool = False,
                                    ssc_kwargs: dict | None = None,
-                                   psd_guard: str | None = None):
+                                   psd_guard: str | None = None,
+                                   beyond_nka: bool = False):
     """Joint covariance of the stacked data vector [w_gg bins, gamma_t
     bins] — the full Morrison & Schneider 2013 clustering + g-g lensing
     program (upstream:covariance.py; SURVEY.md §2 row 13).
@@ -1126,7 +1269,10 @@ def joint_wtheta_gammat_covariance(cosmo: CosmoParams, halo_p: HaloParams,
 
     ``mask`` (chomp_tpu.mask surface): footprint treatment at the
     fsky/pair-count level for EVERY block (see gaussian_block);
-    ``omega_s_sr`` is then ignored."""
+    ``omega_s_sr`` is then ignored.  ``beyond_nka=True`` (needs mask)
+    activates the round-5 footprint-scale refinements — weighted
+    delta factors everywhere plus the "gt" wedge residual on the γt
+    auto block (gaussian_block docstring)."""
     from chomp_tpu import projection
     from chomp_tpu.projection import WindowConvergence, WindowGalaxy
 
@@ -1175,15 +1321,15 @@ def joint_wtheta_gammat_covariance(cosmo: CosmoParams, halo_p: HaloParams,
     # Gaussian blocks: [C~_ac C~_bd + C~_ad C~_bc] with (ab)/(cd) the
     # estimator tracer pairs — ww: (gg)x(gg); w-gt: (gg)x(gk);
     # gt-gt: (gk)x(gk).
+    bnk = dict(n_ell_cov=n_ell_cov_g, mask=mask, beyond_nka=beyond_nka)
     cov_ww = gaussian_block(cl_gg, cl_gg, cl_gg, cl_gg, edges, edges,
-                            omega_s_sr, 0, 0, n_g, n_g, n_g, n_g,
-                            n_ell_cov=n_ell_cov_g, mask=mask)
+                            omega_s_sr, 0, 0, n_g, n_g, n_g, n_g, **bnk)
     cov_wg = gaussian_block(cl_gg, cl_gk, cl_gk, cl_gg, edges, edges,
-                            omega_s_sr, 0, 2, n_g, 0.0, 0.0, n_g,
-                            n_ell_cov=n_ell_cov_g, mask=mask)
+                            omega_s_sr, 0, 2, n_g, 0.0, 0.0, n_g, **bnk)
     cov_gg = gaussian_block(cl_gg, cl_kk, cl_gk, cl_gk, edges, edges,
                             omega_s_sr, 2, 2, n_g, shape_noise, 0.0, 0.0,
-                            n_ell_cov=n_ell_cov_g, mask=mask)
+                            wedge_probe=("gt" if beyond_nka else None),
+                            **bnk)
     if include_nongaussian:
         common = dict(with_bao=with_bao, grid=grid, exact_z=exact_z,
                       n_ell_cov=n_ell_cov_ng, n_k_tri=n_k_tri,
@@ -1243,7 +1389,8 @@ def joint_3x2pt_covariance(cosmo: CosmoParams, halo_p: HaloParams,
                            exact_z_anchors: int | None = None,
                            include_ssc: bool = False,
                            ssc_kwargs: dict | None = None,
-                           psd_guard: str | None = None):
+                           psd_guard: str | None = None,
+                           beyond_nka: bool = False):
     """Joint covariance of the FULL 3x2pt data vector
     [w_gg, gamma_t, xi_+, xi_-] — (4 nb, 4 nb).
 
@@ -1273,7 +1420,11 @@ def joint_3x2pt_covariance(cosmo: CosmoParams, halo_p: HaloParams,
     pairs with g or E), so every cross block is a single
     gaussian_block call.  ``mask`` applies the footprint treatment to
     every block with the generalized moment rule
-    ½(K_{|mu_i-mu_j|} + K_{mu_i+mu_j}) (see gaussian_block)."""
+    ½(K_{|mu_i-mu_j|} + K_{mu_i+mu_j}) (see gaussian_block).
+    ``beyond_nka=True`` (needs mask) activates the round-5
+    footprint-scale refinements per block: weighted delta factors,
+    the ξ+ auto <γγ><γ*γ*> field-phase damping, and the MC-calibrated
+    "gt"/"xip" wedge residuals (gaussian_block docstring)."""
     from chomp_tpu.projection import WindowConvergence, WindowGalaxy
 
     win_g = WindowGalaxy(dist=dist_lens)
@@ -1291,28 +1442,32 @@ def joint_3x2pt_covariance(cosmo: CosmoParams, halo_p: HaloParams,
     edges = theta_edges_deg
     n_g = 1.0 / n2d_lens
     ns = float(shape_noise)
-    gk = dict(n_ell_cov=n_ell_cov_g, mask=mask)
+    gk = dict(n_ell_cov=n_ell_cov_g, mask=mask, beyond_nka=beyond_nka)
 
-    def blk(ac, bd, ad, bc, mi, mj, nac, nbd, nad, nbc):
+    def blk(ac, bd, ad, bc, mi, mj, nac, nbd, nad, nbc, **extra):
         return gaussian_block(ac, bd, ad, bc, edges, edges, omega_s_sr,
-                              mi, mj, nac, nbd, nad, nbc, **gk)
+                              mi, mj, nac, nbd, nad, nbc, **gk, **extra)
 
     # Row-major unique blocks; probe order (w, gt, xp, xm).
     c_ww = blk(cl_gg, cl_gg, cl_gg, cl_gg, 0, 0, n_g, n_g, n_g, n_g)
     c_wg = blk(cl_gg, cl_gk, cl_gk, cl_gg, 0, 2, n_g, 0.0, 0.0, n_g)
     c_wp = blk(cl_gk, cl_gk, cl_gk, cl_gk, 0, 0, 0.0, 0.0, 0.0, 0.0)
     c_wm = blk(cl_gk, cl_gk, cl_gk, cl_gk, 0, 4, 0.0, 0.0, 0.0, 0.0)
-    c_gg = blk(cl_gg, cl_kk, cl_gk, cl_gk, 2, 2, n_g, ns, 0.0, 0.0)
+    c_gg = blk(cl_gg, cl_kk, cl_gk, cl_gk, 2, 2, n_g, ns, 0.0, 0.0,
+               wedge_probe=("gt" if beyond_nka else None))
     c_gp = blk(cl_gk, cl_kk, cl_gk, cl_kk, 2, 0, 0.0, ns, 0.0, ns)
     c_gm = blk(cl_gk, cl_kk, cl_gk, cl_kk, 2, 4, 0.0, ns, 0.0, ns)
     bb = dict(nac=ns, nbd=ns, nad=ns, nbc=ns)
 
-    def shear_auto(mi, mj, sign):
-        ee = blk(cl_kk, cl_kk, cl_kk, cl_kk, mi, mj, ns, ns, ns, ns)
+    def shear_auto(mi, mj, sign, **extra):
+        ee = blk(cl_kk, cl_kk, cl_kk, cl_kk, mi, mj, ns, ns, ns, ns,
+                 **extra)
         bbn = blk(cl_zero, cl_zero, cl_zero, cl_zero, mi, mj, **bb)
         return ee + sign * bbn
 
-    c_pp = shear_auto(0, 0, +1.0)
+    c_pp = shear_auto(0, 0, +1.0,
+                      **({"field_spins": ((4, 4), (0, 0)),
+                          "wedge_probe": "xip"} if beyond_nka else {}))
     c_pm = shear_auto(0, 4, -1.0)
     c_mm = shear_auto(4, 4, +1.0)
 
@@ -1797,6 +1952,7 @@ def tomographic_3x2pt_covariance(cosmo: CosmoParams, halo_p: HaloParams,
                                  cmb_lensing=None,
                                  matter_power: str = "halo",
                                  psd_guard: str | None = None,
+                                 beyond_nka: bool = False,
                                  **ng_kwargs):
     """Gaussian (+ optionally connected) covariance of the FULL
     TOMOGRAPHIC 3x2pt data vector — (n_probe nb, n_probe nb) over the
@@ -1903,10 +2059,23 @@ def tomographic_3x2pt_covariance(cosmo: CosmoParams, halo_p: HaloParams,
                             and cl_ad is cl_zero and cl_bc is cl_zero
                             and n_ac * n_bd + n_ad * n_bc == 0.0):
                         continue
+                    extra = {}
+                    if beyond_nka:
+                        extra["beyond_nka"] = True
+                        kinds = {a[0], b[0], c[0], d[0]}
+                        if mu_a == mu_b == 2:
+                            extra["wedge_probe"] = "gt"
+                        elif mu_a == mu_b == 0 and kinds == {"E"}:
+                            # xi_+ x xi_+ EE channel: the <γγ><γ*γ*>
+                            # pairing carries the uncompensated
+                            # e^{4iφ} field phase
+                            extra["field_spins"] = ((4, 4), (0, 0))
+                            extra["wedge_probe"] = "xip"
                     blk = gaussian_block(
                         cl_ac, cl_bd, cl_ad, cl_bc, edges, edges,
                         omega_s_sr, mu_a, mu_b, n_ac, n_bd, n_ad,
-                        n_bc, n_ell_cov=n_ell_cov_g, mask=mask)
+                        n_bc, n_ell_cov=n_ell_cov_g, mask=mask,
+                        **extra)
                     blk = s_a * s_b * blk
                     acc = blk if acc is None else acc + blk
             if acc is None:

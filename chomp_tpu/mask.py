@@ -401,3 +401,50 @@ def masked_gaussian_covariance(cl_fn, theta_edges_deg, n2d, mask,
     d2_i = pair_normalization(mask, edges_rad, squared=True)
     return cov + jnp.diag(jnp.asarray(
         2.0 * noise**2 * d2_i / (d_i * d_i)))
+
+
+# --------------------------------------------------------------------------
+# Beyond-NKA ingredient (round 5): the field-phase decoherence factor.
+# See covariance.gaussian_block (beyond_nka / field_spins) for where it
+# enters, covariance._weighted_bin_bessel for the companion exact
+# short-kernel delta weights, and tools/calibrate_spin2_wedge.py for the
+# masked-sky MC study that motivated and validates both.
+# --------------------------------------------------------------------------
+
+
+def field_phase_suppression(mask, q, spin: int, n_u: int = 512):
+    """S_s(q): decoherence of an UNCOMPENSATED field-phase factor
+    e^{i s phi_k} over the mask coupling kernel — the closed-form
+    azimuthal means
+
+        m_2(t) = (1 - t^2)_+ ,
+        m_4(t) = [(1 - t^2)(1 - 3 t^2)]_+-signed  (t < 1; 0 beyond),
+
+    of e^{i s psi} with psi the angle of (q - u) relative to q,
+    averaged over the direction of u (|u| = t q; contour-integral
+    closed forms), weighted by the isotropized mask kernel |W~2(u)|²:
+
+        S_s(q) = ∫ u du |W~2(u)|² m_s(u/q) / ∫ u du |W~2(u)|² .
+
+    S -> 1 for q far above the coupling width (field phases ride
+    through the narrow kernel) and -> 0 deep inside it (the kernel
+    cannot hold a spin-s phase aligned).  Enters the coupled regime of
+    spin-2 blocks whose Wick pairing carries field phases the
+    estimator phase does not compensate — the xi_+ auto block's
+    <gamma gamma><gamma* gamma*> pairing (measured 2-2.4x NKA
+    overprediction; tools/calibrate_spin2_wedge.py)."""
+    if spin not in (2, 4):
+        raise ValueError(f"field_phase_suppression: spin must be 2 or "
+                         f"4, got {spin}")
+    q = np.asarray(q, dtype=float)
+    w_c = mask.coupling_width
+    u = np.exp(np.linspace(np.log(w_c * 1e-3), np.log(w_c * 3e2), n_u))
+    k_u = mask.wtilde2_sq(u) * u * u          # u du measure on ln grid
+    norm = k_u.sum()
+    t = u[None, :] / np.maximum(q[:, None], 1e-300)
+    t2 = t * t
+    if spin == 2:
+        m = np.where(t < 1.0, 1.0 - t2, 0.0)
+    else:
+        m = np.where(t < 1.0, (1.0 - t2) * (1.0 - 3.0 * t2), 0.0)
+    return (k_u[None, :] * m).sum(axis=1) / norm

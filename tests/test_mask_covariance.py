@@ -481,3 +481,187 @@ def test_disc_mask_mc_referee_xipm():
         r_an = cov_an[i, nb + i] / np.sqrt(dg_an[i] * dg_an[nb + i])
         print(f"pm corr bin {i}: mc={r_mc:.3f} an={r_an:.3f}")
         assert abs(r_mc - r_an) < 0.35, (i, r_mc, r_an)
+
+
+# ---------------------------------------------------------------------------
+# Beyond-NKA refinements (round 5): field-phase suppression, weighted
+# delta factors, MC-calibrated wedge residuals.
+# ---------------------------------------------------------------------------
+
+
+def test_field_phase_suppression_closed_forms():
+    """The m_s(t) azimuthal means inside S_s are the contour-integral
+    closed forms m2 = (1-t^2)_+, m4 = [(1-t^2)(1-3t^2)]_{t<1}: check
+    against a brute-force average of cos(s psi); S_s limits: -> 1 far
+    above the coupling width, -> 0 deep inside it, monotone-ish."""
+    from chomp_tpu.mask import field_phase_suppression
+
+    phi = np.linspace(0.0, 2.0 * np.pi, 20001)[:-1]
+    for t in (0.2, 0.6, 0.9, 1.3, 2.5):
+        psi = np.arctan2(t * np.sin(phi), 1.0 - t * np.cos(phi))
+        m2_b = np.mean(np.cos(2 * psi))
+        m4_b = np.mean(np.cos(4 * psi))
+        m2 = max(1.0 - t * t, 0.0)
+        m4 = (1.0 - t * t) * (1.0 - 3.0 * t * t) if t < 1 else 0.0
+        np.testing.assert_allclose(m2_b, m2, atol=2e-4)
+        np.testing.assert_allclose(m4_b, m4, atol=2e-4)
+
+    dm = DiscMask(0.5)
+    q = np.array([0.2, 2.0, 20.0, 1000.0])
+    for s in (2, 4):
+        ss = field_phase_suppression(dm, q, s)
+        assert ss[0] < 0.02 and ss[-1] > 0.98, (s, ss)
+        assert np.all(np.diff(ss) > 0), ss
+    with pytest.raises(ValueError, match="spin"):
+        field_phase_suppression(dm, q, 3)
+
+
+def test_weighted_bin_bessel_reduces_to_jbar():
+    """Small bins (R̄₂₂ ≈ A₄ across the bin): the weighted factors
+    equal the closed-form bin-averaged Bessel for every mu; a
+    footprint-scale bin is strictly damped."""
+    dm = DiscMask(0.5)
+    ells = np.logspace(0.0, 2.5, 200)
+    small = np.array([0.01, 0.012, 0.015])
+    for mu in (0, 2, 4):
+        bw = covariance._weighted_bin_bessel(dm, small, mu, ells)
+        jb = np.asarray(covariance.bin_averaged_bessel(
+            jnp.asarray(ells), small, mu))
+        np.testing.assert_allclose(bw, jb, rtol=0, atol=2.5e-2)
+    wide = np.array([0.35, 0.5])
+    bw_w = covariance._weighted_bin_bessel(dm, wide, 0, ells)
+    jb_w = np.asarray(covariance.bin_averaged_bessel(
+        jnp.asarray(ells), wide, 0))
+    # damped at low ell where Jbar ~ 1
+    assert bw_w[0, 0] < 0.75 * jb_w[0, 0]
+
+
+def test_spin2_wedge_factors_surface():
+    dm = DiscMask(0.5)
+    edges = np.degrees(np.array([0.1, 0.25, 0.45]))
+    f_gt = covariance.spin2_wedge_factors(dm, edges, "gt")
+    f_xp = covariance.spin2_wedge_factors(dm, edges, "xip")
+    assert np.all((f_gt > 0.5) & (f_gt <= 1.0))
+    assert np.all(np.diff(f_gt) < 0)          # stronger at wider bins
+    assert np.all(f_xp > f_gt)                # xi+ residual is milder
+    with pytest.raises(ValueError, match="probe"):
+        covariance.spin2_wedge_factors(dm, edges, "ww")
+    with pytest.raises(ValueError, match="beyond_nka"):
+        covariance.gaussian_block(cl_powerlaw, cl_powerlaw, cl_powerlaw,
+                                  cl_powerlaw, edges, edges, 0.1,
+                                  beyond_nka=True)
+
+
+@pytest.mark.slow
+def test_beyond_nka_highq_weighted_delta():
+    """High-q-dominated spectrum on footprint-scale bins: the old
+    A4-normalized delta formula overpredicts up to 2x; the
+    sqrt(R̄₂₂)-weighted factors land on the MC (measured 1.04-1.09)."""
+    n, box = 256, 2.0
+    a = box / n
+    x = (np.arange(n) - n // 2) * a
+    xg, yg = np.meshgrid(x, x, indexing="ij")
+    radius = 0.5
+    w = ((xg**2 + yg**2) <= radius**2).astype(float)
+    qq_ = np.sqrt(np.add.outer(
+        (2 * np.pi * np.fft.fftfreq(n, d=a))**2,
+        (2 * np.pi * np.fft.fftfreq(n, d=a))**2))
+    rabs = np.sqrt(
+        np.minimum(np.arange(n), n - np.arange(n))[:, None]**2 * a * a
+        + np.minimum(np.arange(n), n - np.arange(n))[None, :]**2 * a * a)
+    edges = np.array([0.2, 0.3, 0.42, 0.5])
+    binm = np.stack([((rabs >= lo) & (rabs < hi)).ravel()
+                     for lo, hi in zip(edges[:-1], edges[1:])])
+    ww_ = (np.real(np.fft.ifft2(np.abs(np.fft.fft2(w))**2))
+           * a * a).ravel()
+    d_grid = binm @ ww_ * a * a
+
+    def cq(q):
+        q = np.asarray(q)
+        return (q / 150.0)**2 / (1.0 + (q / 150.0)**6)
+
+    amp = np.sqrt(cq(qq_) / (a * a))
+    rng = np.random.default_rng(5)
+    n_mc, batch = 900, 24
+    est = np.empty((n_mc, len(edges) - 1))
+    binm_f = binm.astype(float)
+    for s in range(0, n_mc, batch):
+        b = min(batch, n_mc - s)
+        wn = rng.standard_normal((b, n, n))
+        d = np.real(np.fft.ifft2(
+            np.fft.fft2(wn, axes=(-2, -1)) * amp, axes=(-2, -1)))
+        f = np.fft.fft2(w * d, axes=(-2, -1))
+        cw = (np.real(np.fft.ifft2(np.abs(f)**2, axes=(-2, -1)))
+              * a * a).reshape(b, -1)
+        est[s:s + b] = (cw @ binm_f.T) * a * a / d_grid
+    cov_mc = np.cov(est.T)
+    dm = DiscMask(radius)
+    deg = np.degrees(edges)
+    cl = lambda e: jnp.asarray(cq(e))
+    kw = dict(n_ell_cov=1024, ell_lo=0.5, ell_hi=2 * np.pi / a / 1.2,
+              mask=dm)
+    c_old = np.asarray(covariance.gaussian_block(
+        cl, cl, cl, cl, deg, deg, 0.0, 0, 0, **kw))
+    c_new = np.asarray(covariance.gaussian_block(
+        cl, cl, cl, cl, deg, deg, 0.0, 0, 0, beyond_nka=True, **kw))
+    r_old = np.diag(cov_mc) / np.diag(c_old)
+    r_new = np.diag(cov_mc) / np.diag(c_new)
+    assert np.all((r_new > 0.85) & (r_new < 1.25)), (r_old, r_new)
+    assert r_old[-1] < 0.65, r_old      # the documented overprediction
+
+
+@pytest.mark.slow
+def test_beyond_nka_heldout_square():
+    """HELD-OUT validation (VERDICT round-4 item 3): a SQUARE
+    PixelMask footprint and a spectrum shape not in the calibration
+    set.  With beyond_nka (S4 field-phase damping + weighted delta +
+    wedge factors) the spin-2 autos land within the target bands —
+    gamma_t ~<20%, xi_+ ~<25% incl. MC noise (from 1.6x / 2.4x) —
+    while the plain-NKA xi_+ stays >1.45x overpredicted at the worst
+    bin."""
+    import tools.calibrate_spin2_wedge as cal
+
+    r = cal.run_config(0.5, q0=20.0, gamma=2.1, n_mc=500, seed=777,
+                       shape="square")
+    assert np.all((r["b_gt"] > 0.78) & (r["b_gt"] < 1.25)), r["b_gt"]
+    assert np.all((r["b_xip"] > 0.75) & (r["b_xip"] < 1.30)), r["b_xip"]
+    # improvement pinned: plain NKA xi+ is far worse
+    assert np.min(r["r_xip"]) < 0.70, r["r_xip"]
+    # ww stays uncorrected and conservative-or-right
+    assert np.all((r["b_ww"] > 0.7) & (r["b_ww"] < 1.25)), r["b_ww"]
+
+
+def test_beyond_nka_joint_builder_wiring(fiducial, fiducial_model):
+    """joint_3x2pt_covariance(beyond_nka=True, mask=...) runs, is
+    finite/symmetric, REDUCES the gt and xi_+ auto variances (the
+    conservatism being removed), and leaves the default path
+    untouched."""
+    from chomp_tpu import default_halo, projection
+
+    h = default_halo()
+    dist = projection.DNdzGaussian(
+        z_min=jnp.asarray(0.0), z_max=jnp.asarray(2.0),
+        z0=jnp.asarray(1.0), sigma_z=jnp.asarray(0.2))
+    d_src = projection.DNdzGaussian(
+        z_min=jnp.asarray(0.3), z_max=jnp.asarray(2.5),
+        z0=jnp.asarray(1.2), sigma_z=jnp.asarray(0.3))
+    # footprint-scale bins on a small disc survey
+    dm = DiscMask(np.radians(2.0))
+    edges = np.linspace(0.3, 2.0, 5)          # degrees
+    kw = dict(include_nongaussian=False, n_ell_cov_g=1024, mask=dm)
+    cov0 = np.asarray(covariance.joint_3x2pt_covariance(
+        fiducial, h, fiducial_model, dist, d_src, edges, 0.0,
+        N2D, 1.0e-9, **kw))
+    cov1 = np.asarray(covariance.joint_3x2pt_covariance(
+        fiducial, h, fiducial_model, dist, d_src, edges, 0.0,
+        N2D, 1.0e-9, beyond_nka=True, **kw))
+    nb = len(edges) - 1
+    assert np.all(np.isfinite(cov1))
+    np.testing.assert_allclose(cov1, cov1.T,
+                               atol=1e-10 * np.abs(cov1).max())
+    d0, d1 = np.diag(cov0), np.diag(cov1)
+    # gt auto rows are [nb:2nb], xi+ [2nb:3nb]
+    assert np.all(d1[nb:2 * nb] < d0[nb:2 * nb])
+    assert np.all(d1[2 * nb:3 * nb] < d0[2 * nb:3 * nb])
+    # and the reduction is material at the footprint-scale bins
+    assert d1[2 * nb - 1] < 0.85 * d0[2 * nb - 1]
