@@ -732,6 +732,147 @@ def xi_multipole_covariance(cosmo: CosmoParams, halo_p: HaloParams,
     return cov.reshape(n_l * n_b, n_l * n_b)
 
 
+def _windowed_xi_geometry(ells, s_edges, k_back, k_lo_xi, k_cut,
+                          phase_per_node: float = 2.0,
+                          n_sub_min: int = 6, n_sub_max: int = 96):
+    """Build-time geometry for :func:`windowed_xi_multipole_covariance`:
+    a phase-adaptive dense GL k rule over the BACK-grid cells inside
+    [k_lo_xi, k_cut] (per-cell order tracks the 2 k s_max oscillation,
+    as :func:`_xi_cov_geometry`), the Catmull-Rom matrix from the full
+    log-uniform back grid onto the dense nodes, and the exact
+    bin-averaged Bessel factors there."""
+    from numpy.polynomial.legendre import leggauss
+
+    s_edges = np.asarray(s_edges, dtype=np.float64)
+    i0 = int(np.searchsorted(k_back, k_lo_xi))
+    i1 = min(int(np.searchsorted(k_back, k_cut)) + 1, len(k_back))
+    cells = k_back[i0:i1]
+    if cells.size < 8:
+        raise ValueError(
+            f"windowed xi covariance: only {cells.size} back-grid "
+            f"cells inside [{k_lo_xi}, {k_cut}] — raise n_fft or "
+            f"widen (k_lo, k_hi)")
+    s_sum_max = 2.0 * s_edges[-1]
+    worst = s_sum_max * (cells[-1] - cells[-2])
+    if int(np.ceil(worst / phase_per_node)) + 4 > n_sub_max:
+        import warnings
+        warnings.warn(
+            f"_windowed_xi_geometry: the per-cell GL order clamp "
+            f"binds (phase {worst:.0f} rad vs n_sub_max={n_sub_max}) "
+            f"— raise n_fft or n_sub_max.", stacklevel=3)
+    nodes, weights = [], []
+    for a, b in zip(cells[:-1], cells[1:]):
+        phase = s_sum_max * (b - a)
+        p = int(np.clip(np.ceil(phase / phase_per_node) + 4,
+                        n_sub_min, n_sub_max))
+        x, w = leggauss(p)
+        kk = 0.5 * (b - a) * x + 0.5 * (b + a)
+        nodes.append(kk)
+        weights.append(0.5 * (b - a) * w * kk * kk)   # k^2 dk measure
+    kd = np.concatenate(nodes)
+    wd = np.concatenate(weights)
+    cr = _catmull_rom_rows(k_back, kd)                # (n_dense, n_back)
+    bj = np.stack([_binned_sph_bessel(ell, kd, s_edges)
+                   for ell in ells])                  # (n_ell, nb, n_d)
+    return kd, wd, cr, bj
+
+
+def windowed_xi_multipole_covariance(cosmo: CosmoParams,
+                                     halo_p: HaloParams, model,
+                                     s_edges, window_q, volume,
+                                     ells=(0, 2, 4), sigma_v=0.0,
+                                     n_mu: int = 16, n_fft: int = 768,
+                                     k_lo: float = 2e-4,
+                                     k_hi: float = 60.0,
+                                     k_lo_xi: float = 1e-3,
+                                     k_cut: float = 4.0,
+                                     with_bao: bool = False,
+                                     grid: GridSpec = DEFAULT_GRID,
+                                     n_bar=None):
+    r"""Gaussian covariance of the s-bin-averaged configuration-space
+    multipoles with the SURVEY WINDOW composed through the transform
+    (VERDICT round-4 item 6) — the consistent partner of
+    ``xi_multipoles(window_q=...)``: the window convolution correlates
+    neighbouring k modes and couples multipoles, so a windowed
+    prediction with the unwindowed :func:`xi_multipole_covariance`
+    double-counts the window.
+
+    Construction: the covariance is the pushforward H C_lat H^T of the
+    per-lattice-cell FKP blocks (exactly
+    :func:`windowed_multipole_covariance`'s algebra) through
+
+        H[L, X; l1, i] = (-1)^{L/2} / (2\pi^2)
+            \int k^2 dk  \bar j_L^X(k)  M[L, l1](k, k_lat_i),
+
+    i.e. the window-coupling operator M (the same Wilson-convolution
+    matrix as the prediction route) composed with the EXACT s-bin
+    Hankel on a phase-adaptive dense GL rule riding the FFTLog back
+    grid (:func:`_windowed_xi_geometry` — closed-form bin-averaged
+    Bessel antiderivatives, Catmull-Rom back-grid interpolation; zero
+    gathers, jit/vmap/grad-able in (cosmo, sigma_v)).
+
+    The SMOOTH part of the variance (P^2 + 2 P/n̄) rides the window;
+    the pure-shot plateau keeps the exact unwindowed Bessel-
+    completeness closure of :func:`xi_multipole_covariance` (white
+    noise is unconvolved in the Wilson estimator convention — the same
+    normalization absorption as the prediction route).  Identity
+    window (Q = [1]): reduces to :func:`xi_multipole_covariance` up to
+    the FFTLog round-trip taper (~1e-3 on M) and quadrature
+    (tested ~2%).  Returns (n_ell n_bins, n_ell n_bins), ell-major."""
+    s_edges = np.asarray(s_edges, dtype=np.float64)
+    ells = tuple(ells)
+    ln_k0 = float(np.log(k_lo))
+    dln = float(np.log(k_hi / k_lo) / (n_fft - 1))
+    k_lat, k_back, m_op = _window_coupling_operator(n_fft, ln_k0, dln,
+                                                    ells, window_q)
+    kd, wd, cr, bj = _windowed_xi_geometry(ells, s_edges, k_back,
+                                           k_lo_xi, k_cut)
+    sign = np.array([(-1.0) ** (ell // 2) for ell in ells])
+    # H[A, X, a, i]: dense-rule Hankel of the A-row of M.
+    t_axj = np.einsum("AXd,dj->AXj", bj * wd[None, None, :], cr)
+    h = np.einsum("AXj,Aaji->AXai", t_axj, m_op) \
+        * (sign / (2.0 * np.pi ** 2))[:, None, None, None]
+
+    # Per-cell FKP mode counts on the source lattice.
+    def cell_edges(k):
+        mid = np.sqrt(k[1:] * k[:-1])
+        return np.concatenate([[k[0] ** 2 / mid[0]], mid,
+                               [k[-1] ** 2 / mid[-1]]])
+
+    e_lat = cell_edges(k_lat)
+    n_lat = (float(volume) * (e_lat[1:] ** 3 - e_lat[:-1] ** 3)
+             / (12.0 * np.pi ** 2))
+    hp = jax.lax.Precision.HIGHEST
+    mu, w = _mu_rule(n_mu)
+    p_s = power_rsd_mu(cosmo, halo_p, model, jnp.asarray(k_lat), mu,
+                       sigma_v, with_bao, grid)       # (n_fft, n_mu)
+    nb_ = model.n_g if n_bar is None else jnp.asarray(n_bar)
+    smooth = p_s * p_s + 2.0 * p_s / nb_              # no white part
+    legs = jnp.stack([_legendre(ell, mu) for ell in ells])
+    pref = np.array([2.0 * ell + 1.0 for ell in ells])
+    integ = jnp.einsum("am,bm,im,m->abi", legs, legs, smooth, w,
+                       precision=hp)
+    blocks = (jnp.asarray(pref)[:, None, None]
+              * jnp.asarray(pref)[None, :, None] * integ
+              / jnp.asarray(n_lat)[None, None, :])
+    # 2/V overall (Gaussian pairing x 1/N_modes structure carries the
+    # volume through n_lat; the factor 2 is the Wick pairing count —
+    # matching windowed_multipole_covariance's algebra where both live
+    # in blocks/N_i with N_i already per-volume).
+    cov = jnp.einsum("AXai,abi,BYbi->AXBY", jnp.asarray(h), blocks,
+                     jnp.asarray(h), precision=hp)
+    # Exact white (pure-shot) closure on the diagonal (unwindowed).
+    w_bin = (s_edges[1:] ** 3 - s_edges[:-1] ** 3) / 3.0
+    white = (pref[:, None] / (2.0 * np.pi * float(volume) * w_bin)
+             / nb_ ** 2)
+    n_l, n_b = len(ells), s_edges.size - 1
+    eye_l = jnp.asarray(np.eye(n_l))
+    eye_b = jnp.asarray(np.eye(n_b))
+    cov = cov + (white[:, :, None, None] * eye_l[:, None, :, None]
+                 * eye_b[None, :, None, :])
+    return cov.reshape(n_l * n_b, n_l * n_b)
+
+
 # ---------------------------------------------------------------------------
 # Projected correlation function wp(rp)
 # ---------------------------------------------------------------------------

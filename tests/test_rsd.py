@@ -622,3 +622,83 @@ def test_xi_cov_geometry_clamp_warns():
         _w.simplefilter("error")
         rsd._xi_cov_geometry((0, 2, 4), np.linspace(5.0, 150.0, 12),
                              n_k=192, k_lo=1e-3, k_cut=4.0)
+
+
+def test_windowed_xi_identity_reduction(model):
+    """VERDICT r4 item 6: windowed_xi_multipole_covariance with the
+    identity window reduces to xi_multipole_covariance (the FFTLog
+    round-trip taper is the only difference — measured 1e-4)."""
+    s_edges = np.array([40.0, 70.0, 110.0])
+    vol, nbar = 1.0e9, 1.0
+    base = np.asarray(rsd.xi_multipole_covariance(
+        C0, HP, model, s_edges, vol, ells=(0, 2), n_bar=nbar,
+        k_lo=1e-3, k_cut=2.0, n_k=192))
+    wind = np.asarray(rsd.windowed_xi_multipole_covariance(
+        C0, HP, model, s_edges,
+        lambda s: np.ones((1, len(np.atleast_1d(s)))), vol,
+        ells=(0, 2), n_bar=nbar, k_lo_xi=1e-3, k_cut=2.0))
+    scale = np.sqrt(np.outer(np.diag(base), np.diag(base)))
+    np.testing.assert_allclose(wind / scale, base / scale, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_windowed_xi_sandwich_referee(model):
+    """The windowed xi covariance equals the fine-bin Fourier sandwich
+    J Cov_P^w J^T of windowed_multipole_covariance (the round-4
+    referee protocol composed through the window; measured 9e-4
+    normalized), and the window modifies the unwindowed xi covariance
+    at the expected few-percent level for a 250 Mpc/h window."""
+    s_edges = np.array([40.0, 70.0, 110.0])
+    vol, nbar = 1.0e9, 1.0
+    ells = (0, 2)
+
+    def q_win(s):
+        return np.stack([1.0 / (1.0 + (np.atleast_1d(s) / 250.0) ** 4)])
+
+    got = np.asarray(rsd.windowed_xi_multipole_covariance(
+        C0, HP, model, s_edges, q_win, vol, ells=ells, n_bar=nbar,
+        k_lo_xi=1e-3, k_cut=2.0, sigma_v=3.0))
+    n_bins = 1200
+    k_e = np.linspace(1e-3, 2.0, n_bins + 1)
+    cov_pw = np.asarray(rsd.windowed_multipole_covariance(
+        C0, HP, model, jnp.asarray(k_e), q_win, vol, ells=ells,
+        n_bar=nbar, sigma_v=3.0))
+    k_c = 0.5 * (k_e[1:] + k_e[:-1])
+    meas = (k_e[1:] ** 3 - k_e[:-1] ** 3) / 3.0
+    n_b = s_edges.size - 1
+    jmat = np.zeros((len(ells) * n_b, len(ells) * n_bins))
+    for row, ell in enumerate(ells):
+        bj = rsd._binned_sph_bessel(ell, k_c, s_edges)
+        sign = (-1.0) ** (ell // 2)
+        jmat[row * n_b:(row + 1) * n_b,
+             row * n_bins:(row + 1) * n_bins] = (
+            sign / (2 * np.pi ** 2) * bj * meas[None, :])
+    ref = jmat @ cov_pw @ jmat.T
+    scale = np.sqrt(np.outer(np.diag(ref), np.diag(ref)))
+    np.testing.assert_allclose(got / scale, ref / scale, atol=5e-3)
+    base = np.asarray(rsd.xi_multipole_covariance(
+        C0, HP, model, s_edges, vol, ells=ells, n_bar=nbar,
+        k_lo=1e-3, k_cut=2.0, sigma_v=3.0))
+    dev = np.abs(np.diag(got) / np.diag(base) - 1.0)
+    assert np.all(dev > 2e-3) and np.all(dev < 0.2), dev
+    # symmetric + PSD
+    np.testing.assert_allclose(got, got.T, rtol=0,
+                               atol=1e-12 * np.abs(got).max())
+    eig = np.linalg.eigvalsh(0.5 * (got + got.T))
+    assert eig[0] > -1e-10 * eig[-1]
+
+
+def test_windowed_xi_jit_grad(model):
+    """jit + grad cleanliness through the windowed xi covariance."""
+    s_edges = np.array([50.0, 90.0])
+
+    def q_win(s):
+        return np.stack([1.0 / (1.0 + (np.atleast_1d(s) / 250.0) ** 4)])
+
+    def f(sv):
+        return jnp.sum(rsd.windowed_xi_multipole_covariance(
+            C0, HP, model, s_edges, q_win, 1.0e9, ells=(0, 2),
+            sigma_v=sv, n_fft=384, k_lo_xi=2e-3, k_cut=1.0))
+
+    g = jax.grad(f)(jnp.asarray(3.0))
+    assert np.isfinite(float(g)) and float(g) != 0.0
