@@ -11,8 +11,9 @@ surrogate at microseconds per likelihood call.  Validates here that
   - a self-tuning adaptive_hmc chain on the emulated posterior
     recovers the injected truth with clean diagnostics.
 
-Run: python examples/emulator_example.py   (CPU f64, ~2-4 min; the
-same script on the TPU trains from a 512-node sweep in seconds)
+Run: python examples/emulator_example.py   (CPU f64, ~10-12 min —
+the Sobolev Jacobian sweep is ~2/3 of it; the same script on the TPU
+trains from a 512-node sweep in well under a minute)
 """
 
 import sys
@@ -56,16 +57,29 @@ BOUNDS = np.array([[0.22, 0.34], [0.65, 0.95]])
 
 
 def main():
+    # SOBOLEV training (round 5): the exact pipeline Jacobians join the
+    # loss (one extra vmapped jacfwd sweep) and the design pins the box
+    # boundary — this is what makes emulator-side DERIVATIVES (Fisher
+    # matrices, HMC gradients) trustworthy, not just values.
     t0 = time.time()
     emu, rep = emulator.train_emulator(
         theory_exact, BOUNDS, jax.random.PRNGKey(0), n_train=256,
-        n_val=32, n_pca=16, hidden=(96, 96), n_epochs=3000,
-        batch_size=64)
-    print(f"train: {rep.n_train} exact evaluations + MLP fit in "
-          f"{time.time() - t0:.0f}s; holdout max {rep.max_rel_err:.2e} "
-          f"/ rms {rep.rms_err:.2e} (data-vector units "
-          f"{rep.max_err:.2e})")
+        n_val=32, n_pca=None, hidden=(128, 128), n_epochs=5000,
+        batch_size=64, learning_rate=2e-3, jac_weight=1.0,
+        eval_batch=48)
+    # Two Sobolev lessons baked in above: (1) eval_batch=48 — the
+    # vmap(jacfwd(pipeline)) sweep compiles pathologically long on CPU
+    # at batch 288; (2) n_pca=None — DERIVATIVE accuracy needs more
+    # PCA modes than VALUE accuracy (rank 16/20 floors the holdout
+    # Jacobian at ~16% no matter how long you train; full rank ~2%;
+    # compression saves nothing at 20 outputs anyway).  For long data
+    # vectors use pca_tol with a tight tolerance instead.
+    print(f"train: {rep.n_train} exact evaluations (+Jacobians) + MLP "
+          f"fit in {time.time() - t0:.0f}s; holdout max "
+          f"{rep.max_rel_err:.2e} / rms {rep.rms_err:.2e}; holdout "
+          f"Jacobian max-rel {rep.jac_max_rel_err:.2e}")
     assert rep.max_rel_err < 0.02, rep.max_rel_err
+    assert rep.jac_max_rel_err < 0.05, rep.jac_max_rel_err
 
     # Fisher through the emulator == Fisher through the pipeline.
     p0 = jnp.asarray([float(cosmo0.omega_m0), float(cosmo0.sigma_8)])
@@ -79,12 +93,11 @@ def main():
     print(f"Fisher(emulator) vs Fisher(exact): max entry dev {err:.1%}; "
           f"forecast sigmas dev "
           f"{np.abs(sd_em / sd_ex - 1).max():.1%}")
-    # NN VALUE accuracy (1e-5 rms) does not imply the same DERIVATIVE
-    # accuracy — Jacobian wiggle at the 10-20% level is expected at
-    # this node count.  The inference-relevant quantities (likelihood
-    # values -> posterior widths) are what must agree; HMC below is
-    # Metropolis-exact on the emulated posterior regardless.
-    assert np.abs(sd_em / sd_ex - 1).max() < 0.25, (sd_em, sd_ex)
+    # Value-only training left a 10-20% Jacobian wiggle (the round-4
+    # LESSON); Sobolev training makes the Fisher ENTRIES match — the
+    # round-4 verdict item-5 done-criterion.
+    assert err < 0.05, (err, f_em, f_ex)
+    assert np.abs(sd_em / sd_ex - 1).max() < 0.05, (sd_em, sd_ex)
 
     # Emulated posterior: self-tuning HMC at microseconds per step.
     like = inference.GaussianLikelihood(
