@@ -8,9 +8,15 @@ coupling beyond the leading azimuthal moments), xi_+ up to ~2.4x (the
 <gamma gamma><gamma* gamma*> Wick pairing's e^{4i phi_k} FIELD-phase
 coherence).  This tool measures the per-bin mc/an ratio over a grid of
 disc radii and spectrum shapes with the same masked-sky MC machinery
-as tests/test_mask_covariance.py, to test the hypothesis that the
-ratio collapses onto a universal curve of x = theta_bin / R_footprint
-— the basis for covariance.spin2_wedge_factors.
+as tests/test_mask_covariance.py.  Round-5 findings (full study in
+docs/NUMERICS.md section 10): the xi_+ ratio does NOT collapse in
+x = theta/R alone (it tracks how much spectrum power sits inside the
+coupling scale) — the S4 field-phase damping captures that physics;
+the residual after S4 + the weighted delta is a mild common wedge
+suppression fitted as covariance._WEDGE_FIT.  Each run_config row
+reports both the plain-NKA (r_*) and the corrected (b_*) mc/an
+ratios, so this doubles as the held-out validation instrument
+(shape="square" for the PixelMask geometry).
 
 Run: python tools/calibrate_spin2_wedge.py [--quick]
 """
